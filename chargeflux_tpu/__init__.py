@@ -1,0 +1,34 @@
+"""chargeflux_tpu — TPU-native charge-flux electrostatics engine.
+
+A standalone JAX/XLA/Pallas rebuild of the capabilities of the
+openmm-chargeflux plugin (geometry-dependent charges with analytic
+charge-flux forces, Ewald electrostatics, LJ, exclusions), designed
+TPU-first: the whole energy/force step is one jit-compiled function,
+reciprocal-space structure factors are MXU matmuls, the direct-space sum is
+a fixed-capacity cell list, and scale-out goes through jax.sharding meshes.
+"""
+
+from .system import ChargeFluxSystem, CoulForce, StaticSpec, ewald_alpha, ewald_kmax
+from .charges import effective_charges, charge_jacobian_values, jacobian_index_layout
+from .energy import (
+    energy,
+    energy_and_forces,
+    energy_components,
+    energy_fixed_charges,
+    forces,
+    forces_manual,
+)
+from .integrate import nve_step, nve_trajectory
+from .units import ONE_4PI_EPS0, BOLTZ
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ChargeFluxSystem", "CoulForce", "StaticSpec",
+    "ewald_alpha", "ewald_kmax",
+    "effective_charges", "charge_jacobian_values", "jacobian_index_layout",
+    "energy", "energy_and_forces", "energy_components", "energy_fixed_charges",
+    "forces", "forces_manual",
+    "nve_step", "nve_trajectory",
+    "ONE_4PI_EPS0", "BOLTZ",
+]

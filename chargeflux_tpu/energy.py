@@ -1,0 +1,199 @@
+"""Total energy and forces — the whole engine is one jit-compiled function.
+
+Replaces the reference's kernel ``execute`` paths:
+
+* non-periodic all-pairs + exclusion subtraction
+  (ReferenceCoulKernels.cpp:436-499; CUDA noPBCForce.cu)
+* periodic Ewald: self + reciprocal + direct erfc + exclusion correction
+  (ReferenceCoulKernels.cpp:500-633; CUDA PBCForce.cu)
+
+Forces: because q = q(x), F = -dE/dx - (dE/dq)(dq/dx) (README.md:57-65).
+Here the *entire* force algorithm is ``jax.grad`` of E(q(x), x) — the chain
+rule term the reference implements by hand (dedq accumulation + multdQdX,
+ReferenceCoulKernels.cpp:493-499) is produced by autodiff.  A manual dedq
+path (:func:`forces_manual`) mirrors the reference's algorithm explicitly and
+is cross-checked against autodiff in tests (SURVEY §7: "the single strongest
+whole-system test").
+
+Exclusion contract (SURVEY §5): an excluded pair contributes no short-range
+Coulomb and no LJ anywhere; under PBC it retains the reciprocal-space
+correction −k_e q_i q_j erf(αr)/r, applied unconditionally (CPU semantics;
+the GPU's within-cutoff variant differs only beyond the cutoff).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import erfc
+
+from . import cells
+from .charges import apply_chain_rule, effective_charges
+from .ewald import reciprocal_energy, self_energy
+from .pairs import displacement, pair_matrix_mask
+from .system import ChargeFluxSystem
+from .units import ONE_4PI_EPS0
+
+
+def _lj_pair_terms(half_sig_sum, eps_prod, inv_r):
+    """LJ energy in the reference's prefactored form: with s = 0.5*(si+sj)
+    stored as the sum of half-sigmas and e = (2 sqrt(eps_i))(2 sqrt(eps_j)),
+    E = e * s6 * (s6 - 1) == 4 eps_ij [ (sig/r)^12 - (sig/r)^6 ]
+    (ReferenceCoulKernels.cpp:238-239, 442-451)."""
+    sig2 = (half_sig_sum * inv_r) ** 2
+    sig6 = sig2 * sig2 * sig2
+    return eps_prod * sig6 * (sig6 - 1.0)
+
+
+def _pair_quantities(positions, system, idx_i, idx_j):
+    """Min-image delta, r, 1/r and LJ prefactors for explicit pair lists."""
+    d = displacement(positions[idx_i], positions[idx_j], system.box,
+                     system.spec.pbc)
+    r2 = jnp.sum(d * d, axis=-1)
+    r = jnp.sqrt(r2)
+    inv_r = 1.0 / r
+    half_sig = 0.5 * (system.sigma[idx_i] + system.sigma[idx_j])
+    eps = 4.0 * jnp.sqrt(system.epsilon[idx_i] * system.epsilon[idx_j])
+    return d, r, inv_r, half_sig, eps
+
+
+def _dense_pair_energy(positions, q, system: ChargeFluxSystem):
+    """Masked all-pairs short-range energy [scalar].
+
+    noPBC: full 1/r Coulomb + LJ over all non-excluded pairs (no cutoff),
+    matching ReferenceCoulKernels.cpp:438-462.
+    PBC:   erfc(alpha r)/r Coulomb + LJ over non-excluded pairs within the
+    cutoff, matching the direct-space sum :562-593.
+    """
+    spec = system.spec
+    n = positions.shape[0]
+    pos_i = positions[:, None, :]
+    pos_j = positions[None, :, :]
+    d = displacement(pos_i, pos_j, system.box, spec.pbc)     # [N, N, 3]
+    r2 = jnp.sum(d * d, axis=-1)
+    mask = pair_matrix_mask(n, system.exclusions)
+    if spec.pbc:
+        mask = mask & (r2 < spec.cutoff * spec.cutoff)
+    r2_safe = jnp.where(mask, r2, 1.0)
+    inv_r = jax.lax.rsqrt(r2_safe)
+    r = r2_safe * inv_r
+
+    qq = q[:, None] * q[None, :]
+    if spec.pbc:
+        coul = ONE_4PI_EPS0 * qq * inv_r * erfc(spec.alpha * r)
+    else:
+        coul = ONE_4PI_EPS0 * qq * inv_r
+
+    half_sig = 0.5 * (system.sigma[:, None] + system.sigma[None, :])
+    eps = 4.0 * jnp.sqrt(system.epsilon[:, None] * system.epsilon[None, :])
+    lj = _lj_pair_terms(half_sig, eps, inv_r)
+    return jnp.sum(jnp.where(mask, coul + lj, 0.0))
+
+
+def _exclusion_correction(positions, q, system: ChargeFluxSystem,
+                          subtract_direct: bool):
+    """Energy correction for excluded pairs under PBC.
+
+    Always: -k_e q_i q_j erf(alpha r)/r  (ReferenceCoulKernels.cpp:596-622,
+    applied unconditionally on the CPU path).
+    With ``subtract_direct`` (cell-list route, which — like the CUDA kernel
+    with USE_EXCLUSIONS disabled, CudaCoulKernels.cpp:484 — computes erfc+LJ
+    for *all* in-cutoff pairs): additionally remove erfc/r + LJ when
+    r < cutoff, so the net excluded-pair contribution equals the contract.
+    """
+    if system.n_exclusions == 0:
+        return jnp.zeros((), dtype=positions.dtype)
+    spec = system.spec
+    idx_i = system.exclusions[:, 0]
+    idx_j = system.exclusions[:, 1]
+    _, r, inv_r, half_sig, eps = _pair_quantities(positions, system, idx_i, idx_j)
+    qq = q[idx_i] * q[idx_j]
+    erfc_ar = erfc(spec.alpha * r)
+    e = -ONE_4PI_EPS0 * qq * inv_r * (1.0 - erfc_ar)         # -erf(ar)/r
+    if subtract_direct:
+        in_cut = r < spec.cutoff
+        direct = ONE_4PI_EPS0 * qq * inv_r * erfc_ar + _lj_pair_terms(half_sig, eps, inv_r)
+        e = e - jnp.where(in_cut, direct, 0.0)
+    return jnp.sum(e)
+
+
+def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
+                                    system: ChargeFluxSystem) -> Dict[str, jax.Array]:
+    """Energy breakdown treating the effective charges as an independent
+    input.  grad wrt ``q`` of the sum is exactly the reference's dedq vector
+    (ReferenceCoulKernels.cpp:458-459, 509, 546, 588-589, 615-616)."""
+    spec = system.spec
+    if not spec.pbc:
+        return {"pair": _dense_pair_energy(positions, q, system)}
+
+    comps: Dict[str, jax.Array] = {}
+    comps["self"] = self_energy(q, spec.alpha)
+    comps["reciprocal"] = reciprocal_energy(positions, q, system.box,
+                                            spec.alpha, spec.kmax)
+    if spec.direct_method == "cell":
+        comps["direct"] = cells.cell_list_direct_energy(positions, q, system)
+        comps["exclusion"] = _exclusion_correction(positions, q, system,
+                                                   subtract_direct=True)
+    else:
+        comps["direct"] = _dense_pair_energy(positions, q, system)
+        comps["exclusion"] = _exclusion_correction(positions, q, system,
+                                                   subtract_direct=False)
+    return comps
+
+
+def energy_fixed_charges(positions, q, system) -> jax.Array:
+    total = 0.0
+    for v in energy_components_fixed_charges(positions, q, system).values():
+        total = total + v
+    return total
+
+
+def _energy_components(positions, system) -> Dict[str, jax.Array]:
+    q = effective_charges(positions, system)
+    return energy_components_fixed_charges(positions, q, system)
+
+
+def _energy(positions: jax.Array, system: ChargeFluxSystem) -> jax.Array:
+    q = effective_charges(positions, system)
+    return energy_fixed_charges(positions, q, system)
+
+
+def _forces(positions, system):
+    return -jax.grad(_energy)(positions, system)
+
+
+def _energy_and_forces(positions, system):
+    e, g = jax.value_and_grad(_energy)(positions, system)
+    return e, -g
+
+
+def _forces_manual(positions: jax.Array, system: ChargeFluxSystem) -> jax.Array:
+    q = effective_charges(positions, system)
+    gx, dedq = jax.grad(energy_fixed_charges, argnums=(0, 1))(positions, q, system)
+    return -gx + apply_chain_rule(dedq, positions, system)
+
+
+# Public API: jit-compiled by default.  The system pytree's StaticSpec is
+# hashable metadata, so jit specializes per (shapes, spec) — the TPU analog of
+# the reference's per-system NVRTC kernel JIT (CudaCoulKernels.cpp:377-516).
+
+#: Total potential energy (kJ/mol).
+energy = jax.jit(_energy)
+
+#: Energy breakdown {self, reciprocal, direct, exclusion} / {pair}.
+energy_components = jax.jit(_energy_components)
+
+#: F = -dE/dx including the charge-flux chain rule, via autodiff.
+forces = jax.jit(_forces)
+
+#: (energy, forces) in one fused pass.
+energy_and_forces = jax.jit(_energy_and_forces)
+
+#: Reference-algorithm force path: fixed-charge gradient + explicit
+#: dedq * dqdx chain rule over the analytic sparse Jacobian
+#: (ReferenceCoulKernels.cpp:493-499, calcChargeFlux.cu:291-313).
+#: Mathematically identical to :func:`forces`; kept as the parity oracle for
+#: the reference's algorithm and exercised in tests/test_grad.py.
+forces_manual = jax.jit(_forces_manual)

@@ -1,0 +1,119 @@
+"""Flexible 3-site water systems with charge flux.
+
+System builders for the workload ladder in BASELINE.md (125-water cluster,
+216-water Ewald box, 4k/30k/100k-atom boxes).  These are the "model family"
+of this engine: TIP3P-like base charges and LJ, flexible geometry, and
+charge-flux terms expressed either as per-bond/per-angle fluxes
+(addFluxBond/addFluxAngle) or as the combined CFF 3-site water term
+(addFluxWater) — the three flux term types of the reference API
+(CoulForce.cpp:78-125).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..system import CoulForce
+
+# TIP3P-flavored parameters (charges e, lengths nm, energies kJ/mol).
+Q_O, Q_H = -0.834, 0.417
+SIG_O, EPS_O = 0.31507, 0.6364
+SIG_H, EPS_H = 0.1, 0.0
+R_OH = 0.09572
+ANGLE_HOH = 1.82421813  # 104.52 degrees in radians
+R_HH = 2 * R_OH * np.sin(ANGLE_HOH / 2)
+
+# Charge-flux couplings (e/nm and e/rad) — representative magnitudes.
+K_BOND = 1.2
+K_ANGLE = 0.12
+K1_WATER, K2_WATER, KUB_WATER = 1.0, 0.4, -0.3
+
+WATER_MASSES = (15.999, 1.008, 1.008)
+
+
+def _one_water(center, rng):
+    """O/H1/H2 positions for one water with random orientation and a small
+    geometry perturbation (so flux terms are nonzero)."""
+    # random rotation via QR of a Gaussian matrix
+    m = rng.standard_normal((3, 3))
+    qmat, r = np.linalg.qr(m)
+    qmat *= np.sign(np.diag(r))
+    d1 = R_OH * (1.0 + 0.02 * rng.standard_normal())
+    d2 = R_OH * (1.0 + 0.02 * rng.standard_normal())
+    ang = ANGLE_HOH * (1.0 + 0.02 * rng.standard_normal())
+    h1 = np.array([d1, 0.0, 0.0])
+    h2 = np.array([d2 * np.cos(ang), d2 * np.sin(ang), 0.0])
+    o = np.zeros(3)
+    pts = np.stack([o, h1, h2]) @ qmat.T
+    return pts + center
+
+
+def _build(force: CoulForce, n_waters: int, flux: str):
+    for w in range(n_waters):
+        o = force.addParticle(Q_O, SIG_O, EPS_O)
+        h1 = force.addParticle(Q_H, SIG_H, EPS_H)
+        h2 = force.addParticle(Q_H, SIG_H, EPS_H)
+        force.addException(o, h1)
+        force.addException(o, h2)
+        force.addException(h1, h2)
+        if flux == "bond_angle":
+            force.addFluxBond(o, h1, K_BOND, R_OH)
+            force.addFluxBond(o, h2, K_BOND, R_OH)
+            force.addFluxAngle(h1, o, h2, K_ANGLE, ANGLE_HOH)
+        elif flux == "water":
+            force.addFluxWater(o, h1, h2, K1_WATER, K2_WATER, KUB_WATER,
+                               R_OH, R_HH)
+        elif flux != "none":
+            raise ValueError(f"unknown flux mode {flux!r}")
+
+
+def water_cluster(n_side: int = 5, spacing: float = 0.31, flux: str = "bond_angle",
+                  seed: int = 0, **system_kwargs):
+    """Non-periodic n_side^3-water cluster on a jittered lattice.
+
+    Returns (force, positions [3*n^3, 3], masses [3*n^3]).
+    n_side=5 gives the 125-water cluster of BASELINE.md.
+    """
+    rng = np.random.default_rng(seed)
+    force = CoulForce()
+    n_w = n_side ** 3
+    _build(force, n_w, flux)
+    pos = []
+    for ix in range(n_side):
+        for iy in range(n_side):
+            for iz in range(n_side):
+                center = spacing * np.array([ix, iy, iz], dtype=np.float64)
+                center += 0.02 * rng.standard_normal(3)
+                pos.append(_one_water(center, rng))
+    positions = np.concatenate(pos, axis=0)
+    masses = np.tile(np.array(WATER_MASSES), n_w)
+    return force, positions, masses
+
+
+def water_box(n_side: int = 6, flux: str = "bond_angle", cutoff: float = 0.9,
+              ewald_tol: float = 1e-4, density_spacing: float = 0.3107,
+              seed: int = 0):
+    """Periodic n_side^3-water box at roughly liquid density.
+
+    Returns (force, positions, masses, box [3]).  n_side=6 gives the
+    216-water Ewald box of BASELINE.md; the default spacing reproduces
+    ~997 kg/m^3.
+    """
+    rng = np.random.default_rng(seed)
+    force = CoulForce()
+    force.setUsesPeriodicBoundaryConditions(True)
+    force.setCutoffDistance(cutoff)
+    force.setEwaldErrorTolerance(ewald_tol)
+    n_w = n_side ** 3
+    _build(force, n_w, flux)
+    box = np.full(3, n_side * density_spacing)
+    pos = []
+    for ix in range(n_side):
+        for iy in range(n_side):
+            for iz in range(n_side):
+                center = density_spacing * (np.array([ix, iy, iz]) + 0.5)
+                center += 0.01 * rng.standard_normal(3)
+                pos.append(_one_water(center, rng))
+    positions = np.concatenate(pos, axis=0)
+    masses = np.tile(np.array(WATER_MASSES), n_w)
+    return force, positions, masses, box

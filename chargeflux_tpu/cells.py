@@ -50,6 +50,10 @@ def neighbor_cell_table(grid) -> np.ndarray:
     return np.stack(out, axis=1).astype(np.int32)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(2, 3))
 def build_cell_list(positions: jax.Array, box: jax.Array, grid, capacity: int):
     """Bin atoms into cells.  Returns (slots [n_cells, capacity] int32 with
     sentinel N for empty, overflow count [scalar int32]).

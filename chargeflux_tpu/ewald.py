@@ -55,15 +55,21 @@ def kvector_grid(kmax: Tuple[int, int, int]):
     return nx, ny, nz, w
 
 
-def reciprocal_energy(positions: jax.Array, q: jax.Array, box: jax.Array,
-                      alpha: float, kmax: Tuple[int, int, int]) -> jax.Array:
-    """Reciprocal-space Ewald energy via factorized complex matmuls."""
+def structure_factors(positions: jax.Array, q: jax.Array, box: jax.Array,
+                      kmax: Tuple[int, int, int]):
+    """Structure factors S(k) = sum_i q_i e^{i k.x_i} over the weighted
+    half-space grid, as (s_cos, s_sin) each [Kx*Ky, Kz].
+
+    The atom contraction is a complex matmul — this is the piece that is
+    *additive over atoms*, so a sharded engine computes it on an atom chunk
+    and psums the result (SURVEY §2: replicated-k reciprocal sum with psum of
+    structure factors).
+    """
     dtype = positions.dtype
-    nx, ny, nz, w = kvector_grid(kmax)
+    nx, ny, nz, _ = kvector_grid(kmax)
     nx = jnp.asarray(nx, dtype)
     ny = jnp.asarray(ny, dtype)
     nz = jnp.asarray(nz, dtype)
-    w = jnp.asarray(w, dtype)
 
     # Fractional coordinates wrapped into [0, 1): improves phase accuracy in
     # f32 and leaves the (periodic) energy unchanged; floor has zero grad.
@@ -92,21 +98,37 @@ def reciprocal_energy(positions: jax.Array, q: jax.Array, box: jax.Array,
     dot = partial(jnp.matmul, preferred_element_type=dtype)
     s_cos = dot(cxy.T, cz) - dot(sxy.T, sz)
     s_sin = dot(sxy.T, cz) + dot(cxy.T, sz)
+    return s_cos, s_sin
 
+
+def reciprocal_energy_from_sf(s_cos: jax.Array, s_sin: jax.Array,
+                              box: jax.Array, alpha: float,
+                              kmax: Tuple[int, int, int]) -> jax.Array:
+    """E_rec from assembled structure factors (replicated-k part)."""
+    dtype = s_cos.dtype
+    nx, ny, nz, w = kvector_grid(kmax)
     # k^2 and the Ewald kernel exp(-k^2/(4 alpha^2)) / k^2, origin masked.
     recip = (2.0 * math.pi) / box                       # [3]
-    kx2 = (nx * recip[0]) ** 2                          # [Kx]
-    ky2 = (ny * recip[1]) ** 2
-    kz2 = (nz * recip[2]) ** 2
+    kx2 = (jnp.asarray(nx, dtype) * recip[0]) ** 2      # [Kx]
+    ky2 = (jnp.asarray(ny, dtype) * recip[1]) ** 2
+    kz2 = (jnp.asarray(nz, dtype) * recip[2]) ** 2
     k2 = (kx2[:, None, None] + ky2[None, :, None] + kz2[None, None, :])
+    kxy = len(nx) * len(ny)
     k2 = k2.reshape(kxy, len(nz))
     k2_safe = jnp.where(k2 > 0, k2, 1.0)
     eak = jnp.exp(-k2_safe * (0.25 / (alpha * alpha))) / k2_safe
-    wk = w.reshape(kxy, len(nz)) * eak
+    wk = jnp.asarray(w, dtype).reshape(kxy, len(nz)) * eak
 
     volume = box[0] * box[1] * box[2]
     const = 4.0 * math.pi * ONE_4PI_EPS0 / volume
     return const * jnp.sum(wk * (s_cos * s_cos + s_sin * s_sin))
+
+
+def reciprocal_energy(positions: jax.Array, q: jax.Array, box: jax.Array,
+                      alpha: float, kmax: Tuple[int, int, int]) -> jax.Array:
+    """Reciprocal-space Ewald energy via factorized complex matmuls."""
+    s_cos, s_sin = structure_factors(positions, q, box, kmax)
+    return reciprocal_energy_from_sf(s_cos, s_sin, box, alpha, kmax)
 
 
 def self_energy(q: jax.Array, alpha: float) -> jax.Array:

@@ -1,0 +1,39 @@
+"""Replica-ensemble parallelism (the DP analog for MD).
+
+vmap over a leading replica axis, sharded across a mesh axis with
+jax.sharding — replicas are independent, so XLA partitions them with zero
+communication.  The reference has no equivalent (single context, single
+device); this is the SURVEY §2 "vmap replica ensembles" component.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..energy import _energy
+from ..integrate import MDState, nve_step
+
+
+@jax.jit
+def replica_energy_and_forces(positions_batch, system):
+    """[R, N, 3] -> ([R], [R, N, 3]) batched energies/forces."""
+
+    def ef(x):
+        e, g = jax.value_and_grad(_energy)(x, system)
+        return e, -g
+
+    return jax.vmap(ef, in_axes=(0,))(positions_batch)
+
+
+def shard_replicas(positions_batch, mesh: Mesh, axis_name: str = "replica"):
+    """Place a [R, ...] batch with the replica axis sharded over the mesh."""
+    return jax.device_put(positions_batch,
+                          NamedSharding(mesh, P(axis_name)))
+
+
+def replica_nve_step(states: MDState, system, masses, dt: float) -> MDState:
+    """One NVE step vmapped over a leading replica axis of every MDState
+    leaf.  Jit + sharded inputs => each device integrates its replicas."""
+    return jax.vmap(lambda s: nve_step(s, system, masses, dt))(states)

@@ -1,0 +1,240 @@
+"""Spatial work-sharding over a JAX device mesh.
+
+The reference is single-device: its only multi-GPU artifact is a vestigial
+exclusion-tile range split (CudaCoulKernels.cpp:477-481, SURVEY §2).  This
+module is the first-class TPU replacement: the energy sum is *additive over
+work items* (atom rows / cell rows / k-space structure-factor contributions /
+exclusion pairs), so each device computes a chunk against replicated
+positions and the total is assembled with ``psum`` over ICI.
+
+Design choices (scaling-book style):
+
+* positions/charges are **replicated** (an [N,3] array is tiny even at 1M
+  atoms); the O(N * neighbors) and O(N * K) *work* is what gets sharded.
+  No halo exchange needed at this replication level; collectives are one
+  psum of partial structure factors [KxKy, Kz] and the implicit psum of
+  force partials in the backward pass.
+* forces come from jax.grad *through* shard_map: the transpose of a
+  replicated-in/replicated-out program psums per-device force partials
+  automatically — the hand-written force reduction of a classical MD code
+  falls out of AD.
+* exclusions use the subtract route everywhere (compute all pairs, subtract
+  excluded — the CUDA platform's contract, PBCForce.cu:753-815), which
+  avoids data-dependent masks in the sharded hot loop.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import erfc
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..cells import build_cell_list, neighbor_cell_table
+from ..charges import effective_charges
+from ..energy import _lj_pair_terms
+from ..ewald import reciprocal_energy_from_sf, self_energy, structure_factors
+from ..pairs import displacement
+from ..units import ONE_4PI_EPS0
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _rows_pair_energy(x_rows, gi, positions, q_rows, q, system):
+    """Energy of pairs (i in rows, j in all atoms) with global i<j ordering,
+    *including* excluded pairs (subtract route).  gi: global row indices."""
+    spec = system.spec
+    n = positions.shape[0]
+    d = displacement(x_rows[:, None, :], positions[None, :, :], system.box,
+                     spec.pbc)
+    r2 = jnp.sum(d * d, axis=-1)
+    gj = jnp.arange(n)
+    mask = (gi[:, None] < n) & (gi[:, None] < gj[None, :])
+    if spec.pbc:
+        mask = mask & (r2 < spec.cutoff * spec.cutoff)
+    r2s = jnp.where(mask, r2, 1.0)
+    inv_r = jax.lax.rsqrt(r2s)
+    r = r2s * inv_r
+    qq = q_rows[:, None] * q[None, :]
+    if spec.pbc:
+        coul = ONE_4PI_EPS0 * qq * inv_r * erfc(spec.alpha * r)
+    else:
+        coul = ONE_4PI_EPS0 * qq * inv_r
+    half_sig = 0.5 * (system.sigma[gi % n][:, None] + system.sigma[None, :])
+    eps = 4.0 * jnp.sqrt(system.epsilon[gi % n][:, None] * system.epsilon[None, :])
+    lj = _lj_pair_terms(half_sig, eps, inv_r)
+    return jnp.sum(jnp.where(mask, coul + lj, 0.0))
+
+
+def _excl_chunk_energy(positions, q, system, e_start, e_chunk):
+    """Exclusion corrections for a chunk of the exclusion list (subtract
+    route): remove the short-range term the pair kernel added, and under PBC
+    add the reciprocal-space correction -erf/r (unconditional, CPU
+    semantics)."""
+    spec = system.spec
+    n_excl = system.n_exclusions
+    if n_excl == 0:
+        return jnp.zeros((), positions.dtype)
+    # Pad the exclusion list so every device slices a full chunk.
+    ids = e_start + jnp.arange(e_chunk)
+    valid = ids < n_excl
+    ids = jnp.where(valid, ids, 0)
+    idx_i = system.exclusions[ids, 0]
+    idx_j = system.exclusions[ids, 1]
+    d = displacement(positions[idx_i], positions[idx_j], system.box, spec.pbc)
+    r2 = jnp.sum(d * d, axis=-1)
+    inv_r = jax.lax.rsqrt(r2)
+    r = r2 * inv_r
+    qq = q[idx_i] * q[idx_j]
+    half_sig = 0.5 * (system.sigma[idx_i] + system.sigma[idx_j])
+    eps = 4.0 * jnp.sqrt(system.epsilon[idx_i] * system.epsilon[idx_j])
+    lj = _lj_pair_terms(half_sig, eps, inv_r)
+    if spec.pbc:
+        erfc_ar = erfc(spec.alpha * r)
+        in_cut = r < spec.cutoff
+        e = -ONE_4PI_EPS0 * qq * inv_r * (1.0 - erfc_ar)
+        e = e - jnp.where(in_cut, ONE_4PI_EPS0 * qq * inv_r * erfc_ar + lj, 0.0)
+    else:
+        e = -(ONE_4PI_EPS0 * qq * inv_r + lj)
+    return jnp.sum(jnp.where(valid, e, 0.0))
+
+
+def _cell_rows_energy(positions, q, system, slots, nbr_tbl, c_start, c_chunk):
+    """Direct-space energy for a chunk of cell rows (all 27 neighbor shifts),
+    mirroring cells.cell_list_direct_energy but over [c_start, c_start+c_chunk)
+    i-cells; all ordered pairs counted, halved at the end."""
+    spec = system.spec
+    n = positions.shape[0]
+    dtype = positions.dtype
+    pad = lambda a, fill: jnp.concatenate(
+        [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
+    pos_p = pad(positions, 0.0)
+    q_p = pad(q, 0.0)
+    half_sig_p = pad(0.5 * system.sigma.astype(dtype), 0.0)
+    sqrt_eps_p = pad(2.0 * jnp.sqrt(system.epsilon.astype(dtype)), 0.0)
+
+    my_slots = jax.lax.dynamic_slice_in_dim(slots, c_start, c_chunk, axis=0)
+    my_nbrs = jax.lax.dynamic_slice_in_dim(nbr_tbl, c_start, c_chunk, axis=0)
+
+    pos_i = pos_p[my_slots]
+    q_i = q_p[my_slots]
+    hs_i = half_sig_p[my_slots]
+    se_i = sqrt_eps_p[my_slots]
+    valid_i = my_slots < n
+    cutoff2 = spec.cutoff * spec.cutoff
+    box = system.box
+
+    j_slots_all = jnp.transpose(slots[my_nbrs], (1, 0, 2))  # [27, chunk, cap]
+
+    def shift_energy(carry, j_slot):
+        pos_j = pos_p[j_slot]
+        d = pos_i[:, :, None, :] - pos_j[:, None, :, :]
+        d = d - box * jnp.floor(d / box + 0.5)
+        r2 = jnp.sum(d * d, axis=-1)
+        mask = (valid_i[:, :, None] & (j_slot < n)[:, None, :]
+                & (my_slots[:, :, None] != j_slot[:, None, :])
+                & (r2 < cutoff2))
+        r2s = jnp.where(mask, r2, 1.0)
+        inv_r = jax.lax.rsqrt(r2s)
+        r = r2s * inv_r
+        qq = q_i[:, :, None] * q_p[j_slot][:, None, :]
+        coul = ONE_4PI_EPS0 * qq * inv_r * erfc(spec.alpha * r)
+        sig2 = ((hs_i[:, :, None] + half_sig_p[j_slot][:, None, :]) * inv_r) ** 2
+        sig6 = sig2 * sig2 * sig2
+        lj = (se_i[:, :, None] * sqrt_eps_p[j_slot][:, None, :]) * sig6 * (sig6 - 1.0)
+        return carry + jnp.sum(jnp.where(mask, coul + lj, 0.0)), None
+
+    total, _ = jax.lax.scan(jax.checkpoint(shift_energy),
+                            jnp.zeros((), dtype), j_slots_all)
+    return 0.5 * total
+
+
+def make_sharded_energy_fn(system, mesh: Mesh, axis_name: str = "space"):
+    """Build energy(positions) -> scalar with work sharded over
+    ``mesh[axis_name]``; positions replicated, result replicated.
+
+    Differentiable: jax.grad of the returned function yields forces with
+    per-device partials psummed by the shard_map transpose.
+    """
+    ndev = mesh.shape[axis_name]
+    n = system.n_atoms
+    spec = system.spec
+
+    n_pad = _ceil_to(n, ndev)
+    row_chunk = n_pad // ndev
+    e_chunk = _ceil_to(max(system.n_exclusions, 1), ndev) // ndev
+
+    use_cells = spec.pbc and spec.direct_method == "cell"
+    if use_cells:
+        gx, gy, gz = spec.cell_grid
+        n_cells = gx * gy * gz
+        c_pad = _ceil_to(n_cells, ndev)
+        c_chunk = c_pad // ndev
+        nbr_np = neighbor_cell_table(spec.cell_grid)
+
+    def local_energy(positions):
+        dev = jax.lax.axis_index(axis_name)
+        q = effective_charges(positions, system)  # replicated, cheap
+
+        # --- direct space: chunk of work items per device
+        if use_cells:
+            slots, _ = build_cell_list(positions, system.box, spec.cell_grid,
+                                       spec.cell_capacity)
+            slots_p = jnp.concatenate(
+                [slots, jnp.full((c_pad - n_cells, spec.cell_capacity), n,
+                                 jnp.int32)], axis=0)
+            nbr_tbl = jnp.concatenate(
+                [jnp.asarray(nbr_np),
+                 jnp.zeros((c_pad - n_cells, 27), jnp.int32)], axis=0)
+            e_dir = _cell_rows_energy(positions, q, system, slots_p, nbr_tbl,
+                                      dev * c_chunk, c_chunk)
+        else:
+            x_pad = jnp.concatenate(
+                [positions, jnp.zeros((n_pad - n, 3), positions.dtype)], axis=0)
+            q_pad = jnp.concatenate([q, jnp.zeros(n_pad - n, q.dtype)])
+            gi = dev * row_chunk + jnp.arange(row_chunk)
+            x_rows = jax.lax.dynamic_slice_in_dim(x_pad, dev * row_chunk,
+                                                  row_chunk, axis=0)
+            q_rows = jax.lax.dynamic_slice_in_dim(q_pad, dev * row_chunk,
+                                                  row_chunk, axis=0)
+            e_dir = _rows_pair_energy(x_rows, gi, positions, q_rows, q, system)
+
+        e_excl = _excl_chunk_energy(positions, q, system, dev * e_chunk, e_chunk)
+
+        if not spec.pbc:
+            return jax.lax.psum(e_dir + e_excl, axis_name)
+
+        # --- reciprocal: partial structure factors on an atom chunk, psum
+        x_pad = jnp.concatenate(
+            [positions, jnp.zeros((n_pad - n, 3), positions.dtype)], axis=0)
+        q_pad = jnp.concatenate([q, jnp.zeros(n_pad - n, q.dtype)])
+        xs = jax.lax.dynamic_slice_in_dim(x_pad, dev * row_chunk, row_chunk, 0)
+        qs = jax.lax.dynamic_slice_in_dim(q_pad, dev * row_chunk, row_chunk, 0)
+        sc_part, ss_part = structure_factors(xs, qs, system.box, spec.kmax)
+        sc = jax.lax.psum(sc_part, axis_name)
+        ss = jax.lax.psum(ss_part, axis_name)
+        e_rec = reciprocal_energy_from_sf(sc, ss, system.box, spec.alpha,
+                                          spec.kmax)
+        e_self = self_energy(qs, spec.alpha)
+        return e_rec + jax.lax.psum(e_dir + e_excl + e_self, axis_name)
+
+    sharded = jax.shard_map(local_energy, mesh=mesh, in_specs=P(),
+                            out_specs=P(), check_vma=False)
+    return jax.jit(sharded)
+
+
+def make_sharded_energy_and_forces_fn(system, mesh: Mesh,
+                                      axis_name: str = "space"):
+    """(positions) -> (energy, forces), both replicated, work sharded."""
+    e_fn = make_sharded_energy_fn(system, mesh, axis_name)
+
+    def ef(positions):
+        e, g = jax.value_and_grad(e_fn)(positions)
+        return e, -g
+
+    return jax.jit(ef)

@@ -8,7 +8,7 @@ at reference (CPU double) precision.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +16,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The environment pins JAX_PLATFORMS to the TPU tunnel plugin; the config
+# update (not the env var) reliably forces the CPU backend for tests.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: XLA CPU compiles are the dominant test cost
+# in this environment; cache them across test processes.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,74 @@
+"""Cell-list direct-space sum == dense masked path (SURVEY §7 step 5)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import chargeflux_tpu as cf
+from chargeflux_tpu.cells import build_cell_list, neighbor_cell_table, validate_cell_list
+from chargeflux_tpu.models import water_box
+
+
+def _box_system(method, n_side=4, cutoff=0.62, seed=13):
+    # n_side=4 with spacing 0.3107 -> box 1.24 nm; cutoff 0.31*2 = 3+ cells/axis
+    force, pos, _, box = water_box(n_side=n_side, flux="bond_angle",
+                                   cutoff=cutoff, seed=seed,
+                                   density_spacing=0.62)
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method=method)
+    return system, jnp.asarray(pos)
+
+
+def test_cell_list_binning_covers_all_atoms():
+    system, x = _box_system("cell")
+    slots, overflow = build_cell_list(x, system.box, system.spec.cell_grid,
+                                      system.spec.cell_capacity)
+    assert int(overflow) == 0
+    n = x.shape[0]
+    ids = np.asarray(slots).ravel()
+    real = ids[ids < n]
+    assert len(real) == n
+    assert len(np.unique(real)) == n
+    assert validate_cell_list(x, system) == 0
+
+
+def test_neighbor_table_shape_and_wrap():
+    tbl = neighbor_cell_table((3, 4, 5))
+    assert tbl.shape == (60, 27)
+    # every cell appears in its own neighbor list (the dz=dy=dx=0 entry)
+    assert all(c in tbl[c] for c in range(60))
+
+
+def test_cell_energy_matches_dense():
+    sys_dense, x = _box_system("dense")
+    sys_cell, _ = _box_system("cell")
+    e_dense = float(cf.energy(x, sys_dense))
+    e_cell = float(cf.energy(x, sys_cell))
+    # The two routes regroup direct/exclusion terms of magnitude ~|self|;
+    # agreement is relative to that scale (catastrophic cancellation makes
+    # the tiny total an unusable yardstick).
+    comps = cf.energy_components(x, sys_dense)
+    scale = max(abs(float(v)) for v in comps.values())
+    assert abs(e_cell - e_dense) <= 1e-12 * scale
+
+
+def test_cell_forces_match_dense():
+    sys_dense, x = _box_system("dense")
+    sys_cell, _ = _box_system("cell")
+    f_dense = np.asarray(cf.forces(x, sys_dense))
+    f_cell = np.asarray(cf.forces(x, sys_cell))
+    scale = np.abs(f_dense).max()
+    np.testing.assert_allclose(f_cell / scale, f_dense / scale, atol=1e-12)
+
+
+def test_cell_components_match_dense():
+    sys_dense, x = _box_system("dense")
+    sys_cell, _ = _box_system("cell")
+    cd = cf.energy_components(x, sys_dense)
+    cc = cf.energy_components(x, sys_cell)
+    # direct+exclusion regroup between the two routes; their sum must agree
+    # (the two-routes-one-contract note of SURVEY §5)
+    assert float(cc["direct"] + cc["exclusion"]) == pytest.approx(
+        float(cd["direct"] + cd["exclusion"]), rel=1e-12)
+    assert float(cc["self"]) == pytest.approx(float(cd["self"]), rel=1e-14)
+    assert float(cc["reciprocal"]) == pytest.approx(float(cd["reciprocal"]), rel=1e-14)

@@ -18,7 +18,8 @@ from .energy import (
     forces,
     forces_manual,
 )
-from .integrate import nve_step, nve_trajectory
+from .bonded import BondedParams, bonded_energy
+from .integrate import make_energy_fn, nve_step, nve_trajectory
 from .units import ONE_4PI_EPS0, BOLTZ
 
 __version__ = "0.1.0"
@@ -29,6 +30,7 @@ __all__ = [
     "effective_charges", "charge_jacobian_values", "jacobian_index_layout",
     "energy", "energy_and_forces", "energy_components", "energy_fixed_charges",
     "forces", "forces_manual",
-    "nve_step", "nve_trajectory",
+    "BondedParams", "bonded_energy",
+    "make_energy_fn", "nve_step", "nve_trajectory",
     "ONE_4PI_EPS0", "BOLTZ",
 ]

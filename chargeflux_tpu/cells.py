@@ -1,41 +1,54 @@
-"""Fixed-capacity cell list for the periodic direct-space sum.
+"""Fixed-capacity cell list for the periodic direct-space sum — TPU-first.
 
 Replaces the reference's runtime neighbor-list services — the CPU voxel hash
 rebuilt every step (ReferenceCoulKernels.cpp:559) and OpenMM's CUDA
 tile/interacting-blocks machinery (CudaCoulKernels.cpp:422;
 PBCForce.cu:86-751) — with a TPU-native scheme:
 
-* static cell grid (>= 3 cells per axis, cell edge >= cutoff), chosen at
-  build time and baked into the trace (system.spec.cell_grid/capacity);
+* static cell grid (>= 3 cells per axis, cell edge >= cutoff) baked into the
+  trace (system.spec.cell_grid/capacity);
 * atoms binned by sort + rank, scattered into a dense [n_cells, capacity]
-  slot array (sentinel = N for empty slots) — all static shapes, no host
-  round-trips, rebuilt every step *inside* the jit program (rebuild is a
-  sort + scatter, cheap on TPU, and sidesteps the skin/reuse logic the
-  reference also lacks);
-* the pair sum runs as a lax.scan over the 27 neighbor-cell shifts, each step
-  an [n_cells, cap, cap] dense masked block — VPU-friendly regular compute.
+  slot array (sentinel = N for empty slots) — static shapes, rebuilt every
+  step *inside* the jit program (a sort + scatter is cheap on TPU);
+* **half-shell** traversal: the self shift with i<j plus 13 lexicographically
+  positive neighbor shifts — every pair visited exactly once (the TPU analog
+  of the CUDA warp-tile diagonal scheme, PBCForce.cu:24-62);
+* **matmul distances**: positions are wrapped into the box, and for each
+  (cell, shift) the periodic image offset is a *static* table entry, so the
+  minimum image needs no per-pair floor().  With cell-centered coordinates,
+  r^2 = |xi|^2 + |xj|^2 - 2 xi.xj — the cross term is a batched [cap,3]x
+  [3,cap] matmul on the MXU and no [.,.,.,3] delta tensor is materialized;
+* erfc via the fast f32 polynomial (ops/erfc.py) on the production path.
 
 Like the CUDA path (USE_EXCLUSIONS disabled, CudaCoulKernels.cpp:484), the
 kernel computes erfc+LJ for *all* in-range pairs including excluded ones;
 energy.py's exclusion correction subtracts them to land on the contract.
-
-All pairs are visited from both sides and the energy halved — identical flop
-count to a half-shell with simpler masking; forces come from jax.grad.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import erfc
 
+from .ops.erfc import erfc_fast
 from .units import ONE_4PI_EPS0
+
+# Half-shell shift set: (0,0,0) self + 13 lexicographically positive shifts.
+HALF_SHELL = [(0, 0, 0)] + [
+    (dx, dy, dz)
+    for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+    if (dx, dy, dz) > (0, 0, 0)
+]
+assert len(HALF_SHELL) == 14
 
 
 def neighbor_cell_table(grid) -> np.ndarray:
-    """Static [n_cells, 27] table of wrapped neighbor cell ids."""
+    """Static [n_cells, 27] table of wrapped neighbor cell ids (full shell;
+    used by tests and diagnostics)."""
     gx, gy, gz = grid
     ids = np.arange(gx * gy * gz)
     cx, cy, cz = ids // (gy * gz), (ids // gz) % gy, ids % gz
@@ -43,14 +56,28 @@ def neighbor_cell_table(grid) -> np.ndarray:
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
             for dz in (-1, 0, 1):
-                nx = (cx + dx) % gx
-                ny = (cy + dy) % gy
-                nz = (cz + dz) % gz
-                out.append((nx * gy + ny) * gz + nz)
+                out.append((((cx + dx) % gx) * gy + (cy + dy) % gy) * gz
+                           + (cz + dz) % gz)
     return np.stack(out, axis=1).astype(np.int32)
 
 
-from functools import partial
+def half_shell_tables(grid):
+    """Static tables for the half-shell traversal.
+
+    Returns (nbr_ids [C, 14] int32, image_offsets [C, 14, 3] int8): for cell
+    c and shift s, the neighbor cell id and the periodic image offset (in box
+    units) of that neighbor relative to c.  Shift 0 is the self cell.
+    """
+    gx, gy, gz = grid
+    ids = np.arange(gx * gy * gz)
+    cx, cy, cz = ids // (gy * gz), (ids // gz) % gy, ids % gz
+    nbr, off = [], []
+    for (dx, dy, dz) in HALF_SHELL:
+        nx, ny, nz = cx + dx, cy + dy, cz + dz
+        nbr.append(((nx % gx) * gy + ny % gy) * gz + nz % gz)
+        off.append(np.stack([nx // gx, ny // gy, nz // gz], axis=-1))
+    return (np.stack(nbr, axis=1).astype(np.int32),
+            np.stack(off, axis=1).astype(np.int8))
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -58,9 +85,8 @@ def build_cell_list(positions: jax.Array, box: jax.Array, grid, capacity: int):
     """Bin atoms into cells.  Returns (slots [n_cells, capacity] int32 with
     sentinel N for empty, overflow count [scalar int32]).
 
-    Overflow (more atoms in a cell than capacity) drops atoms from the
-    list; callers must check the returned count (see
-    :func:`validate_cell_list`).
+    Overflow (more atoms in a cell than capacity) drops atoms; callers must
+    check the returned count (see :func:`validate_cell_list`).
     """
     n = positions.shape[0]
     gvec = jnp.asarray(np.asarray(grid), dtype=positions.dtype)
@@ -73,7 +99,6 @@ def build_cell_list(positions: jax.Array, box: jax.Array, grid, capacity: int):
 
     order = jnp.argsort(cell_id)
     sorted_cid = cell_id[order]
-    # rank of each atom within its cell = position - first index of that cell
     first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
     rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
     ok = rank < capacity
@@ -81,7 +106,6 @@ def build_cell_list(positions: jax.Array, box: jax.Array, grid, capacity: int):
     n_cells = gx * gy * gz
     flat_slot = sorted_cid * capacity + rank
     slots = jnp.full((n_cells * capacity,), n, dtype=jnp.int32)
-    # Overflowing atoms get an out-of-range index and are dropped.
     slots = slots.at[jnp.where(ok, flat_slot, n_cells * capacity)].set(
         order.astype(jnp.int32), mode="drop")
     overflow = jnp.sum(~ok).astype(jnp.int32)
@@ -97,58 +121,120 @@ def validate_cell_list(positions, system) -> int:
     return int(overflow)
 
 
+def _pair_block_energy(pos_i, ni, q_i, hs_i, se_i, mask_i,
+                       pos_j, q_j, hs_j, se_j, mask_j,
+                       alpha, cutoff2, extra_mask=None):
+    """Masked pair energy between an i-block [C, cap, 3] and a j-block
+    [C, cap, 3] of cell-centered coordinates.
+
+    r^2 is accumulated per component as broadcast VPU arithmetic — a K=3
+    contraction would waste the 128-wide MXU, and componentwise XLA fuses the
+    subtract/square/add chain without materializing a [C, cap, cap, 3]
+    tensor.  (ni is accepted for API symmetry but recomputed implicitly.)"""
+    del ni
+    r2 = 0.0
+    for k in range(3):
+        dk = pos_i[:, :, None, k] - pos_j[:, None, :, k]
+        r2 = r2 + dk * dk
+    mask = mask_i[:, :, None] & mask_j[:, None, :] & (r2 < cutoff2)
+    if extra_mask is not None:
+        mask = mask & extra_mask
+    r2s = jnp.where(mask, r2, 1.0)
+    inv_r = jax.lax.rsqrt(r2s)
+    r = r2s * inv_r
+    qq = q_i[:, :, None] * q_j[:, None, :]
+    coul = ONE_4PI_EPS0 * qq * inv_r * erfc_fast(alpha * r)
+    sig2 = ((hs_i[:, :, None] + hs_j[:, None, :]) * inv_r) ** 2
+    sig6 = sig2 * sig2 * sig2
+    lj = (se_i[:, :, None] * se_j[:, None, :]) * sig6 * (sig6 - 1.0)
+    return jnp.sum(jnp.where(mask, coul + lj, 0.0))
+
+
+def cell_rows_direct_energy(positions, q, system, slots, nbr_ids, offsets,
+                            row_start, n_rows):
+    """Direct-space energy for cell rows [row_start, row_start + n_rows).
+
+    ``slots`` is the full [C, cap] binning (neighbor lookups need all cells);
+    ``nbr_ids``/``offsets`` are the (possibly padded) half-shell tables as
+    jnp arrays [C_pad, 14] / [C_pad, 14, 3]; ``row_start`` may be traced
+    (sharded chunking), ``n_rows`` must be static.
+    """
+    spec = system.spec
+    n = positions.shape[0]
+    dtype = positions.dtype
+    box = system.box
+    grid = np.asarray(spec.cell_grid)
+
+    # Wrap once; per-(cell,shift) image offsets handle the rest statically.
+    pos_w = positions - box * jnp.floor(positions / box)
+
+    pad = lambda a, fill: jnp.concatenate(
+        [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
+    pos_p = pad(pos_w, 0.0)
+    q_p = pad(q, 0.0)
+    hs_p = pad(0.5 * system.sigma.astype(dtype), 0.0)
+    se_p = pad(2.0 * jnp.sqrt(system.epsilon.astype(dtype)), 0.0)
+
+    # Cell centers of the *row* cells, for f32-friendly centered coordinates.
+    c_pad = nbr_ids.shape[0]
+    ids = np.arange(c_pad)
+    coords = np.stack([np.minimum(ids // (grid[1] * grid[2]), grid[0] - 1),
+                       (ids // grid[2]) % grid[1],
+                       ids % grid[2]], axis=-1)
+    centers_all = (jnp.asarray(coords, dtype) + 0.5) * (box / jnp.asarray(grid, dtype))
+
+    my_slots = jax.lax.dynamic_slice_in_dim(
+        jnp.concatenate([slots, jnp.full((c_pad - slots.shape[0],
+                                          slots.shape[1]), n, jnp.int32)],
+                        axis=0) if c_pad > slots.shape[0] else slots,
+        row_start, n_rows, axis=0)
+    my_nbrs = jax.lax.dynamic_slice_in_dim(nbr_ids, row_start, n_rows, axis=0)
+    my_offs = jax.lax.dynamic_slice_in_dim(offsets, row_start, n_rows, axis=0)
+    centers = jax.lax.dynamic_slice_in_dim(centers_all, row_start, n_rows, axis=0)
+
+    pos_i = pos_p[my_slots] - centers[:, None, :]
+    ni = jnp.sum(pos_i * pos_i, axis=-1)
+    q_i = q_p[my_slots]
+    hs_i = hs_p[my_slots]
+    se_i = se_p[my_slots]
+    mask_i = my_slots < n
+
+    alpha = spec.alpha
+    cutoff2 = spec.cutoff * spec.cutoff
+
+    # --- self cell (shift 0): i < j by global atom id, no image offset.
+    same = my_slots[:, :, None] < my_slots[:, None, :]
+    e_self_cells = _pair_block_energy(
+        pos_i, ni, q_i, hs_i, se_i, mask_i,
+        pos_i, q_i, hs_i, se_i, mask_i,
+        alpha, cutoff2, extra_mask=same)
+
+    # --- 13 half-shell neighbor shifts: all (i, j) ordered pairs once.
+    offs_f = my_offs.astype(dtype)                      # [rows, 14, 3]
+
+    def shift_energy(carry, s_idx):
+        j_cell = my_nbrs[:, s_idx]                      # [rows]
+        j_slot = slots[j_cell]                          # [rows, cap]
+        shift = offs_f[:, s_idx, :] * box               # [rows, 3]
+        pos_j = pos_p[j_slot] + shift[:, None, :] - centers[:, None, :]
+        e = _pair_block_energy(
+            pos_i, ni, q_i, hs_i, se_i, mask_i,
+            pos_j, q_p[j_slot], hs_p[j_slot], se_p[j_slot], j_slot < n,
+            alpha, cutoff2)
+        return carry + e, None
+
+    total, _ = jax.lax.scan(jax.checkpoint(shift_energy), e_self_cells,
+                            jnp.arange(1, 14))
+    return total
+
+
 def cell_list_direct_energy(positions: jax.Array, q: jax.Array, system) -> jax.Array:
     """Direct-space erfc Coulomb + LJ over all in-cutoff pairs (excluded
     pairs included; corrected by energy.py)."""
     spec = system.spec
-    grid, cap = spec.cell_grid, spec.cell_capacity
-    n = positions.shape[0]
-    dtype = positions.dtype
-
-    slots, _ = build_cell_list(positions, system.box, grid, cap)
-    nbr_table = jnp.asarray(neighbor_cell_table(grid))        # [C, 27]
-
-    # Per-slot gathered atom data; sentinel rows read index n via padding.
-    pad = lambda a, fill: jnp.concatenate(
-        [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
-    pos_p = pad(positions, 0.0)
-    q_p = pad(q, 0.0)
-    half_sig_p = pad(0.5 * system.sigma.astype(dtype), 0.0)
-    sqrt_eps_p = pad(2.0 * jnp.sqrt(system.epsilon.astype(dtype)), 0.0)
-
-    pos_i = pos_p[slots]                                      # [C, cap, 3]
-    q_i = q_p[slots]
-    hs_i = half_sig_p[slots]
-    se_i = sqrt_eps_p[slots]
-    valid_i = slots < n
-
-    cutoff2 = spec.cutoff * spec.cutoff
-    alpha = spec.alpha
-    box = system.box
-
-    # j-side slot ids per neighbor shift: [27, C, cap]
-    j_slots = jnp.transpose(slots[nbr_table], (1, 0, 2))
-
-    def shift_energy(carry, j_slot):
-        # j_slot: [C, cap] atom ids of one neighbor shift
-        pos_j = pos_p[j_slot]                                 # [C, cap, 3]
-        d = pos_i[:, :, None, :] - pos_j[:, None, :, :]       # [C, cap, cap, 3]
-        d = d - box * jnp.floor(d / box + 0.5)
-        r2 = jnp.sum(d * d, axis=-1)
-        mask = (valid_i[:, :, None] & (j_slot < n)[:, None, :]
-                & (slots[:, :, None] != j_slot[:, None, :])
-                & (r2 < cutoff2))
-        r2s = jnp.where(mask, r2, 1.0)
-        inv_r = jax.lax.rsqrt(r2s)
-        r = r2s * inv_r
-        qq = q_i[:, :, None] * q_p[j_slot][:, None, :]
-        coul = ONE_4PI_EPS0 * qq * inv_r * erfc(alpha * r)
-        sig2 = ((hs_i[:, :, None] + half_sig_p[j_slot][:, None, :]) * inv_r) ** 2
-        sig6 = sig2 * sig2 * sig2
-        lj = (se_i[:, :, None] * sqrt_eps_p[j_slot][:, None, :]) * sig6 * (sig6 - 1.0)
-        e = jnp.sum(jnp.where(mask, coul + lj, 0.0))
-        return carry + e, None
-
-    total, _ = jax.lax.scan(jax.checkpoint(shift_energy), jnp.zeros((), dtype),
-                            j_slots)
-    return 0.5 * total
+    slots, _ = build_cell_list(positions, system.box, spec.cell_grid,
+                               spec.cell_capacity)
+    nbr_np, off_np = half_shell_tables(spec.cell_grid)
+    return cell_rows_direct_energy(positions, q, system, slots,
+                                   jnp.asarray(nbr_np), jnp.asarray(off_np),
+                                   0, nbr_np.shape[0])

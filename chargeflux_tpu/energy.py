@@ -27,11 +27,11 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import erfc
 
 from . import cells
 from .charges import apply_chain_rule, effective_charges
 from .ewald import reciprocal_energy, self_energy
+from .ops.erfc import erfc_fast
 from .pairs import displacement, pair_matrix_mask
 from .system import ChargeFluxSystem
 from .units import ONE_4PI_EPS0
@@ -64,7 +64,7 @@ def _dense_pair_energy(positions, q, system: ChargeFluxSystem):
 
     noPBC: full 1/r Coulomb + LJ over all non-excluded pairs (no cutoff),
     matching ReferenceCoulKernels.cpp:438-462.
-    PBC:   erfc(alpha r)/r Coulomb + LJ over non-excluded pairs within the
+    PBC:   erfc_fast(alpha r)/r Coulomb + LJ over non-excluded pairs within the
     cutoff, matching the direct-space sum :562-593.
     """
     spec = system.spec
@@ -82,7 +82,7 @@ def _dense_pair_energy(positions, q, system: ChargeFluxSystem):
 
     qq = q[:, None] * q[None, :]
     if spec.pbc:
-        coul = ONE_4PI_EPS0 * qq * inv_r * erfc(spec.alpha * r)
+        coul = ONE_4PI_EPS0 * qq * inv_r * erfc_fast(spec.alpha * r)
     else:
         coul = ONE_4PI_EPS0 * qq * inv_r
 
@@ -110,7 +110,7 @@ def _exclusion_correction(positions, q, system: ChargeFluxSystem,
     idx_j = system.exclusions[:, 1]
     _, r, inv_r, half_sig, eps = _pair_quantities(positions, system, idx_i, idx_j)
     qq = q[idx_i] * q[idx_j]
-    erfc_ar = erfc(spec.alpha * r)
+    erfc_ar = erfc_fast(spec.alpha * r)
     e = -ONE_4PI_EPS0 * qq * inv_r * (1.0 - erfc_ar)         # -erf(ar)/r
     if subtract_direct:
         in_cut = r < spec.cutoff

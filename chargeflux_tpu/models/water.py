@@ -30,6 +30,10 @@ K1_WATER, K2_WATER, KUB_WATER = 1.0, 0.4, -0.3
 
 WATER_MASSES = (15.999, 1.008, 1.008)
 
+# SPC/Fw-like flexible-water bonded constants (kJ/mol/nm^2, kJ/mol/rad^2).
+KB_OH = 443153.0
+KA_HOH = 317.6
+
 
 def _one_water(center, rng):
     """O/H1/H2 positions for one water with random orientation and a small
@@ -65,6 +69,34 @@ def _build(force: CoulForce, n_waters: int, flux: str):
                                R_OH, R_HH)
         elif flux != "none":
             raise ValueError(f"unknown flux mode {flux!r}")
+
+
+def water_bonded_params(n_waters: int, box=None, dtype=None):
+    """SPC/Fw-style harmonic bonds/angles holding each water together —
+    the bonded terms OpenMM's host framework would supply around the
+    reference plugin.  Returns a BondedParams pytree."""
+    import jax.numpy as jnp
+
+    from ..bonded import BondedParams
+
+    if dtype is None:
+        dtype = jnp.float32
+    base = 3 * np.arange(n_waters)[:, None]
+    bond_idx = np.concatenate([base + [0, 1], base + [0, 2]], axis=0)
+    angle_idx = base + [1, 0, 2]
+    n_b, n_a = 2 * n_waters, n_waters
+    pbc = box is not None
+    box_arr = np.asarray(box, dtype=np.float64) if pbc else np.zeros(3)
+    return BondedParams(
+        bond_idx=jnp.asarray(bond_idx, jnp.int32),
+        bond_k=jnp.full(n_b, KB_OH, dtype),
+        bond_r0=jnp.full(n_b, R_OH, dtype),
+        angle_idx=jnp.asarray(angle_idx, jnp.int32),
+        angle_k=jnp.full(n_a, KA_HOH, dtype),
+        angle_theta0=jnp.full(n_a, ANGLE_HOH, dtype),
+        box=jnp.asarray(box_arr, dtype),
+        pbc=pbc,
+    )
 
 
 def water_cluster(n_side: int = 5, spacing: float = 0.31, flux: str = "bond_angle",

@@ -33,7 +33,7 @@ def shard_replicas(positions_batch, mesh: Mesh, axis_name: str = "replica"):
                           NamedSharding(mesh, P(axis_name)))
 
 
-def replica_nve_step(states: MDState, system, masses, dt: float) -> MDState:
+def replica_nve_step(states: MDState, energy_fn, masses, dt: float) -> MDState:
     """One NVE step vmapped over a leading replica axis of every MDState
     leaf.  Jit + sharded inputs => each device integrates its replicas."""
-    return jax.vmap(lambda s: nve_step(s, system, masses, dt))(states)
+    return jax.vmap(lambda s: nve_step(s, energy_fn, masses, dt))(states)

@@ -28,15 +28,17 @@ from __future__ import annotations
 import math
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import erfc
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..cells import build_cell_list, neighbor_cell_table
+from ..cells import build_cell_list, cell_rows_direct_energy, half_shell_tables
 from ..charges import effective_charges
 from ..energy import _lj_pair_terms
 from ..ewald import reciprocal_energy_from_sf, self_energy, structure_factors
+from ..ops.erfc import erfc_fast
 from ..pairs import displacement
 from ..units import ONE_4PI_EPS0
 
@@ -62,7 +64,7 @@ def _rows_pair_energy(x_rows, gi, positions, q_rows, q, system):
     r = r2s * inv_r
     qq = q_rows[:, None] * q[None, :]
     if spec.pbc:
-        coul = ONE_4PI_EPS0 * qq * inv_r * erfc(spec.alpha * r)
+        coul = ONE_4PI_EPS0 * qq * inv_r * erfc_fast(spec.alpha * r)
     else:
         coul = ONE_4PI_EPS0 * qq * inv_r
     half_sig = 0.5 * (system.sigma[gi % n][:, None] + system.sigma[None, :])
@@ -95,63 +97,13 @@ def _excl_chunk_energy(positions, q, system, e_start, e_chunk):
     eps = 4.0 * jnp.sqrt(system.epsilon[idx_i] * system.epsilon[idx_j])
     lj = _lj_pair_terms(half_sig, eps, inv_r)
     if spec.pbc:
-        erfc_ar = erfc(spec.alpha * r)
+        erfc_ar = erfc_fast(spec.alpha * r)
         in_cut = r < spec.cutoff
         e = -ONE_4PI_EPS0 * qq * inv_r * (1.0 - erfc_ar)
         e = e - jnp.where(in_cut, ONE_4PI_EPS0 * qq * inv_r * erfc_ar + lj, 0.0)
     else:
         e = -(ONE_4PI_EPS0 * qq * inv_r + lj)
     return jnp.sum(jnp.where(valid, e, 0.0))
-
-
-def _cell_rows_energy(positions, q, system, slots, nbr_tbl, c_start, c_chunk):
-    """Direct-space energy for a chunk of cell rows (all 27 neighbor shifts),
-    mirroring cells.cell_list_direct_energy but over [c_start, c_start+c_chunk)
-    i-cells; all ordered pairs counted, halved at the end."""
-    spec = system.spec
-    n = positions.shape[0]
-    dtype = positions.dtype
-    pad = lambda a, fill: jnp.concatenate(
-        [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
-    pos_p = pad(positions, 0.0)
-    q_p = pad(q, 0.0)
-    half_sig_p = pad(0.5 * system.sigma.astype(dtype), 0.0)
-    sqrt_eps_p = pad(2.0 * jnp.sqrt(system.epsilon.astype(dtype)), 0.0)
-
-    my_slots = jax.lax.dynamic_slice_in_dim(slots, c_start, c_chunk, axis=0)
-    my_nbrs = jax.lax.dynamic_slice_in_dim(nbr_tbl, c_start, c_chunk, axis=0)
-
-    pos_i = pos_p[my_slots]
-    q_i = q_p[my_slots]
-    hs_i = half_sig_p[my_slots]
-    se_i = sqrt_eps_p[my_slots]
-    valid_i = my_slots < n
-    cutoff2 = spec.cutoff * spec.cutoff
-    box = system.box
-
-    j_slots_all = jnp.transpose(slots[my_nbrs], (1, 0, 2))  # [27, chunk, cap]
-
-    def shift_energy(carry, j_slot):
-        pos_j = pos_p[j_slot]
-        d = pos_i[:, :, None, :] - pos_j[:, None, :, :]
-        d = d - box * jnp.floor(d / box + 0.5)
-        r2 = jnp.sum(d * d, axis=-1)
-        mask = (valid_i[:, :, None] & (j_slot < n)[:, None, :]
-                & (my_slots[:, :, None] != j_slot[:, None, :])
-                & (r2 < cutoff2))
-        r2s = jnp.where(mask, r2, 1.0)
-        inv_r = jax.lax.rsqrt(r2s)
-        r = r2s * inv_r
-        qq = q_i[:, :, None] * q_p[j_slot][:, None, :]
-        coul = ONE_4PI_EPS0 * qq * inv_r * erfc(spec.alpha * r)
-        sig2 = ((hs_i[:, :, None] + half_sig_p[j_slot][:, None, :]) * inv_r) ** 2
-        sig6 = sig2 * sig2 * sig2
-        lj = (se_i[:, :, None] * sqrt_eps_p[j_slot][:, None, :]) * sig6 * (sig6 - 1.0)
-        return carry + jnp.sum(jnp.where(mask, coul + lj, 0.0)), None
-
-    total, _ = jax.lax.scan(jax.checkpoint(shift_energy),
-                            jnp.zeros((), dtype), j_slots_all)
-    return 0.5 * total
 
 
 def make_sharded_energy_fn(system, mesh: Mesh, axis_name: str = "space"):
@@ -161,7 +113,16 @@ def make_sharded_energy_fn(system, mesh: Mesh, axis_name: str = "space"):
     Differentiable: jax.grad of the returned function yields forces with
     per-device partials psummed by the shard_map transpose.
     """
-    ndev = mesh.shape[axis_name]
+    local_energy = _local_energy_builder(system, axis_name,
+                                         mesh.shape[axis_name])
+    sharded = jax.shard_map(local_energy, mesh=mesh, in_specs=P(),
+                            out_specs=P(), check_vma=False)
+    return jax.jit(sharded)
+
+
+def _local_energy_builder(system, axis_name: str, ndev: int):
+    """Per-device energy program: replicated positions in, replicated scalar
+    out, work chunked by lax.axis_index(axis_name) with psum assembly."""
     n = system.n_atoms
     spec = system.spec
 
@@ -175,7 +136,13 @@ def make_sharded_energy_fn(system, mesh: Mesh, axis_name: str = "space"):
         n_cells = gx * gy * gz
         c_pad = _ceil_to(n_cells, ndev)
         c_chunk = c_pad // ndev
-        nbr_np = neighbor_cell_table(spec.cell_grid)
+        nbr_np, off_np = half_shell_tables(spec.cell_grid)
+        # Pad row-side tables so every device slices a full chunk; padded
+        # rows have sentinel-only slots and contribute nothing.
+        nbr_np = np.concatenate(
+            [nbr_np, np.zeros((c_pad - n_cells, 14), np.int32)], axis=0)
+        off_np = np.concatenate(
+            [off_np, np.zeros((c_pad - n_cells, 14, 3), np.int8)], axis=0)
 
     def local_energy(positions):
         dev = jax.lax.axis_index(axis_name)
@@ -185,14 +152,10 @@ def make_sharded_energy_fn(system, mesh: Mesh, axis_name: str = "space"):
         if use_cells:
             slots, _ = build_cell_list(positions, system.box, spec.cell_grid,
                                        spec.cell_capacity)
-            slots_p = jnp.concatenate(
-                [slots, jnp.full((c_pad - n_cells, spec.cell_capacity), n,
-                                 jnp.int32)], axis=0)
-            nbr_tbl = jnp.concatenate(
-                [jnp.asarray(nbr_np),
-                 jnp.zeros((c_pad - n_cells, 27), jnp.int32)], axis=0)
-            e_dir = _cell_rows_energy(positions, q, system, slots_p, nbr_tbl,
-                                      dev * c_chunk, c_chunk)
+            e_dir = cell_rows_direct_energy(positions, q, system, slots,
+                                            jnp.asarray(nbr_np),
+                                            jnp.asarray(off_np),
+                                            dev * c_chunk, c_chunk)
         else:
             x_pad = jnp.concatenate(
                 [positions, jnp.zeros((n_pad - n, 3), positions.dtype)], axis=0)
@@ -223,9 +186,7 @@ def make_sharded_energy_fn(system, mesh: Mesh, axis_name: str = "space"):
         e_self = self_energy(qs, spec.alpha)
         return e_rec + jax.lax.psum(e_dir + e_excl + e_self, axis_name)
 
-    sharded = jax.shard_map(local_energy, mesh=mesh, in_specs=P(),
-                            out_specs=P(), check_vma=False)
-    return jax.jit(sharded)
+    return local_energy
 
 
 def make_sharded_energy_and_forces_fn(system, mesh: Mesh,
@@ -238,3 +199,28 @@ def make_sharded_energy_and_forces_fn(system, mesh: Mesh,
         return e, -g
 
     return jax.jit(ef)
+
+
+def make_replica_sharded_energy_fn(system, mesh: Mesh,
+                                   replica_axis: str = "replica",
+                                   space_axis: str = "space"):
+    """2D-mesh engine: replicas data-parallel over ``replica_axis``, each
+    replica's work sharded over ``space_axis``.
+
+    Returns energy_batch(positions [R, N, 3]) -> [R], with R divisible by
+    mesh.shape[replica_axis].  This is the DP x spatial composition — the MD
+    analog of dp x tp in an ML framework.
+    """
+    inner = _local_energy_builder(system, space_axis,
+                                  mesh.shape[space_axis])
+
+    def local_batch(positions_chunk):          # [R_local, N, 3] on device
+        return jax.vmap(inner)(positions_chunk)
+
+    sharded = jax.shard_map(
+        local_batch, mesh=mesh,
+        in_specs=P(replica_axis),
+        out_specs=P(replica_axis),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

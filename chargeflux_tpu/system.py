@@ -351,9 +351,11 @@ class CoulForce:
                 if cell_capacity is None:
                     n_total_cells = ncells[0] * ncells[1] * ncells[2]
                     avg = n / n_total_cells
-                    # Headroom for density fluctuations; padded to a multiple
-                    # of 8 (f32 sublane) for TPU layout friendliness.
-                    capacity = int(np.ceil(max(avg * 2.0, avg + 6 * math.sqrt(max(avg, 1.0)), 8.0)))
+                    # ~4-sigma Poisson headroom for density fluctuations;
+                    # padded to a multiple of 8 (f32 sublane).  Utilization is
+                    # quadratic in capacity, so keep the margin tight; overflow
+                    # is detectable via cells.validate_cell_list.
+                    capacity = int(np.ceil(max(avg + 4 * math.sqrt(max(avg, 1.0)) + 4, 8.0)))
                     capacity = ((capacity + 7) // 8) * 8
                 else:
                     capacity = int(cell_capacity)

@@ -73,6 +73,27 @@ def test_sharded_uneven_work_division():
     assert abs(e_sh - e_ref) <= 1e-12 * scale
 
 
+def test_2d_mesh_replica_times_space():
+    """DP x spatial composition on a (replica=2, space=4) mesh: batched
+    energies must match the single-device engine per replica."""
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("replica", "space"))
+    force, pos, _, box = water_box(n_side=2, flux="bond_angle", seed=36)
+    system = force.create_system(box=box, dtype=jnp.float64)
+    from chargeflux_tpu.parallel import make_replica_sharded_energy_fn
+
+    e_batch_fn = make_replica_sharded_energy_fn(system, mesh)
+    rng = np.random.default_rng(1)
+    batch = jnp.asarray(np.stack([pos + 0.01 * rng.standard_normal(pos.shape)
+                                  for _ in range(4)]))
+    es = e_batch_fn(batch)
+    comps = cf.energy_components(batch[0], system)
+    scale = max(max(abs(float(v)) for v in comps.values()), 1.0)
+    for r in range(4):
+        e_ref = float(cf.energy(batch[r], system))
+        assert abs(float(es[r]) - e_ref) <= 1e-12 * scale, r
+
+
 def test_replica_ensemble_matches_loop():
     mesh = _mesh(name="replica")
     force, pos, _ = water_cluster(n_side=2, flux="bond_angle", seed=35)

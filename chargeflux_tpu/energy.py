@@ -132,7 +132,13 @@ def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
     comps["self"] = self_energy(q, spec.alpha)
     comps["reciprocal"] = reciprocal_energy(positions, q, system.box,
                                             spec.alpha, spec.kmax)
-    if spec.direct_method == "cell":
+    if spec.direct_method == "cell_pallas":
+        from .ops.pallas_direct import make_pallas_direct
+
+        comps["direct"] = make_pallas_direct(system)(positions, q)
+        comps["exclusion"] = _exclusion_correction(positions, q, system,
+                                                   subtract_direct=True)
+    elif spec.direct_method == "cell":
         comps["direct"] = cells.cell_list_direct_energy(positions, q, system)
         comps["exclusion"] = _exclusion_correction(positions, q, system,
                                                    subtract_direct=True)

@@ -342,7 +342,7 @@ class CoulForce:
             cell_ok = all(c >= 3 for c in ncells)
             if method == "auto":
                 method = "cell" if (cell_ok and n > 2048) else "dense"
-            if method == "cell":
+            if method in ("cell", "cell_pallas"):
                 if not cell_ok:
                     raise ValueError(
                         f"box {tuple(box_arr)} too small for a cell list at "
@@ -357,6 +357,13 @@ class CoulForce:
                     # is detectable via cells.validate_cell_list.
                     capacity = int(np.ceil(max(avg + 4 * math.sqrt(max(avg, 1.0)) + 4, 8.0)))
                     capacity = ((capacity + 7) // 8) * 8
+                    # Snap to a lane-width multiple when close: [cap, cap]
+                    # pair blocks tile the 128-wide VPU exactly, and the
+                    # snapped value still keeps >=3-sigma headroom.
+                    snapped = round(capacity / 128) * 128
+                    if snapped > 0 and abs(snapped - capacity) <= 16 and \
+                            snapped >= avg + 3 * math.sqrt(max(avg, 1.0)):
+                        capacity = snapped
                 else:
                     capacity = int(cell_capacity)
 

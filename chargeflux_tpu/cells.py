@@ -228,13 +228,101 @@ def cell_rows_direct_energy(positions, q, system, slots, nbr_ids, offsets,
     return total
 
 
+def cell_roll_direct_energy(positions: jax.Array, q: jax.Array, system) -> jax.Array:
+    """Roll-based direct-space sum — the fast single-device XLA path.
+
+    Cell-major data lives on the 3D grid [gx, gy, gz, cap]; the j-side slab
+    for a neighbor shift (dx, dy, dz) is ``jnp.roll`` of the i-side arrays
+    plus a *static* boundary image offset per axis.  No gathers inside the
+    shift loop — and since the transpose of roll is roll, the backward pass
+    has no scatters either (the autodiff-of-gather scatter-adds are what
+    made the row-gather variant slow).  Half-shell: 13 rolled shifts plus
+    the self cell with id_i < id_j.
+    """
+    spec = system.spec
+    gx, gy, gz = spec.cell_grid
+    cap = spec.cell_capacity
+    n = positions.shape[0]
+    dtype = positions.dtype
+    box = system.box
+
+    slots, _ = build_cell_list(positions, box, spec.cell_grid, cap)
+    grid4 = (gx, gy, gz, cap)
+    ids = slots.reshape(grid4)
+
+    pos_w = positions - box * jnp.floor(positions / box)
+    pad = lambda a, fill: jnp.concatenate(
+        [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
+    pos_p = pad(pos_w, 0.0)
+    q_p = pad(q, 0.0)
+    hs_p = pad(0.5 * system.sigma.astype(dtype), 0.0)
+    se_p = pad(2.0 * jnp.sqrt(system.epsilon.astype(dtype)), 0.0)
+
+    comp = [pos_p[:, k][slots].reshape(grid4) for k in range(3)]
+    qc = q_p[slots].reshape(grid4)
+    hc = hs_p[slots].reshape(grid4)
+    sc = se_p[slots].reshape(grid4)
+    valid = ids < n
+
+    alpha = spec.alpha
+    cutoff2 = spec.cutoff * spec.cutoff
+
+    def block_energy(xi, xj, qj, hj, sj, mj, extra=None):
+        """Pair energies between the i-grid and a j-slab; both
+        [gx,gy,gz,cap]; returns masked scalar sum."""
+        r2 = 0.0
+        for k in range(3):
+            dk = xi[k][..., :, None] - xj[k][..., None, :]
+            r2 = r2 + dk * dk
+        mask = valid[..., :, None] & mj[..., None, :] & (r2 < cutoff2)
+        if extra is not None:
+            mask = mask & extra
+        r2s = jnp.where(mask, r2, 1.0)
+        inv_r = jax.lax.rsqrt(r2s)
+        r = r2s * inv_r
+        coul = (ONE_4PI_EPS0 * (qc[..., :, None] * qj[..., None, :])
+                * inv_r * erfc_fast(alpha * r))
+        sig2 = ((hc[..., :, None] + hj[..., None, :]) * inv_r) ** 2
+        sig6 = sig2 * sig2 * sig2
+        lj = (sc[..., :, None] * sj[..., None, :]) * sig6 * (sig6 - 1.0)
+        return jnp.sum(jnp.where(mask, coul + lj, 0.0))
+
+    def shifted(dx, dy, dz):
+        # dx/dy/dz are trace-time constants; close over them so roll shifts
+        # stay static, and checkpoint only the array-level computation.
+        def f(cx, cy, cz):
+            sh = (-dx, -dy, -dz)
+            ax = (0, 1, 2)
+            # static boundary image offsets per axis
+            def off(axis_len, d, bk):
+                c = np.arange(axis_len)
+                o = np.where(c + d >= axis_len, 1.0,
+                             np.where(c + d < 0, -1.0, 0.0))
+                return jnp.asarray(o, dtype) * bk
+            ox = off(gx, dx, box[0]).reshape(gx, 1, 1, 1)
+            oy = off(gy, dy, box[1]).reshape(1, gy, 1, 1)
+            oz = off(gz, dz, box[2]).reshape(1, 1, gz, 1)
+            xj = [jnp.roll(cx, sh, ax) + ox,
+                  jnp.roll(cy, sh, ax) + oy,
+                  jnp.roll(cz, sh, ax) + oz]
+            qj = jnp.roll(qc, sh, ax)
+            hj = jnp.roll(hc, sh, ax)
+            sj = jnp.roll(sc, sh, ax)
+            mj = jnp.roll(valid, sh, ax)
+            return block_energy([cx, cy, cz], xj, qj, hj, sj, mj)
+
+        return jax.checkpoint(f)(comp[0], comp[1], comp[2])
+
+    # self cell: ordered pairs i<j by global atom id
+    same = ids[..., :, None] < ids[..., None, :]
+    total = jax.checkpoint(block_energy)(comp, comp, qc, hc, sc, valid,
+                                         extra=same)
+    for (dx, dy, dz) in HALF_SHELL[1:]:
+        total = total + shifted(dx, dy, dz)
+    return total
+
+
 def cell_list_direct_energy(positions: jax.Array, q: jax.Array, system) -> jax.Array:
     """Direct-space erfc Coulomb + LJ over all in-cutoff pairs (excluded
     pairs included; corrected by energy.py)."""
-    spec = system.spec
-    slots, _ = build_cell_list(positions, system.box, spec.cell_grid,
-                               spec.cell_capacity)
-    nbr_np, off_np = half_shell_tables(spec.cell_grid)
-    return cell_rows_direct_energy(positions, q, system, slots,
-                                   jnp.asarray(nbr_np), jnp.asarray(off_np),
-                                   0, nbr_np.shape[0])
+    return cell_roll_direct_energy(positions, q, system)

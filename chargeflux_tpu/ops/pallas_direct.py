@@ -68,20 +68,22 @@ def _erfc_poly(x):
     return poly * jnp.exp(-x * x), t
 
 
-# Kernel argument order (i-side then neighbor slabs):
+# Kernel argument order (i-side then one neighbor slab per grid step):
 #   xi, yi, zi, qi, hsi, sei, idi            [BC, cap]
-#   xn, yn, zn, qn, hsn, sen, idn            [27, BC, cap]
+#   xn, yn, zn, qn, hsn, sen, idn            [1, BC, cap]  (shift s slab)
+# The 27 shifts form the second (innermost) grid dimension; output blocks
+# are revisited across it and accumulated (init at s == 0).
 _N_IN = 14
 
 
-def _pair_core(s, refs, alpha, cutoff2, n_atoms):
-    """Common per-shift pair quantities.  Returns masked blocks."""
+def _pair_core(refs, alpha, cutoff2, n_atoms):
+    """Pair quantities between the i-block and the current shift's slab."""
     xi, yi, zi, qi, hsi, sei, idi, xn, yn, zn, qn, hsn, sen, idn = refs
-    dx = xi[:][:, :, None] - xn[s][:, None, :]
-    dy = yi[:][:, :, None] - yn[s][:, None, :]
-    dz = zi[:][:, :, None] - zn[s][:, None, :]
+    dx = xi[:][:, :, None] - xn[0][:, None, :]
+    dy = yi[:][:, :, None] - yn[0][:, None, :]
+    dz = zi[:][:, :, None] - zn[0][:, None, :]
     r2 = dx * dx + dy * dy + dz * dz
-    idj = idn[s]
+    idj = idn[0]
     mask = ((idi[:][:, :, None] != idj[:, None, :])
             & (idi[:][:, :, None] < n_atoms)
             & (idj[:, None, :] < n_atoms)
@@ -90,26 +92,26 @@ def _pair_core(s, refs, alpha, cutoff2, n_atoms):
     inv_r = jax.lax.rsqrt(r2s)
     r = r2s * inv_r
     erfc_ar, t = _erfc_poly(alpha * r)
-    qq = (qi[:][:, :, None] * qn[s][:, None, :]) * ONE_4PI_EPS0
-    sig2 = ((hsi[:][:, :, None] + hsn[s][:, None, :]) * inv_r) ** 2
+    qq = (qi[:][:, :, None] * qn[0][:, None, :]) * ONE_4PI_EPS0
+    sig2 = ((hsi[:][:, :, None] + hsn[0][:, None, :]) * inv_r) ** 2
     sig6 = sig2 * sig2 * sig2
-    epr = sei[:][:, :, None] * sen[s][:, None, :]
+    epr = sei[:][:, :, None] * sen[0][:, None, :]
     return dx, dy, dz, mask, inv_r, r, erfc_ar, t, qq, sig6, epr
 
 
 def _energy_kernel(*args, alpha, cutoff2, n_atoms):
     refs, out_e = args[:_N_IN], args[_N_IN]
-    bc = refs[0].shape[0]
-    acc = jnp.zeros((bc,), jnp.float32)
+    s = pl.program_id(1)
 
-    def body(s, acc):
-        (_, _, _, mask, inv_r, _, erfc_ar, _, qq, sig6, epr) = _pair_core(
-            s, refs, alpha, cutoff2, n_atoms)
-        e = qq * inv_r * erfc_ar + epr * sig6 * (sig6 - 1.0)
-        return acc + jnp.sum(jnp.where(mask, e, 0.0), axis=(1, 2))
+    @pl.when(s == 0)
+    def _():
+        out_e[:, :] = jnp.zeros_like(out_e)
 
-    acc = jax.lax.fori_loop(0, 27, body, acc)
-    out_e[:, 0] = 0.5 * acc
+    (_, _, _, mask, inv_r, _, erfc_ar, _, qq, sig6, epr) = _pair_core(
+        refs, alpha, cutoff2, n_atoms)
+    e = qq * inv_r * erfc_ar + epr * sig6 * (sig6 - 1.0)
+    part = 0.5 * jnp.sum(jnp.where(mask, e, 0.0), axis=2)   # [BC, cap]
+    out_e[:, :] = out_e[:, :] + jnp.sum(part, axis=1, keepdims=True)
 
 
 def _force_kernel(*args, alpha, cutoff2, n_atoms):
@@ -117,40 +119,40 @@ def _force_kernel(*args, alpha, cutoff2, n_atoms):
     refs = args[:_N_IN]
     out_gx, out_gy, out_gz, out_dq = args[_N_IN:_N_IN + 4]
     qn = refs[10]
-    bc, cap = refs[0].shape
-    zero = jnp.zeros((bc, cap), jnp.float32)
+    s = pl.program_id(1)
 
-    def body(s, carry):
-        gx, gy, gz, dq = carry
-        (dx, dy, dz, mask, inv_r, r, erfc_ar, t, qq, sig6, epr) = _pair_core(
-            s, refs, alpha, cutoff2, n_atoms)
-        a1, a2, a3, a4, a5 = _A
-        x = alpha * r
-        polyp = a1 + t * (2 * a2 + t * (3 * a3 + t * (4 * a4 + t * 5 * a5)))
-        # erfcP'(x) = -p t^2 poly'(t) e^{-x^2} - 2 x erfcP(x)
-        derfc = -_P * t * t * polyp * jnp.exp(-x * x) - 2.0 * x * erfc_ar
-        dcoul_dr = qq * inv_r * (derfc * alpha - erfc_ar * inv_r)
-        dlj_dr = -epr * sig6 * (12.0 * sig6 - 6.0) * inv_r
-        dEdr_over_r = jnp.where(mask, (dcoul_dr + dlj_dr) * inv_r, 0.0)
-        gx = gx + jnp.sum(dEdr_over_r * dx, axis=2)
-        gy = gy + jnp.sum(dEdr_over_r * dy, axis=2)
-        gz = gz + jnp.sum(dEdr_over_r * dz, axis=2)
-        dq_pair = jnp.where(
-            mask, ONE_4PI_EPS0 * qn[s][:, None, :] * inv_r * erfc_ar, 0.0)
-        return gx, gy, gz, dq + jnp.sum(dq_pair, axis=2)
+    @pl.when(s == 0)
+    def _():
+        out_gx[:, :] = jnp.zeros_like(out_gx)
+        out_gy[:, :] = jnp.zeros_like(out_gy)
+        out_gz[:, :] = jnp.zeros_like(out_gz)
+        out_dq[:, :] = jnp.zeros_like(out_dq)
 
-    gx, gy, gz, dq = jax.lax.fori_loop(0, 27, body, (zero, zero, zero, zero))
-    out_gx[:, :] = gx
-    out_gy[:, :] = gy
-    out_gz[:, :] = gz
-    out_dq[:, :] = dq
+    (dx, dy, dz, mask, inv_r, r, erfc_ar, t, qq, sig6, epr) = _pair_core(
+        refs, alpha, cutoff2, n_atoms)
+    a1, a2, a3, a4, a5 = _A
+    x = alpha * r
+    polyp = a1 + t * (2 * a2 + t * (3 * a3 + t * (4 * a4 + t * 5 * a5)))
+    # erfcP'(x) = -p t^2 poly'(t) e^{-x^2} - 2 x erfcP(x)
+    derfc = -_P * t * t * polyp * jnp.exp(-x * x) - 2.0 * x * erfc_ar
+    dcoul_dr = qq * inv_r * (derfc * alpha - erfc_ar * inv_r)
+    dlj_dr = -epr * sig6 * (12.0 * sig6 - 6.0) * inv_r
+    dEdr_over_r = jnp.where(mask, (dcoul_dr + dlj_dr) * inv_r, 0.0)
+    out_gx[:, :] = out_gx[:, :] + jnp.sum(dEdr_over_r * dx, axis=2)
+    out_gy[:, :] = out_gy[:, :] + jnp.sum(dEdr_over_r * dy, axis=2)
+    out_gz[:, :] = out_gz[:, :] + jnp.sum(dEdr_over_r * dz, axis=2)
+    dq_pair = jnp.where(
+        mask, ONE_4PI_EPS0 * qn[0][:, None, :] * inv_r * erfc_ar, 0.0)
+    out_dq[:, :] = out_dq[:, :] + jnp.sum(dq_pair, axis=2)
 
 
-def _choose_block_cells(n_cells: int, cap: int) -> int:
+def _choose_block_cells(n_cells: int, cap: int, vmem_bytes: int) -> int:
     """Cells per program: multiple of 8 (Mosaic sublane constraint on the
-    [BC, cap] blocks) keeping the [BC, cap, cap] working set ~2 MB of VMEM.
-    The cell arrays are padded up to a multiple of the block size."""
-    budget = max(1, (2 * 1024 * 1024) // max(cap * cap * 4, 1))
+    [BC, cap] blocks) such that one [BC, cap, cap] f32 intermediate fits in
+    ``vmem_bytes`` — the kernels keep a handful of such blocks live, so this
+    budget is a fraction of the 16 MB VMEM.  Cell arrays are padded up to a
+    multiple of the block size."""
+    budget = max(1, vmem_bytes // max(cap * cap * 4, 1))
     bc = max(8, (min(n_cells, budget) // 8) * 8)
     return bc
 
@@ -165,7 +167,7 @@ def make_pallas_direct(system):
     gx_, gy_, gz_ = grid
     n_cells = gx_ * gy_ * gz_
     nbr_np, off_np = full_shell_tables(grid)
-    bc = _choose_block_cells(n_cells, cap)
+    bc = _choose_block_cells(n_cells, cap, 512 * 1024)
     n_blocks = -(-n_cells // bc)
     c_pad = n_blocks * bc
     # Pad the static tables; padded rows carry sentinel slots (masked out).
@@ -217,33 +219,40 @@ def make_pallas_direct(system):
         return slots, i_side + n_side
 
     def _specs():
-        bi = pl.BlockSpec((bc, cap), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        bn = pl.BlockSpec((27, bc, cap), lambda i: (0, i, 0),
+        bi = pl.BlockSpec((bc, cap), lambda i, s: (i, 0),
+                          memory_space=pltpu.VMEM)
+        bn = pl.BlockSpec((1, bc, cap), lambda i, s: (s, i, 0),
                           memory_space=pltpu.VMEM)
         return [bi] * 7 + [bn] * 7
+
+    _grid = (n_blocks, 27)
+    _dimsem = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"))
 
     def _energy_impl(args):
         e_cells = pl.pallas_call(
             partial(_energy_kernel, **kconst),
-            grid=(n_blocks,),
+            grid=_grid,
             in_specs=_specs(),
-            out_specs=pl.BlockSpec((bc, 1), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((bc, 1), lambda i, s: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((c_pad, 1), jnp.float32),
+            compiler_params=_dimsem,
             interpret=interpret,
         )(*args)
         return jnp.sum(e_cells)
 
     def _force_impl(args):
         plane = lambda: jax.ShapeDtypeStruct((c_pad, cap), jnp.float32)
-        bi = lambda: pl.BlockSpec((bc, cap), lambda i: (i, 0),
+        bi = lambda: pl.BlockSpec((bc, cap), lambda i, s: (i, 0),
                                   memory_space=pltpu.VMEM)
         return pl.pallas_call(
             partial(_force_kernel, **kconst),
-            grid=(n_blocks,),
+            grid=_grid,
             in_specs=_specs(),
             out_specs=[bi(), bi(), bi(), bi()],
             out_shape=[plane(), plane(), plane(), plane()],
+            compiler_params=_dimsem,
             interpret=interpret,
         )(*args)
 

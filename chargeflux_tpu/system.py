@@ -411,6 +411,41 @@ class CoulForce:
             spec=spec,
         )
 
+    # -- serialization ---------------------------------------------------------
+    # The reference has no Force serialization at all (SURVEY §5: no
+    # CoulForceProxy).  Here the scene spec round-trips through plain JSON.
+
+    def to_dict(self) -> dict:
+        return {
+            "particles": [[q, s, e] for q, s, e in zip(
+                self._charges, self._sigmas, self._epsilons)],
+            "exclusions": [list(e) for e in self._exclusions],
+            "flux_bonds": [list(b) for b in self._bonds],
+            "flux_angles": [list(a) for a in self._angles],
+            "flux_waters": [list(w) for w in self._waters],
+            "cutoff": self._cutoff,
+            "ewald_tolerance": self._ewald_tol,
+            "pbc": self._pbc,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "CoulForce":
+        force = cls()
+        for q, s, e in d["particles"]:
+            force.addParticle(q, s, e)
+        for p1, p2 in d.get("exclusions", []):
+            force.addException(p1, p2)
+        for b in d.get("flux_bonds", []):
+            force.addFluxBond(*b)
+        for a in d.get("flux_angles", []):
+            force.addFluxAngle(*a)
+        for w in d.get("flux_waters", []):
+            force.addFluxWater(*w)
+        force.setCutoffDistance(d.get("cutoff", 1.0))
+        force.setEwaldErrorTolerance(d.get("ewald_tolerance", 1e-4))
+        force.setUsesPeriodicBoundaryConditions(d.get("pbc", False))
+        return force
+
     # -- internals -------------------------------------------------------------
 
     def _check_particle(self, p: int):

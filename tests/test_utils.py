@@ -1,0 +1,46 @@
+"""Checkpoint round-trip and scene-spec serialization tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import chargeflux_tpu as cf
+from chargeflux_tpu.integrate import init_state, make_energy_fn
+from chargeflux_tpu.models import water_cluster
+from chargeflux_tpu.utils import load_checkpoint, save_checkpoint
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    force, pos, _ = water_cluster(n_side=2, seed=71)
+    system = force.create_system(dtype=jnp.float64)
+    e_fn = make_energy_fn(system)
+    state = init_state(jnp.asarray(pos), jnp.zeros_like(jnp.asarray(pos)), e_fn)
+    path = os.path.join(tmp_path, "ckpt")
+    save_checkpoint(path, state, step=42, extra={"note": "test"})
+    restored, step = load_checkpoint(path, state)
+    assert step == 42
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+import jax  # noqa: E402  (used above in tree.leaves)
+
+
+def test_coulforce_dict_roundtrip():
+    force, pos, _ = water_cluster(n_side=2, flux="water", seed=72)
+    force.setCutoffDistance(0.75)
+    force.setEwaldErrorTolerance(3e-5)
+    d = force.to_dict()
+    force2 = cf.CoulForce.from_dict(d)
+    assert force2.getNumParticles() == force.getNumParticles()
+    assert force2.getNumExceptions() == force.getNumExceptions()
+    assert force2.getNumFluxWaters() == force.getNumFluxWaters()
+    assert force2.getCutoffDistance() == force.getCutoffDistance()
+    assert force2.getEwaldErrorTolerance() == force.getEwaldErrorTolerance()
+    s1 = force.create_system(dtype=jnp.float64)
+    s2 = force2.create_system(dtype=jnp.float64)
+    x = jnp.asarray(pos)
+    assert float(cf.energy(x, s1)) == pytest.approx(float(cf.energy(x, s2)),
+                                                    rel=1e-14)

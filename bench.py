@@ -32,7 +32,7 @@ def build(config: str):
         method = "dense"
     elif config == "30k":
         force, pos, _, box = water_box(n_side=22, flux="bond_angle")
-        method = "cell_pallas"
+        method = "cell"
     else:
         raise SystemExit(f"unknown config {config!r}")
     system = force.create_system(box=box, dtype=jnp.float32,

@@ -27,6 +27,7 @@ energy.py's exclusion correction subtracts them to land on the contract.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import numpy as np
@@ -322,7 +323,166 @@ def cell_roll_direct_energy(positions: jax.Array, q: jax.Array, system) -> jax.A
     return total
 
 
+# Abramowitz & Stegun 7.1.26 constants for the fused-derivative walk
+# (shared with ops/erfc.py; the derivative below differentiates the same
+# polynomial so forces are the exact gradient of the computed energy).
+_P_ERFC = 0.3275911
+_A_ERFC = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _roll_fused_walk(positions, q, system):
+    """One walk over the half-shell slabs computing energy, dE/dx and dE/dq
+    together (explicit derivatives — no second/third autodiff walk).
+
+    Returns (energy, dEdx [N,3], dEdq [N]).  Used as the forward pass of the
+    custom_vjp in :func:`cell_roll_direct_energy`; the same fusion the CUDA
+    computeNonbonded kernel does (PBCForce.cu:86-751).
+    """
+    spec = system.spec
+    gx_, gy_, gz_ = spec.cell_grid
+    cap = spec.cell_capacity
+    n = positions.shape[0]
+    dtype = positions.dtype
+    box = system.box
+
+    slots, _ = build_cell_list(positions, box, spec.cell_grid, cap)
+    grid4 = (gx_, gy_, gz_, cap)
+    ids = slots.reshape(grid4)
+
+    pos_w = positions - box * jnp.floor(positions / box)
+    pad = lambda a, fill: jnp.concatenate(
+        [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
+    pos_p = pad(pos_w, 0.0)
+    q_p = pad(q, 0.0)
+    hs_p = pad(0.5 * system.sigma.astype(dtype), 0.0)
+    se_p = pad(2.0 * jnp.sqrt(system.epsilon.astype(dtype)), 0.0)
+
+    comp = [pos_p[:, k][slots].reshape(grid4) for k in range(3)]
+    qc = q_p[slots].reshape(grid4)
+    hc = hs_p[slots].reshape(grid4)
+    sc = se_p[slots].reshape(grid4)
+    valid = ids < n
+
+    alpha = spec.alpha
+    cutoff2 = spec.cutoff * spec.cutoff
+    a1, a2, a3, a4, a5 = _A_ERFC
+
+    def pair_walk(xj, qj, hj, sj, mj, extra=None):
+        """Returns (e_sum, gi [3 x grid4+cap? -> per-i sums], gj, dqi, dqj)
+        where gi/gj are lists of 3 arrays [*grid4] summed over the opposite
+        pair axis."""
+        dx = comp[0][..., :, None] - xj[0][..., None, :]
+        dy = comp[1][..., :, None] - xj[1][..., None, :]
+        dz = comp[2][..., :, None] - xj[2][..., None, :]
+        r2 = dx * dx + dy * dy + dz * dz
+        mask = valid[..., :, None] & mj[..., None, :] & (r2 < cutoff2)
+        if extra is not None:
+            mask = mask & extra
+        r2s = jnp.where(mask, r2, 1.0)
+        inv_r = jax.lax.rsqrt(r2s)
+        r = r2s * inv_r
+        x = alpha * r
+        exp_x2 = jnp.exp(-x * x)
+        if dtype == jnp.float64:
+            # exact erfc for the f64 parity path; d/dx erfc = -2/sqrt(pi) e^{-x^2}
+            from jax.scipy.special import erfc as _erfc_exact
+            erfc_ar = _erfc_exact(x)
+            derfc = (-2.0 / math.sqrt(math.pi)) * exp_x2
+        else:
+            t = 1.0 / (1.0 + _P_ERFC * x)
+            erfc_ar = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5)))) * exp_x2
+            polyp = a1 + t * (2 * a2 + t * (3 * a3 + t * (4 * a4 + t * 5 * a5)))
+            derfc = -_P_ERFC * t * t * polyp * exp_x2 - 2.0 * x * erfc_ar
+        qq = (ONE_4PI_EPS0 * qc[..., :, None]) * qj[..., None, :]
+        coul = qq * inv_r * erfc_ar
+        sig2 = ((hc[..., :, None] + hj[..., None, :]) * inv_r) ** 2
+        sig6 = sig2 * sig2 * sig2
+        epr = sc[..., :, None] * sj[..., None, :]
+        lj = epr * sig6 * (sig6 - 1.0)
+        e = jnp.sum(jnp.where(mask, coul + lj, 0.0))
+        dcoul_dr = (qq * derfc * alpha - coul) * inv_r
+        dlj_dr = -epr * sig6 * (12.0 * sig6 - 6.0) * inv_r
+        dEdr_over_r = jnp.where(mask, (dcoul_dr + dlj_dr) * inv_r, 0.0)
+        gi = [jnp.sum(dEdr_over_r * d, axis=-1) for d in (dx, dy, dz)]
+        gj = [-jnp.sum(dEdr_over_r * d, axis=-2) for d in (dx, dy, dz)]
+        ec = jnp.where(mask, inv_r * erfc_ar, 0.0) * ONE_4PI_EPS0
+        dqi = jnp.sum(ec * qj[..., None, :], axis=-1)
+        dqj = jnp.sum(ec * qc[..., :, None], axis=-2)
+        return e, gi, gj, dqi, dqj
+
+    zero = jnp.zeros(grid4, dtype)
+    g_acc = [zero, zero, zero]
+    dq_acc = zero
+
+    # self cell: i < j by global atom id
+    same = ids[..., :, None] < ids[..., None, :]
+    e_total, gi, gj, dqi, dqj = jax.checkpoint(pair_walk)(
+        comp, qc, hc, sc, valid, extra=same)
+    g_acc = [g + a + b for g, a, b in zip(g_acc, gi, gj)]
+    dq_acc = dq_acc + dqi + dqj
+
+    ax = (0, 1, 2)
+    for (dx_, dy_, dz_) in HALF_SHELL[1:]:
+        def f(cx, cy, cz, dxs=dx_, dys=dy_, dzs=dz_):
+            sh = (-dxs, -dys, -dzs)
+
+            def off(axis_len, d, bk):
+                c = np.arange(axis_len)
+                o = np.where(c + d >= axis_len, 1.0,
+                             np.where(c + d < 0, -1.0, 0.0))
+                return jnp.asarray(o, dtype) * bk
+
+            ox = off(gx_, dxs, box[0]).reshape(gx_, 1, 1, 1)
+            oy = off(gy_, dys, box[1]).reshape(1, gy_, 1, 1)
+            oz = off(gz_, dzs, box[2]).reshape(1, 1, gz_, 1)
+            xj = [jnp.roll(cx, sh, ax) + ox,
+                  jnp.roll(cy, sh, ax) + oy,
+                  jnp.roll(cz, sh, ax) + oz]
+            qj = jnp.roll(qc, sh, ax)
+            hj = jnp.roll(hc, sh, ax)
+            sj = jnp.roll(sc, sh, ax)
+            mj = jnp.roll(valid, sh, ax)
+            e, gi, gj, dqi, dqj = pair_walk(xj, qj, hj, sj, mj)
+            # j-side accumulations live in rolled coordinates; roll back.
+            back = (dxs, dys, dzs)
+            gj = [jnp.roll(g, back, ax) for g in gj]
+            dqj = jnp.roll(dqj, back, ax)
+            return e, gi, gj, dqi + dqj
+
+        e, gi, gj, dq_both = jax.checkpoint(f)(comp[0], comp[1], comp[2])
+        e_total = e_total + e
+        g_acc = [g + a + b for g, a, b in zip(g_acc, gi, gj)]
+        dq_acc = dq_acc + dq_both
+
+    return e_total, g_acc, dq_acc, slots
+
+
+def cell_roll_fused_energy(positions, q, system):
+    """Direct-space energy with a hand-written VJP: the forward pass computes
+    energy + dE/dx + dE/dq in ONE slab walk; backward is scatter + scale."""
+
+    @jax.custom_vjp
+    def direct_energy(positions, q):
+        return cell_roll_direct_energy(positions, q, system)
+
+    def _fwd(positions, q):
+        e, g_acc, dq_acc, slots = _roll_fused_walk(positions, q, system)
+        flat = slots.reshape(-1)
+        g_flat = jnp.stack([g.reshape(-1) for g in g_acc], axis=-1)
+        x_bar = jnp.zeros_like(positions).at[flat].add(g_flat, mode="drop")
+        q_bar = jnp.zeros_like(q).at[flat].add(dq_acc.reshape(-1),
+                                               mode="drop")
+        return e, (x_bar, q_bar)
+
+    def _bwd(res, g_out):
+        x_bar, q_bar = res
+        return g_out * x_bar, g_out * q_bar
+
+    direct_energy.defvjp(_fwd, _bwd)
+    return direct_energy(positions, q)
+
+
 def cell_list_direct_energy(positions: jax.Array, q: jax.Array, system) -> jax.Array:
     """Direct-space erfc Coulomb + LJ over all in-cutoff pairs (excluded
     pairs included; corrected by energy.py)."""
-    return cell_roll_direct_energy(positions, q, system)
+    return cell_roll_fused_energy(positions, q, system)

@@ -94,10 +94,16 @@ def structure_factors(positions: jax.Array, q: jax.Array, box: jax.Array,
     sxy = (qcol * sxy.reshape(n_at, kxy))
 
     # Structure factors: S = sum_i (cxy + i sxy)(cz + i sz) -> two real parts.
-    # [Kx*Ky, Kz] each; contraction over atoms rides the MXU.
+    # [Kx*Ky, Kz] each; contraction over atoms rides the MXU.  The z factors
+    # are concatenated so each large [N, Kx*Ky] operand streams through the
+    # MXU exactly once (2 matmuls instead of 4 -> half the HBM traffic).
     dot = partial(jnp.matmul, preferred_element_type=dtype)
-    s_cos = dot(cxy.T, cz) - dot(sxy.T, sz)
-    s_sin = dot(sxy.T, cz) + dot(cxy.T, sz)
+    cz_sz = jnp.concatenate([cz, sz], axis=1)           # [N, 2*Kz]
+    kz = len(nz)
+    a = dot(cxy.T, cz_sz)                               # [Kxy, 2*Kz]
+    b = dot(sxy.T, cz_sz)
+    s_cos = a[:, :kz] - b[:, kz:]
+    s_sin = b[:, :kz] + a[:, kz:]
     return s_cos, s_sin
 
 

@@ -114,15 +114,19 @@ def _energy_kernel(*args, alpha, cutoff2, n_atoms):
     out_e[:, :] = out_e[:, :] + jnp.sum(part, axis=1, keepdims=True)
 
 
-def _force_kernel(*args, alpha, cutoff2, n_atoms):
-    """dE/dx_i (three planes) and dE/dq_i for the block's atoms."""
+def _fused_kernel(*args, alpha, cutoff2, n_atoms):
+    """One pass: per-cell energy, dE/dx_i (three planes), and dE/dq_i.
+
+    MD always needs energy *and* forces; fusing them avoids walking the pair
+    blocks twice (the CUDA kernel does the same, PBCForce.cu:86-751)."""
     refs = args[:_N_IN]
-    out_gx, out_gy, out_gz, out_dq = args[_N_IN:_N_IN + 4]
+    out_e, out_gx, out_gy, out_gz, out_dq = args[_N_IN:_N_IN + 5]
     qn = refs[10]
     s = pl.program_id(1)
 
     @pl.when(s == 0)
     def _():
+        out_e[:, :] = jnp.zeros_like(out_e)
         out_gx[:, :] = jnp.zeros_like(out_gx)
         out_gy[:, :] = jnp.zeros_like(out_gy)
         out_gz[:, :] = jnp.zeros_like(out_gz)
@@ -130,12 +134,18 @@ def _force_kernel(*args, alpha, cutoff2, n_atoms):
 
     (dx, dy, dz, mask, inv_r, r, erfc_ar, t, qq, sig6, epr) = _pair_core(
         refs, alpha, cutoff2, n_atoms)
+    coul = qq * inv_r * erfc_ar
+    lj = epr * sig6 * (sig6 - 1.0)
+    e_blk = jnp.where(mask, coul + lj, 0.0)
+    out_e[:, :] = out_e[:, :] + 0.5 * jnp.sum(
+        jnp.sum(e_blk, axis=2), axis=1, keepdims=True)
+
     a1, a2, a3, a4, a5 = _A
     x = alpha * r
     polyp = a1 + t * (2 * a2 + t * (3 * a3 + t * (4 * a4 + t * 5 * a5)))
     # erfcP'(x) = -p t^2 poly'(t) e^{-x^2} - 2 x erfcP(x)
     derfc = -_P * t * t * polyp * jnp.exp(-x * x) - 2.0 * x * erfc_ar
-    dcoul_dr = qq * inv_r * (derfc * alpha - erfc_ar * inv_r)
+    dcoul_dr = (qq * derfc * alpha - coul) * inv_r
     dlj_dr = -epr * sig6 * (12.0 * sig6 - 6.0) * inv_r
     dEdr_over_r = jnp.where(mask, (dcoul_dr + dlj_dr) * inv_r, 0.0)
     out_gx[:, :] = out_gx[:, :] + jnp.sum(dEdr_over_r * dx, axis=2)
@@ -242,16 +252,19 @@ def make_pallas_direct(system):
         )(*args)
         return jnp.sum(e_cells)
 
-    def _force_impl(args):
+    def _fused_impl(args):
         plane = lambda: jax.ShapeDtypeStruct((c_pad, cap), jnp.float32)
         bi = lambda: pl.BlockSpec((bc, cap), lambda i, s: (i, 0),
                                   memory_space=pltpu.VMEM)
+        be = pl.BlockSpec((bc, 1), lambda i, s: (i, 0),
+                          memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            partial(_force_kernel, **kconst),
+            partial(_fused_kernel, **kconst),
             grid=_grid,
             in_specs=_specs(),
-            out_specs=[bi(), bi(), bi(), bi()],
-            out_shape=[plane(), plane(), plane(), plane()],
+            out_specs=[be, bi(), bi(), bi(), bi()],
+            out_shape=[jax.ShapeDtypeStruct((c_pad, 1), jnp.float32),
+                       plane(), plane(), plane(), plane()],
             compiler_params=_dimsem,
             interpret=interpret,
         )(*args)
@@ -262,18 +275,20 @@ def make_pallas_direct(system):
         return _energy_impl(args)
 
     def _fwd(positions, q):
-        return direct_energy(positions, q), (positions, q)
-
-    def _bwd(res, g_out):
-        positions, q = res
+        # Fused pass: energy + dE/dx + dE/dq in one pair-block walk; the
+        # gradients become residuals so the backward pass is a scatter+scale.
         slots, args = _prep(positions, q)
-        ggx, ggy, ggz, dq_cell = _force_impl(args)
+        e_cells, ggx, ggy, ggz, dq_cell = _fused_impl(args)
         flat = slots.reshape(-1)
         g_flat = jnp.stack(
             [ggx.reshape(-1), ggy.reshape(-1), ggz.reshape(-1)], axis=-1)
         x_bar = jnp.zeros_like(positions).at[flat].add(g_flat, mode="drop")
         q_bar = jnp.zeros_like(q).at[flat].add(dq_cell.reshape(-1),
                                                mode="drop")
+        return jnp.sum(e_cells), (x_bar, q_bar)
+
+    def _bwd(res, g_out):
+        x_bar, q_bar = res
         return g_out * x_bar, g_out * q_bar
 
     direct_energy.defvjp(_fwd, _bwd)

@@ -33,6 +33,9 @@ def build(config: str):
     elif config == "30k":
         force, pos, _, box = water_box(n_side=22, flux="bond_angle")
         method = "cell"
+    elif config == "100k":
+        force, pos, _, box = water_box(n_side=32, flux="bond_angle")
+        method = "cell"
     else:
         raise SystemExit(f"unknown config {config!r}")
     system = force.create_system(box=box, dtype=jnp.float32,
@@ -40,8 +43,56 @@ def build(config: str):
     return jnp.asarray(pos, jnp.float32), system
 
 
+def bench_replicas(n_replicas: int = 64):
+    """64-replica vmap ensemble on a 216-water box (BASELINE.md config)."""
+    from chargeflux_tpu.energy import _energy
+    from chargeflux_tpu.models import water_box
+
+    force, pos, _, box = water_box(n_side=6, flux="bond_angle")
+    system = force.create_system(box=box, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(np.stack(
+        [pos + 0.01 * rng.standard_normal(pos.shape)
+         for _ in range(n_replicas)]), jnp.float32)
+
+    def step(xb, _):
+        def one(xc):
+            e, g = jax.value_and_grad(_energy)(xc, system)
+            return xc - 1e-9 * g, e
+        xb, es = jax.vmap(one)(xb)
+        return xb, jnp.sum(es)
+
+    from functools import partial as _p
+
+    @_p(jax.jit, static_argnums=(1,))
+    def run(x0, k):
+        xk, es = jax.lax.scan(step, x0, None, length=k)
+        return es[-1] + 0.0 * jnp.sum(xk)
+
+    float(run(batch, 3)); float(run(batch, 13))
+
+    def t(k):
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(run(batch, k))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    ms = (t(13) - t(3)) / 10 * 1e3
+    print(json.dumps({
+        "metric": f"ms_per_step_{n_replicas}x216_replica_ensemble",
+        "value": round(ms, 4),
+        "unit": "ms",
+        "vs_baseline": round(2.0 * n_replicas / ms, 4),
+    }))
+
+
 def main():
     config = sys.argv[1] if len(sys.argv) > 1 else "30k"
+    if config == "replicas":
+        bench_replicas()
+        return
     x, system = build(config)
     n = system.n_atoms
 

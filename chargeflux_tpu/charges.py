@@ -78,29 +78,29 @@ def effective_charges(positions: jax.Array, system: ChargeFluxSystem) -> jax.Arr
     Total charge is conserved by construction in every term (each term's
     deltas sum to zero), as in the reference (SURVEY §0.1).
 
-    The scatter uses the build-time flux plan (system.flux_perm/targets): all
-    Δq contributions are concatenated in canonical order, permuted into
-    sorted-by-target order, and reduced with a sorted ``segment_sum`` —
-    faster on TPU than a scatter-add with duplicate indices, and the
-    deterministic replacement for the reference's charge atomics
-    (calcChargeFlux.cu:70-94).
+    Scatter adds use ``x.at[idx].add`` — deterministic under XLA, the
+    replacement for the reference's charge atomics (calcChargeFlux.cu:70-94).
+    (A build-time-sorted segment_sum variant was measured slower on v5e: the
+    permutation gather costs more than the duplicate-index scatter saves.)
     """
-    q0 = system.q0.astype(positions.dtype)
-    chunks = []
+    q = system.q0.astype(positions.dtype)
 
     if system.bond_idx.shape[0] > 0:
         # dq = k (r - b); q_p1 += dq, q_p2 -= dq
         # (ReferenceCoulKernels.cpp:60-62, calcChargeFlux.cu:68-75)
         _, r = _bond_geometry(positions, system)
         dq = system.bond_k * (r - system.bond_b)
-        chunks += [dq, -dq]
+        q = q.at[system.bond_idx[:, 0]].add(dq)
+        q = q.at[system.bond_idx[:, 1]].add(-dq)
 
     if system.angle_idx.shape[0] > 0:
         # dq = k (theta - theta0); q_p1 += dq, q_p3 += dq, q_p2 -= 2 dq
         # (ReferenceCoulKernels.cpp:112-115, calcChargeFlux.cu:133-142)
         *_, theta = _angle_geometry(positions, system)
         dq = system.angle_k * (theta - system.angle_theta0)
-        chunks += [dq, dq, -2.0 * dq]
+        q = q.at[system.angle_idx[:, 0]].add(dq)
+        q = q.at[system.angle_idx[:, 2]].add(dq)
+        q = q.at[system.angle_idx[:, 1]].add(-2.0 * dq)
 
     if system.water_idx.shape[0] > 0:
         # CFF 3-site water (ReferenceCoulKernels.cpp:188-193,
@@ -111,15 +111,11 @@ def effective_charges(positions: jax.Array, system: ChargeFluxSystem) -> jax.Arr
         dq2 = k1 * (r12 - b0) + k2 * (r13 - b0) + kub * (r23 - ub0)
         dq3 = k1 * (r13 - b0) + k2 * (r12 - b0) + kub * (r23 - ub0)
         dq1 = -dq2 - dq3
-        chunks += [dq1, dq2, dq3]
+        q = q.at[system.water_idx[:, 0]].add(dq1)
+        q = q.at[system.water_idx[:, 1]].add(dq2)
+        q = q.at[system.water_idx[:, 2]].add(dq3)
 
-    if not chunks:
-        return q0
-    contrib = jnp.concatenate(chunks)[system.flux_perm]
-    dq_per_atom = jax.ops.segment_sum(
-        contrib, system.flux_targets, num_segments=system.n_atoms,
-        indices_are_sorted=True)
-    return q0 + dq_per_atom
+    return q
 
 
 # ---------------------------------------------------------------------------

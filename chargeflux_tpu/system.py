@@ -144,13 +144,6 @@ class ChargeFluxSystem:
     # Orthorhombic box edge lengths [3] (nm); zeros when non-periodic.
     box: jax.Array
 
-    # Charge-flux scatter plan, precomputed at build time: the concatenated
-    # per-term Δq contributions (canonical order: bond[+,-], angle[p1,p3,p2],
-    # water[O,H1,H2]) sorted by target atom, so the runtime update is a
-    # sorted segment_sum instead of a scatter with duplicate indices.
-    flux_perm: jax.Array       # [M] int32 permutation into canonical order
-    flux_targets: jax.Array    # [M] int32 sorted target atom ids
-
     spec: StaticSpec = dataclasses.field(metadata=dict(static=True))
 
     # -- convenience ---------------------------------------------------------
@@ -397,21 +390,6 @@ class CoulForce:
         angles = self._angles
         waters = self._waters
 
-        # Flux scatter plan: canonical contribution order is
-        # [bond p1 (+dq), bond p2 (-dq), angle p1, angle p3, angle p2,
-        #  water O, water H1, water H2] — each block contiguous.
-        targets = np.concatenate([
-            np.array([b[0] for b in bonds], np.int64),
-            np.array([b[1] for b in bonds], np.int64),
-            np.array([a[0] for a in angles], np.int64),
-            np.array([a[2] for a in angles], np.int64),
-            np.array([a[1] for a in angles], np.int64),
-            np.array([w[0] for w in waters], np.int64),
-            np.array([w[1] for w in waters], np.int64),
-            np.array([w[2] for w in waters], np.int64),
-        ]) if (bonds or angles or waters) else np.zeros(0, np.int64)
-        perm = np.argsort(targets, kind="stable")
-
         return ChargeFluxSystem(
             q0=arr(self._charges),
             sigma=arr(self._sigmas),
@@ -430,8 +408,6 @@ class CoulForce:
             water_b0=arr([w[6] for w in waters]),
             water_ub0=arr([w[7] for w in waters]),
             box=arr(box_arr),
-            flux_perm=jnp.asarray(perm.astype(np.int32)),
-            flux_targets=jnp.asarray(targets[perm].astype(np.int32)),
             spec=spec,
         )
 

@@ -131,7 +131,8 @@ def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
     comps: Dict[str, jax.Array] = {}
     comps["self"] = self_energy(q, spec.alpha)
     comps["reciprocal"] = reciprocal_energy(positions, q, system.box,
-                                            spec.alpha, spec.kmax)
+                                            spec.alpha, spec.kmax,
+                                            method=spec.recip_method)
     if spec.direct_method == "cell_pallas":
         from .ops.pallas_direct import make_pallas_direct
 

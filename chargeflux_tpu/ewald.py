@@ -56,7 +56,7 @@ def kvector_grid(kmax: Tuple[int, int, int]):
 
 
 def structure_factors(positions: jax.Array, q: jax.Array, box: jax.Array,
-                      kmax: Tuple[int, int, int]):
+                      kmax: Tuple[int, int, int], method: str = "xla"):
     """Structure factors S(k) = sum_i q_i e^{i k.x_i} over the weighted
     half-space grid, as (s_cos, s_sin) each [Kx*Ky, Kz].
 
@@ -64,6 +64,10 @@ def structure_factors(positions: jax.Array, q: jax.Array, box: jax.Array,
     *additive over atoms*, so a sharded engine computes it on an atom chunk
     and psums the result (SURVEY §2: replicated-k reciprocal sum with psum of
     structure factors).
+
+    method="pallas" routes the contraction through the fused Pallas kernel
+    (ops/pallas_recip.py), which builds the combined [Kx*Ky, n] phase tiles
+    in VMEM instead of materializing them in HBM.
     """
     dtype = positions.dtype
     nx, ny, nz, _ = kvector_grid(kmax)
@@ -82,6 +86,28 @@ def structure_factors(positions: jax.Array, q: jax.Array, box: jax.Array,
     cx, sx = jnp.cos(phx), jnp.sin(phx)
     cy, sy = jnp.cos(phy), jnp.sin(phy)
     cz, sz = jnp.cos(phz), jnp.sin(phz)
+
+    if method == "pallas":
+        from .ops.pallas_recip import make_structure_factor_fn
+
+        n_at = positions.shape[0]
+        kz = len(nz)
+        sf_fn, n_pad = make_structure_factor_fn(kmax, n_at)
+        zq = q[:, None] * jnp.concatenate([cz, sz], axis=1)
+        padn = n_pad - n_at
+
+        def padded(tbl_t):
+            return jnp.pad(tbl_t, ((0, 0), (0, padn))) if padn else tbl_t
+
+        a, b = sf_fn(padded(cx.T.astype(jnp.float32)),
+                     padded(sx.T.astype(jnp.float32)),
+                     padded(cy.T.astype(jnp.float32)),
+                     padded(sy.T.astype(jnp.float32)),
+                     jnp.pad(zq.astype(jnp.float32), ((0, padn), (0, 0)))
+                     if padn else zq.astype(jnp.float32))
+        s_cos = (a[:, :kz] - b[:, kz:]).astype(dtype)
+        s_sin = (b[:, :kz] + a[:, kz:]).astype(dtype)
+        return s_cos, s_sin
 
     # Combine x and y phases, weighting by charge on the atom axis.
     # cxy/sxy: [N, Kx, Ky] -> [N, Kx*Ky]
@@ -131,9 +157,10 @@ def reciprocal_energy_from_sf(s_cos: jax.Array, s_sin: jax.Array,
 
 
 def reciprocal_energy(positions: jax.Array, q: jax.Array, box: jax.Array,
-                      alpha: float, kmax: Tuple[int, int, int]) -> jax.Array:
+                      alpha: float, kmax: Tuple[int, int, int],
+                      method: str = "xla") -> jax.Array:
     """Reciprocal-space Ewald energy via factorized complex matmuls."""
-    s_cos, s_sin = structure_factors(positions, q, box, kmax)
+    s_cos, s_sin = structure_factors(positions, q, box, kmax, method=method)
     return reciprocal_energy_from_sf(s_cos, s_sin, box, alpha, kmax)
 
 

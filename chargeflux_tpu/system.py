@@ -95,6 +95,9 @@ class StaticSpec:
     direct_method: str = "dense"
     cell_grid: Optional[Tuple[int, int, int]] = None
     cell_capacity: Optional[int] = None
+    # Reciprocal-space route: "xla" (factorized matmuls) or "pallas"
+    # (fused tile kernel, ops/pallas_recip.py).
+    recip_method: str = "xla"
 
 
 # ---------------------------------------------------------------------------
@@ -303,6 +306,7 @@ class CoulForce:
         dtype=jnp.float32,
         direct_method: str = "auto",
         cell_capacity: Optional[int] = None,
+        recip_method: str = "xla",
     ) -> ChargeFluxSystem:
         """Compile the builder into an immutable pytree system.
 
@@ -376,6 +380,7 @@ class CoulForce:
             direct_method=method,
             cell_grid=grid,
             cell_capacity=capacity,
+            recip_method=recip_method,
         )
 
         def arr(x, dt=dtype):

@@ -99,7 +99,7 @@ def _bwd_kernel(cx, sx, cy, sy, zq, abar, bbar,
                               preferred_element_type=jnp.float32))
 
 
-def make_structure_factor_fn(kmax, n_atoms: int, block_n: int = 256):
+def make_structure_factor_fn(kmax, n_atoms: int, block_n: int = 128):
     """Build sf(cxT, sxT, cyT, syT, zq) -> (A, B) with a hand-written VJP.
 
     Table layouts: cxT/sxT [Kx, N], cyT/syT [Ky, N], zq [N, 2*Kz] with the

@@ -19,7 +19,14 @@ from .energy import (
     forces_manual,
 )
 from .bonded import BondedParams, bonded_energy
-from .integrate import make_energy_fn, nve_step, nve_trajectory
+from .integrate import (
+    langevin_step,
+    langevin_trajectory,
+    make_energy_fn,
+    minimize_fire,
+    nve_step,
+    nve_trajectory,
+)
 from .units import ONE_4PI_EPS0, BOLTZ
 
 __version__ = "0.1.0"
@@ -32,5 +39,6 @@ __all__ = [
     "forces", "forces_manual",
     "BondedParams", "bonded_energy",
     "make_energy_fn", "nve_step", "nve_trajectory",
+    "langevin_step", "langevin_trajectory", "minimize_fire",
     "ONE_4PI_EPS0", "BOLTZ",
 ]

@@ -68,3 +68,87 @@ def nve_trajectory(state: MDState, energy_fn, masses, dt: float, n_steps: int):
         return s, e_tot
 
     return jax.lax.scan(body, state, None, length=n_steps)
+
+
+# ---------------------------------------------------------------------------
+# Langevin (NVT) — BAOAB splitting
+# ---------------------------------------------------------------------------
+
+
+def langevin_step(state: MDState, energy_fn, masses, dt: float,
+                  temperature: float, friction: float, key) -> MDState:
+    """One BAOAB Langevin step (Leimkuhler-Matthews splitting).
+
+    friction in 1/ps, temperature in K.  The O-step noise uses the provided
+    PRNG key; thread keys with jax.random.split in the caller/scan.
+    """
+    from .units import BOLTZ
+
+    inv_m = (1.0 / masses)[:, None]
+    kt = BOLTZ * temperature
+    c1 = jnp.exp(-friction * dt)
+    c2 = jnp.sqrt((1.0 - c1 * c1) * kt)
+
+    v = state.velocities + 0.5 * dt * state.forces * inv_m          # B
+    x = state.positions + 0.5 * dt * v                              # A
+    noise = jax.random.normal(key, v.shape, dtype=v.dtype)
+    v = c1 * v + c2 * jnp.sqrt(inv_m) * noise                       # O
+    x = x + 0.5 * dt * v                                            # A
+    e, g = jax.value_and_grad(energy_fn)(x)
+    f = -g
+    v = v + 0.5 * dt * f * inv_m                                    # B
+    return MDState(x, v, f, e)
+
+
+def langevin_trajectory(state: MDState, energy_fn, masses, dt: float,
+                        temperature: float, friction: float, key,
+                        n_steps: int):
+    """n_steps of BAOAB Langevin; returns (final_state, kinetic energies)."""
+
+    def body(carry, _):
+        s, k = carry
+        k, sub = jax.random.split(k)
+        s = langevin_step(s, energy_fn, masses, dt, temperature, friction, sub)
+        return (s, k), kinetic_energy(s.velocities, masses)
+
+    (final, _), kes = jax.lax.scan(body, (state, key), None, length=n_steps)
+    return final, kes
+
+
+# ---------------------------------------------------------------------------
+# FIRE energy minimization
+# ---------------------------------------------------------------------------
+
+
+def minimize_fire(positions, energy_fn, n_steps: int = 200, dt_start: float = 1e-4,
+                  dt_max: float = 1e-3, alpha_start: float = 0.1):
+    """FIRE (fast inertial relaxation engine) minimization; returns
+    (positions, final_energy).  Entirely on-device (lax.scan)."""
+
+    def force(x):
+        return -jax.grad(energy_fn)(x)
+
+    def body(carry, _):
+        x, v, dt, alpha, n_pos = carry
+        f = force(x)
+        power = jnp.vdot(f, v)
+        v_norm = jnp.sqrt(jnp.vdot(v, v)) + 1e-30
+        f_norm = jnp.sqrt(jnp.vdot(f, f)) + 1e-30
+        v_mixed = (1.0 - alpha) * v + alpha * (f / f_norm) * v_norm
+        uphill = power < 0.0
+        v_new = jnp.where(uphill, jnp.zeros_like(v), v_mixed)
+        n_pos_new = jnp.where(uphill, 0, n_pos + 1)
+        grow = (~uphill) & (n_pos > 5)
+        dt_new = jnp.where(grow, jnp.minimum(dt * 1.1, dt_max),
+                           jnp.where(uphill, dt * 0.5, dt))
+        alpha_new = jnp.where(grow, alpha * 0.99,
+                              jnp.where(uphill, alpha_start, alpha))
+        v_next = v_new + dt_new * f
+        x_next = x + dt_new * v_next
+        return (x_next, v_next, dt_new, alpha_new, n_pos_new), None
+
+    v0 = jnp.zeros_like(positions)
+    init = (positions, v0, jnp.asarray(dt_start, positions.dtype),
+            jnp.asarray(alpha_start, positions.dtype), jnp.asarray(0))
+    (x, *_), _ = jax.lax.scan(body, init, None, length=n_steps)
+    return x, energy_fn(x)

@@ -60,24 +60,14 @@ def _fwd_kernel(cx, sx, cy, sy, zq, a_out, b_out, *, kx, ky, kxy_pad):
     b_out[:, :] += jnp.dot(sxy, zq[:], preferred_element_type=jnp.float32)
 
 
-def _bwd_kernel(cx, sx, cy, sy, zq, abar, bbar,
-                dcx, dsx, dcy, dsy, dzq, *, kx, ky, kxy_pad):
-    # Rebuild the phase tiles (cheap) and push cotangents back.
+def _bwd_tables_kernel(cx, sx, cy, sy, zq, abar, bbar,
+                       dcx, dsx, dcy, dsy, *, kx, ky, kxy_pad):
+    """Cotangents of the per-axis phase tables (VMEM-lean half of the VJP)."""
     cxv, sxv = cx[:], sx[:]                       # [Kx, bn]
     cyv, syv = cy[:], sy[:]                       # [Ky, bn]
-    cxy3 = cxv[:, None, :] * cyv[None, :, :] - sxv[:, None, :] * syv[None, :, :]
-    sxy3 = sxv[:, None, :] * cyv[None, :, :] + cxv[:, None, :] * syv[None, :, :]
     bn = cxv.shape[-1]
-    pad = kxy_pad - kx * ky
 
-    def pad2(t):
-        return jnp.pad(t.reshape(kx * ky, bn), ((0, pad), (0, 0))) if pad \
-            else t.reshape(kx * ky, bn)
-
-    cxy = pad2(cxy3)
-    sxy = pad2(sxy3)
-
-    # dL/dcxy = Ā @ zqᵀ ; dL/dsxy = B̄ @ zqᵀ      [Kxy_pad, bn]
+    # dL/dcxy = A-bar @ zq^T ; dL/dsxy = B-bar @ zq^T      [Kxy_pad, bn]
     gc = jax.lax.dot_general(abar[:], zq[:], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     gs = jax.lax.dot_general(bbar[:], zq[:], (((1,), (1,)), ((), ())),
@@ -85,13 +75,27 @@ def _bwd_kernel(cx, sx, cy, sy, zq, abar, bbar,
     gc3 = gc[:kx * ky].reshape(kx, ky, bn)
     gs3 = gs[:kx * ky].reshape(kx, ky, bn)
 
-    # per-axis table cotangents
     dcx[:, :] = jnp.sum(gc3 * cyv[None, :, :] + gs3 * syv[None, :, :], axis=1)
     dsx[:, :] = jnp.sum(-gc3 * syv[None, :, :] + gs3 * cyv[None, :, :], axis=1)
     dcy[:, :] = jnp.sum(gc3 * cxv[:, None, :] + gs3 * sxv[:, None, :], axis=0)
     dsy[:, :] = jnp.sum(-gc3 * sxv[:, None, :] + gs3 * cxv[:, None, :], axis=0)
 
-    # dL/dzq = cxyᵀ @ Ā + sxyᵀ @ B̄               [bn, 2Kz]
+
+def _bwd_zq_kernel(cx, sx, cy, sy, abar, bbar, dzq, *, kx, ky, kxy_pad):
+    """Cotangent of the charge-folded z table: dzq = cxy^T A-bar + sxy^T B-bar."""
+    cxv, sxv = cx[:], sx[:]
+    cyv, syv = cy[:], sy[:]
+    bn = cxv.shape[-1]
+    pad = kxy_pad - kx * ky
+
+    def pad2(t):
+        return jnp.pad(t.reshape(kx * ky, bn), ((0, pad), (0, 0))) if pad \
+            else t.reshape(kx * ky, bn)
+
+    cxy = pad2(cxv[:, None, :] * cyv[None, :, :]
+               - sxv[:, None, :] * syv[None, :, :])
+    sxy = pad2(sxv[:, None, :] * cyv[None, :, :]
+               + cxv[:, None, :] * syv[None, :, :])
     dzq[:, :] = (
         jax.lax.dot_general(cxy, abar[:], (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -140,22 +144,32 @@ def make_structure_factor_fn(kmax, n_atoms: int, block_n: int = 128):
         )(cxT, sxT, cyT, syT, zq)
 
     def _bwd_impl(cxT, sxT, cyT, syT, zq, abar, bbar):
-        return pl.pallas_call(
-            partial(_bwd_kernel, **kconst),
+        dcx, dsx, dcy, dsy = pl.pallas_call(
+            partial(_bwd_tables_kernel, **kconst),
             grid=(n_blocks,),
             in_specs=[bx(), bx(), by(), by(), bz(), bab(), bab()],
-            out_specs=[bx(), bx(), by(), by(), bz()],
+            out_specs=[bx(), bx(), by(), by()],
             out_shape=[
                 jax.ShapeDtypeStruct((kx, n_pad), jnp.float32),
                 jax.ShapeDtypeStruct((kx, n_pad), jnp.float32),
                 jax.ShapeDtypeStruct((ky, n_pad), jnp.float32),
                 jax.ShapeDtypeStruct((ky, n_pad), jnp.float32),
-                jax.ShapeDtypeStruct((n_pad, kz2), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
             interpret=interpret,
         )(cxT, sxT, cyT, syT, zq, abar, bbar)
+        dzq = pl.pallas_call(
+            partial(_bwd_zq_kernel, **kconst),
+            grid=(n_blocks,),
+            in_specs=[bx(), bx(), by(), by(), bab(), bab()],
+            out_specs=bz(),
+            out_shape=jax.ShapeDtypeStruct((n_pad, kz2), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=interpret,
+        )(cxT, sxT, cyT, syT, abar, bbar)
+        return dcx, dsx, dcy, dsy, dzq
 
     @jax.custom_vjp
     def sf(cxT, sxT, cyT, syT, zq):

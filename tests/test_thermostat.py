@@ -1,0 +1,53 @@
+"""Langevin (BAOAB) thermostat and FIRE minimizer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import chargeflux_tpu as cf
+from chargeflux_tpu.integrate import (
+    init_state,
+    langevin_trajectory,
+    make_energy_fn,
+    minimize_fire,
+)
+from chargeflux_tpu.models import water_bonded_params, water_cluster
+
+
+def _setup(seed=95):
+    force, pos, masses = water_cluster(n_side=2, flux="bond_angle", seed=seed)
+    system = force.create_system(dtype=jnp.float64)
+    bonded = water_bonded_params(8, dtype=jnp.float64)
+    return make_energy_fn(system, bonded), jnp.asarray(pos), jnp.asarray(masses)
+
+
+def test_langevin_equilibrates_near_target_temperature():
+    e_fn, x, m = _setup()
+    target = 100.0
+    state = init_state(x, jnp.zeros_like(x), e_fn)
+    key = jax.random.PRNGKey(0)
+    traj = jax.jit(langevin_trajectory,
+                   static_argnames=("energy_fn", "n_steps"))
+    final, kes = traj(state, energy_fn=e_fn, masses=m, dt=5e-5,
+                      temperature=target, friction=200.0, key=key,
+                      n_steps=4000)
+    n_dof = 3 * x.shape[0]
+    # instantaneous T after equilibration (strong friction, dt * gamma ~ 0.01)
+    temps = 2.0 * np.asarray(kes)[3000:] / (n_dof * cf.BOLTZ)
+    mean_t = float(temps.mean())
+    assert np.isfinite(mean_t)
+    assert 0.6 * target < mean_t < 1.4 * target, mean_t
+
+
+def test_fire_minimization_lowers_energy():
+    e_fn, x, _ = _setup(seed=96)
+    rng = np.random.default_rng(1)
+    x0 = x + 0.01 * rng.standard_normal(x.shape)
+    e0 = float(e_fn(x0))
+    x_min, e_min = jax.jit(minimize_fire, static_argnames=("energy_fn", "n_steps"))(
+        x0, energy_fn=e_fn, n_steps=300)
+    assert float(e_min) < e0
+    # forces shrink
+    f0 = np.abs(np.asarray(jax.grad(e_fn)(x0))).max()
+    f1 = np.abs(np.asarray(jax.grad(e_fn)(x_min))).max()
+    assert f1 < f0

@@ -56,8 +56,10 @@ def _fwd_kernel(cx, sx, cy, sy, zq, a_out, b_out, *, kx, ky, kxy_pad):
     if pad:
         cxy = jnp.pad(cxy, ((0, pad), (0, 0)))
         sxy = jnp.pad(sxy, ((0, pad), (0, 0)))
-    a_out[:, :] += jnp.dot(cxy, zq[:], preferred_element_type=jnp.float32)
-    b_out[:, :] += jnp.dot(sxy, zq[:], preferred_element_type=jnp.float32)
+    a_out[:, :] += jnp.dot(cxy, zq[:], preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    b_out[:, :] += jnp.dot(sxy, zq[:], preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
 
 
 def _bwd_tables_kernel(cx, sx, cy, sy, zq, abar, bbar,
@@ -69,9 +71,11 @@ def _bwd_tables_kernel(cx, sx, cy, sy, zq, abar, bbar,
 
     # dL/dcxy = A-bar @ zq^T ; dL/dsxy = B-bar @ zq^T      [Kxy_pad, bn]
     gc = jax.lax.dot_general(abar[:], zq[:], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
     gs = jax.lax.dot_general(bbar[:], zq[:], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
     gc3 = gc[:kx * ky].reshape(kx, ky, bn)
     gs3 = gs[:kx * ky].reshape(kx, ky, bn)
 
@@ -98,9 +102,11 @@ def _bwd_zq_kernel(cx, sx, cy, sy, abar, bbar, dzq, *, kx, ky, kxy_pad):
                + cxv[:, None, :] * syv[None, :, :])
     dzq[:, :] = (
         jax.lax.dot_general(cxy, abar[:], (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
         + jax.lax.dot_general(sxy, bbar[:], (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32))
+                              preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST))
 
 
 def make_structure_factor_fn(kmax, n_atoms: int, block_n: int = 128):
@@ -113,10 +119,14 @@ def make_structure_factor_fn(kmax, n_atoms: int, block_n: int = 128):
     """
     kmx, kmy, kmz = kmax
     kx = kmx                      # nx in [0, kmax)
-    ky = 2 * kmy - 1
+    ky_real = 2 * kmy - 1
+    # ky padded to a sublane multiple: the in-kernel (kx, ky, bn) ->
+    # (kx*ky, bn) reshape is free only when ky % 8 == 0 (zero-padded table
+    # rows produce zero tile rows and zero structure-factor rows).
+    ky = _ceil_to(ky_real, 8)
     kz2 = 2 * (2 * kmz - 1)
     kxy = kx * ky
-    kxy_pad = _ceil_to(kxy, 8)
+    kxy_pad = kxy
     n_pad = _ceil_to(n_atoms, block_n)
     n_blocks = n_pad // block_n
     interpret = jax.default_backend() != "tpu"

@@ -130,9 +130,17 @@ def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
 
     comps: Dict[str, jax.Array] = {}
     comps["self"] = self_energy(q, spec.alpha)
+    recip_method = spec.recip_method
+    if recip_method == "auto":
+        # The fused Pallas kernel wins on TPU f32 (5.5 vs 8.5 ms at 30k,
+        # and HIGHEST-precision dots); elsewhere (CPU tests, f64 parity)
+        # interpret mode would crawl, so use the XLA matmuls.
+        recip_method = ("pallas" if (jax.default_backend() == "tpu"
+                                     and positions.dtype == jnp.float32)
+                        else "xla")
     comps["reciprocal"] = reciprocal_energy(positions, q, system.box,
                                             spec.alpha, spec.kmax,
-                                            method=spec.recip_method)
+                                            method=recip_method)
     if spec.direct_method == "cell_pallas":
         from .ops.pallas_direct import make_pallas_direct
 

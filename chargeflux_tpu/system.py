@@ -95,9 +95,9 @@ class StaticSpec:
     direct_method: str = "dense"
     cell_grid: Optional[Tuple[int, int, int]] = None
     cell_capacity: Optional[int] = None
-    # Reciprocal-space route: "xla" (factorized matmuls) or "pallas"
-    # (fused tile kernel, ops/pallas_recip.py).
-    recip_method: str = "xla"
+    # Reciprocal-space route: "auto" (pallas on TPU f32, else xla), "xla"
+    # (factorized matmuls) or "pallas" (fused tile kernel).
+    recip_method: str = "auto"
 
 
 # ---------------------------------------------------------------------------
@@ -306,7 +306,7 @@ class CoulForce:
         dtype=jnp.float32,
         direct_method: str = "auto",
         cell_capacity: Optional[int] = None,
-        recip_method: str = "xla",
+        recip_method: str = "auto",
     ) -> ChargeFluxSystem:
         """Compile the builder into an immutable pytree system.
 

@@ -25,9 +25,6 @@ Design choices (scaling-book style):
 
 from __future__ import annotations
 
-import math
-from functools import partial
-
 import numpy as np
 
 import jax

@@ -32,6 +32,24 @@ def test_cell_list_binning_covers_all_atoms():
     assert validate_cell_list(x, system) == 0
 
 
+def test_cell_list_overflow_detection():
+    """Atoms beyond a cell's capacity are dropped and reported — the failure
+    detection the reference entirely lacks (SURVEY §5)."""
+    import chargeflux_tpu.cells as c
+
+    force, pos, _, box = water_box(n_side=4, flux="bond_angle", cutoff=0.62,
+                                   density_spacing=0.62, seed=14)
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell", cell_capacity=2)
+    x = jnp.asarray(pos)
+    dropped = c.validate_cell_list(x, system)
+    assert dropped > 0
+    # and a roomy capacity drops nothing
+    system2 = force.create_system(box=box, dtype=jnp.float64,
+                                  direct_method="cell")
+    assert c.validate_cell_list(x, system2) == 0
+
+
 def test_neighbor_table_shape_and_wrap():
     tbl = neighbor_cell_table((3, 4, 5))
     assert tbl.shape == (60, 27)

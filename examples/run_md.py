@@ -7,8 +7,11 @@ state, and reports energy conservation.
     python examples/run_md.py [n_side] [n_steps]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 

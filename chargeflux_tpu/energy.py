@@ -92,6 +92,48 @@ def _dense_pair_energy(positions, q, system: ChargeFluxSystem):
     return jnp.sum(jnp.where(mask, coul + lj, 0.0))
 
 
+def _excl_pair_energy(r, inv_r, qq, half_sig, eps, spec, subtract_direct):
+    """Per-pair exclusion correction: always -erf(ar)/r Coulomb; with
+    ``subtract_direct`` also remove the erfc/r + LJ the in-cutoff direct walk
+    counted."""
+    erfc_ar = erfc_fast(spec.alpha * r)
+    e = -ONE_4PI_EPS0 * qq * inv_r * (1.0 - erfc_ar)         # -erf(ar)/r
+    if subtract_direct:
+        in_cut = r < spec.cutoff
+        direct = ONE_4PI_EPS0 * qq * inv_r * erfc_ar + _lj_pair_terms(half_sig, eps, inv_r)
+        e = e - jnp.where(in_cut, direct, 0.0)
+    return jnp.sum(e)
+
+
+def _template_exclusion_correction(positions, q, system: ChargeFluxSystem,
+                                   subtract_direct: bool):
+    """Gather-free exclusion correction for template systems: atom data
+    reshapes to [C, s] and pairs index molecule slots with static slices
+    (same trick as charges._template_effective_charges)."""
+    spec = system.spec
+    tpl = spec.excl_template
+    dtype = positions.dtype
+    off, s, c = tpl.offset, tpl.stride, tpl.count
+    sl = slice(off, off + c * s)
+    pos_m = positions[sl].reshape(c, s, 3)
+    q_m = q[sl].reshape(c, s)
+    sig_m = system.sigma[sl].astype(dtype).reshape(c, s)
+    eps_m = system.epsilon[sl].astype(dtype).reshape(c, s)
+
+    total = jnp.zeros((), dtype)
+    for (l1, l2) in tpl.local_rows("exclusions"):
+        d = displacement(pos_m[:, l1], pos_m[:, l2], system.box, spec.pbc)
+        r2 = jnp.sum(d * d, axis=-1)
+        inv_r = jax.lax.rsqrt(r2)
+        r = r2 * inv_r
+        qq = q_m[:, l1] * q_m[:, l2]
+        half_sig = 0.5 * (sig_m[:, l1] + sig_m[:, l2])
+        eps = 4.0 * jnp.sqrt(eps_m[:, l1] * eps_m[:, l2])
+        total = total + _excl_pair_energy(r, inv_r, qq, half_sig, eps,
+                                          spec, subtract_direct)
+    return total
+
+
 def _exclusion_correction(positions, q, system: ChargeFluxSystem,
                           subtract_direct: bool):
     """Energy correction for excluded pairs under PBC.
@@ -106,17 +148,15 @@ def _exclusion_correction(positions, q, system: ChargeFluxSystem,
     if system.n_exclusions == 0:
         return jnp.zeros((), dtype=positions.dtype)
     spec = system.spec
+    if spec.excl_template is not None:
+        return _template_exclusion_correction(positions, q, system,
+                                              subtract_direct)
     idx_i = system.exclusions[:, 0]
     idx_j = system.exclusions[:, 1]
     _, r, inv_r, half_sig, eps = _pair_quantities(positions, system, idx_i, idx_j)
     qq = q[idx_i] * q[idx_j]
-    erfc_ar = erfc_fast(spec.alpha * r)
-    e = -ONE_4PI_EPS0 * qq * inv_r * (1.0 - erfc_ar)         # -erf(ar)/r
-    if subtract_direct:
-        in_cut = r < spec.cutoff
-        direct = ONE_4PI_EPS0 * qq * inv_r * erfc_ar + _lj_pair_terms(half_sig, eps, inv_r)
-        e = e - jnp.where(in_cut, direct, 0.0)
-    return jnp.sum(e)
+    return _excl_pair_energy(r, inv_r, qq, half_sig, eps, spec,
+                             subtract_direct)
 
 
 def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,

@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .topology import MoleculeTemplate, detect_template
+
 
 # ---------------------------------------------------------------------------
 # Ewald parameter derivation (trace-time, pure Python)
@@ -98,6 +100,11 @@ class StaticSpec:
     # Reciprocal-space route: "auto" (pallas on TPU f32, else xla), "xla"
     # (factorized matmuls) or "pallas" (fused tile kernel).
     recip_method: str = "auto"
+    # Detected repeating molecular structure (topology.py); enables the
+    # gather/scatter-free template paths for flux charges and exclusions.
+    # None when the system's term indices don't form a repeating pattern.
+    flux_template: Optional["MoleculeTemplate"] = None
+    excl_template: Optional["MoleculeTemplate"] = None
 
 
 # ---------------------------------------------------------------------------
@@ -371,17 +378,15 @@ class CoulForce:
                 else:
                     capacity = int(cell_capacity)
 
-        spec = StaticSpec(
-            pbc=self._pbc,
-            cutoff=self._cutoff,
-            ewald_tol=self._ewald_tol,
-            alpha=alpha,
-            kmax=kmax,
-            direct_method=method,
-            cell_grid=grid,
-            cell_capacity=capacity,
-            recip_method=recip_method,
-        )
+        if self._pbc and self._cutoff > float(np.min(box_arr)) / 2 and \
+                method == "dense":
+            import warnings
+            warnings.warn(
+                f"cutoff {self._cutoff} exceeds min(box)/2 = "
+                f"{float(np.min(box_arr)) / 2:.4g}; the dense min-image sum "
+                f"counts only the nearest periodic image of each pair "
+                f"(the reference relies on OpenMM to reject this case)",
+                stacklevel=2)
 
         def arr(x, dt=dtype):
             return jnp.asarray(np.asarray(x, dtype=np.float64), dtype=dt)
@@ -394,6 +399,50 @@ class CoulForce:
         bonds = self._bonds
         angles = self._angles
         waters = self._waters
+
+        # Molecule-template detection (topology.py): when term indices form a
+        # repeating per-molecule pattern, reorder term arrays molecule-major
+        # and record the template so charges/exclusions take the
+        # gather/scatter-free reshape path.  Order within a term type is not
+        # observable (sums are permutation-invariant); the builder keeps the
+        # user's order for the get*Parameters API.
+        flux_template = None
+        det = detect_template({
+            "bonds": np.asarray([[b[0], b[1]] for b in bonds],
+                                dtype=np.int64).reshape(len(bonds), 2),
+            "angles": np.asarray([[a[0], a[1], a[2]] for a in angles],
+                                 dtype=np.int64).reshape(len(angles), 3),
+            "waters": np.asarray([[w[0], w[1], w[2]] for w in waters],
+                                 dtype=np.int64).reshape(len(waters), 3),
+        }, n_atoms=n)
+        if det is not None:
+            flux_template, perms = det
+            bonds = [bonds[i] for i in perms["bonds"]]
+            angles = [angles[i] for i in perms["angles"]]
+            waters = [waters[i] for i in perms["waters"]]
+
+        excl_template = None
+        det = detect_template({
+            "exclusions": np.asarray([list(e) for e in excl],
+                                     dtype=np.int64).reshape(len(excl), 2),
+        }, n_atoms=n)
+        if det is not None:
+            excl_template, perms = det
+            excl = [excl[i] for i in perms["exclusions"]]
+
+        spec = StaticSpec(
+            pbc=self._pbc,
+            cutoff=self._cutoff,
+            ewald_tol=self._ewald_tol,
+            alpha=alpha,
+            kmax=kmax,
+            direct_method=method,
+            cell_grid=grid,
+            cell_capacity=capacity,
+            recip_method=recip_method,
+            flux_template=flux_template,
+            excl_template=excl_template,
+        )
 
         return ChargeFluxSystem(
             q0=arr(self._charges),

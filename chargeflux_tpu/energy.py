@@ -172,15 +172,24 @@ def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
     comps["self"] = self_energy(q, spec.alpha)
     recip_method = spec.recip_method
     if recip_method == "auto":
-        # The fused Pallas kernel wins on TPU f32 (5.5 vs 8.5 ms at 30k,
-        # and HIGHEST-precision dots); elsewhere (CPU tests, f64 parity)
-        # interpret mode would crawl, so use the XLA matmuls.
+        # On TPU f32 the fused classical-Ewald Pallas kernel currently wins
+        # (2.8 ms vs 6.2 ms for the dense-separable PME spread at 30k — the
+        # [N, G] column contraction is HBM-bound; the cell-blocked PME
+        # spread will flip this default).  Elsewhere (CPU tests, f64 parity
+        # vs the oracle's classical sum) use the XLA classical matmuls.
         recip_method = ("pallas" if (jax.default_backend() == "tpu"
                                      and positions.dtype == jnp.float32)
                         else "xla")
-    comps["reciprocal"] = reciprocal_energy(positions, q, system.box,
-                                            spec.alpha, spec.kmax,
-                                            method=recip_method)
+    if recip_method == "pme":
+        from .pme import pme_reciprocal_energy
+
+        comps["reciprocal"] = pme_reciprocal_energy(
+            positions, q, system.box, spec.alpha, spec.pme_grid,
+            spec.pme_order)
+    else:
+        comps["reciprocal"] = reciprocal_energy(positions, q, system.box,
+                                                spec.alpha, spec.kmax,
+                                                method=recip_method)
     if spec.direct_method == "cell_pallas":
         from .ops.pallas_direct import make_pallas_direct
 

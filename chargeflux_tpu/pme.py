@@ -1,0 +1,231 @@
+"""Smooth particle-mesh Ewald (SPME) reciprocal space — TPU-first.
+
+Replaces the classical O(N*K) k-space sum (the reference's brute-force
+reciprocal loops, ReferenceCoulKernels.cpp:519-556 / PBCForce.cu:841-950,
+and ewald.py's MXU-factorized equivalent) with the O(N + G^3 log G) SPME
+algorithm (Essmann et al., J. Chem. Phys. 103, 8577 (1995)):
+
+    E_rec = (2 pi k_e / V) sum_{m != 0} exp(-k^2/4a^2)/k^2 * |b1 b2 b3|^2 |Q^(m)|^2
+
+where Q is the charge grid spread with cardinal B-splines of order p and
+Q^ = FFT(Q).
+
+TPU-native design decisions (all measured on v5e, tools/microbench.py):
+
+* **No scatter spread.**  The canonical p^3-point scatter-add spread costs
+  ~7 ns/element through XLA on TPU (2M points at 30k atoms = 14.5 ms —
+  dead).  Instead the spread is *dense separable*: per-axis weight matrices
+  W[i, g] = M_p((u_i - g) mod G) (mostly zeros, but dense [N, G] arrays),
+  and  Q[x,y,z] = sum_i q_i Wx[i,x] Wy[i,y] Wz[i,z]  contracted column-block
+  by column-block on the MXU (0.21 ms for the 30k shape).  MXU FLOPs are
+  ~100x cheaper than scattered elements, so burning G/p extra FLOPs to stay
+  dense is the right trade.  Bonus: the spline order p is *free* (it only
+  changes the weight table values, not the contraction), so accuracy is
+  cheap — we default to p=6.
+* The periodic wrap is (u - g) mod G inside the spline argument — no index
+  arithmetic, and autodiff through the piecewise-polynomial recursion gives
+  exact forces (forces are the exact gradient of the computed energy).
+* FFTs are effectively free on TPU (64^3 round trip = 0.07 ms) — the XLA
+  FFT op does the heavy lifting.
+* f32 matmuls pin DotAlgorithmPreset.BF16_BF16_F32_X3 (the default TPU f32
+  matmul downcasts to bf16: 3.8e-3 relative force error, 38x budget).
+
+Complexity: O(N*G*(3 + G^2/CB... )) arithmetic but on the MXU; memory
+O(N*G).  The dense-separable contraction is O(N G^3) MAC — at 100k atoms /
+96^3 grid that is 87 GMAC (sub-ms on a v5e chip), and it removes every
+gather/scatter from the reciprocal path.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .units import ONE_4PI_EPS0
+
+DEFAULT_ORDER = 6
+
+# column-block width for the spread contraction (x columns per MXU pass)
+_COL_BLOCK = 8
+
+
+def good_fft_size(n: int) -> int:
+    """Smallest size >= n whose factors are all 2, 3 or 5 (fast XLA FFT)."""
+    while True:
+        m = n
+        for f in (2, 3, 5):
+            while m % f == 0:
+                m //= f
+        if m == 1:
+            return n
+        n += 1
+
+
+# Measured prefactors of the PME force-error law  relF ~= C_p (alpha h)^p
+# (f64 force RMSE vs converged classical Ewald on a water box,
+# tools/calibrate_pme.py).
+_ERR_PREFACTOR = {4: 0.26, 6: 0.06, 8: 0.027}
+
+
+def pme_grid_size(box, alpha: float, tol: float,
+                  order: int = DEFAULT_ORDER) -> Tuple[int, int, int]:
+    """Per-axis mesh size for a target relative force error ``tol``.
+
+    Calibrated against measured f64 force RMSE vs the converged classical
+    Ewald sum (tools/calibrate_pme.py): relF ~= C_p (alpha h)^p with h the
+    mesh spacing, solved for h with a 2x safety margin and rounded up to an
+    FFT-friendly size.
+    """
+    c = 2.0 * _ERR_PREFACTOR.get(order, 0.3)
+    h = (tol / c) ** (1.0 / order) / alpha
+    out = []
+    for L in np.asarray(box, dtype=np.float64):
+        n = max(int(math.ceil(float(L) / h)), 2 * order)
+        out.append(good_fft_size(n))
+    return tuple(out)
+
+
+def bspline(t: jax.Array, order: int) -> jax.Array:
+    """Cardinal B-spline M_p(t), support (0, p), via the stable recursion
+    M_n(t) = [t M_{n-1}(t) + (n - t) M_{n-1}(t - 1)] / (n - 1).
+
+    Piecewise polynomial; autodiff gives the exact derivative a.e. (the
+    kinks land on grid nodes, a measure-zero set).
+    """
+    # M_p(t) needs M_{n-1} at both t and t-1; build bottom-up on a stack of
+    # shifted arguments: level j holds M_n(t - j).
+    base = [jnp.maximum(0.0, 1.0 - jnp.abs(t - 1.0 - j))   # M_2(t - j)
+            for j in range(order - 1)]
+    level = base
+    for n in range(3, order + 1):
+        nxt = []
+        for j in range(len(level) - 1):
+            tj = t - j
+            nxt.append((tj * level[j] + (n - tj) * level[j + 1]) / (n - 1))
+        level = nxt
+    return level[0]
+
+
+def spread_weights(u: jax.Array, grid_n: int, order: int) -> jax.Array:
+    """Dense per-axis spread weights W[i, g] = M_p((u_i - g) mod G).
+
+    ``u`` is the fractional coordinate scaled to [0, G).  The mod makes the
+    periodic wrap automatic; entries outside the spline support are exactly
+    zero.
+    """
+    g = jnp.arange(grid_n, dtype=u.dtype)
+    t = u[:, None] - g[None, :]
+    t = t - grid_n * jnp.floor(t / grid_n)          # (u - g) mod G in [0, G)
+    return bspline(t, order)
+
+
+def _bspline_dft_sq(grid_n: int, order: int) -> np.ndarray:
+    """|b(m)|^2 Euler factors, numpy [G] (static, f64)."""
+    j = np.arange(order - 1)
+
+    # M_p at the integer nodes 1..p-1 via the scalar recursion
+    def m_n(n, t):
+        if n == 2:
+            return max(0.0, 1.0 - abs(t - 1.0))
+        return (t * m_n(n - 1, t) + (n - t) * m_n(n - 1, t - 1.0)) / (n - 1)
+    nodes = np.array([m_n(order, float(k + 1)) for k in j])
+    m = np.arange(grid_n)
+    ph = np.exp(2j * np.pi * m[:, None] * j[None, :] / grid_n)
+    denom = ph @ nodes
+    return 1.0 / np.maximum(np.abs(denom) ** 2, 1e-300)
+
+
+def influence_function(grid: Tuple[int, int, int], box: jax.Array,
+                       alpha: float, order: int,
+                       dtype=jnp.float64) -> jax.Array:
+    """Real rFFT-space influence function D [Gx, Gy, Gz//2+1] such that
+    E_rec = sum(D * |Q^|^2).
+
+    Folds in (2 pi k_e / V), the Ewald kernel, the B-spline Euler factors
+    and the rFFT half-space double-count weights; origin masked to zero.
+    ``box`` may be traced (it enters only through k = 2 pi m / L — cheap
+    elementwise work on the G^3/2 grid).
+    """
+    gx, gy, gz = grid
+    vol = box[0] * box[1] * box[2]
+
+    def ifreqs(n):
+        return np.fft.fftfreq(n, d=1.0 / n)          # signed integer freqs
+
+    two_pi = 2.0 * math.pi
+    kx = (two_pi * jnp.asarray(ifreqs(gx), dtype) / box[0])[:, None, None]
+    ky = (two_pi * jnp.asarray(ifreqs(gy), dtype) / box[1])[None, :, None]
+    kz = (two_pi * jnp.asarray(np.arange(gz // 2 + 1), dtype)
+          / box[2])[None, None, :]
+    k2 = kx * kx + ky * ky + kz * kz
+    origin = np.zeros((gx, gy, gz // 2 + 1), dtype=bool)
+    origin[0, 0, 0] = True
+    k2s = jnp.where(jnp.asarray(origin), 1.0, k2)
+    kern = jnp.where(jnp.asarray(origin), 0.0,
+                     jnp.exp(-k2s * (0.25 / (alpha * alpha))) / k2s)
+
+    bx = _bspline_dft_sq(gx, order)[:, None, None]
+    by = _bspline_dft_sq(gy, order)[None, :, None]
+    bz = _bspline_dft_sq(gz, order)[: (gz // 2 + 1)][None, None, :]
+
+    wz = np.full(gz // 2 + 1, 2.0)
+    wz[0] = 1.0
+    if gz % 2 == 0:
+        wz[-1] = 1.0
+    static = jnp.asarray(bx * by * bz * wz[None, None, :], dtype)
+    const = two_pi * ONE_4PI_EPS0 / vol
+    return const * kern * static
+
+
+def _spread_grid(wx, wy, wz, q, dtype):
+    """Q[x, y, z] = sum_i q_i Wx[i,x] Wy[i,y] Wz[i,z] via column-blocked MXU
+    matmuls (no scatter).  wx/wy/wz: [N, G*]."""
+    if dtype == jnp.float32:
+        prec = jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3
+    else:
+        prec = None
+    dot = partial(jnp.matmul, preferred_element_type=dtype, precision=prec)
+    gx = wx.shape[1]
+    cb = _COL_BLOCK
+    nb = max(g for g in range(1, cb + 1) if gx % g == 0)  # divisor <= cb
+    cwx = (q[:, None] * wx).T.reshape(gx // nb, nb, -1)   # [XB, nb, N]
+
+    def one(block):
+        # [nb, N] columns: (Wy * col).T @ Wz for each col in the block
+        def col(c):
+            return dot((wy * c[:, None]).T, wz)           # [Gy, Gz]
+        return jax.vmap(col)(block)                       # [nb, Gy, Gz]
+
+    blocks = jax.lax.map(one, cwx)                        # [XB, nb, Gy, Gz]
+    return blocks.reshape(gx, wy.shape[1], wz.shape[1])
+
+
+def pme_reciprocal_energy(positions: jax.Array, q: jax.Array, box: jax.Array,
+                          alpha: float, grid: Tuple[int, int, int],
+                          order: int = DEFAULT_ORDER) -> jax.Array:
+    """SPME reciprocal-space energy; forces/dedq come from jax.grad.
+
+    Drop-in replacement for ewald.reciprocal_energy (same Ewald splitting
+    alpha, same self/direct/exclusion companions) with O(N + G^3 log G)
+    cost and accuracy set by (grid, order) — see pme_grid_size.
+    """
+    dtype = positions.dtype
+    gx, gy, gz = grid
+    frac = positions / box
+    frac = frac - jax.lax.stop_gradient(jnp.floor(frac))
+    u = frac * jnp.asarray(np.asarray(grid), dtype)
+
+    wx = spread_weights(u[:, 0], gx, order)
+    wy = spread_weights(u[:, 1], gy, order)
+    wz = spread_weights(u[:, 2], gz, order)
+
+    qgrid = _spread_grid(wx, wy, wz, q.astype(dtype), dtype)
+    qhat = jnp.fft.rfftn(qgrid)
+    d = influence_function(grid, box, alpha, order, dtype)
+    return jnp.sum(d * (qhat.real * qhat.real + qhat.imag * qhat.imag))

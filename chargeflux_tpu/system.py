@@ -97,9 +97,14 @@ class StaticSpec:
     direct_method: str = "dense"
     cell_grid: Optional[Tuple[int, int, int]] = None
     cell_capacity: Optional[int] = None
-    # Reciprocal-space route: "auto" (pallas on TPU f32, else xla), "xla"
-    # (factorized matmuls) or "pallas" (fused tile kernel).
+    # Reciprocal-space route: "auto" (PME on TPU f32, else xla), "xla"
+    # (classical Ewald, factorized matmuls), "pallas" (classical, fused tile
+    # kernel) or "pme" (smooth particle-mesh Ewald, pme.py).
     recip_method: str = "auto"
+    # SPME mesh (per axis) and B-spline order; derived from (box, alpha,
+    # ewald_tol) at build time.  None when pbc is False.
+    pme_grid: Optional[Tuple[int, int, int]] = None
+    pme_order: int = 6
     # Detected repeating molecular structure (topology.py); enables the
     # gather/scatter-free template paths for flux charges and exclusions.
     # None when the system's term indices don't form a repeating pattern.
@@ -337,10 +342,16 @@ class CoulForce:
             box_arr = np.asarray(box, dtype=np.float64).reshape(3)
             alpha = ewald_alpha(self._cutoff, self._ewald_tol)
             kmax = ewald_kmax(tuple(box_arr), alpha, self._ewald_tol)
+            from .pme import DEFAULT_ORDER, pme_grid_size
+            pme_order = DEFAULT_ORDER
+            pme_grid = pme_grid_size(box_arr, alpha, self._ewald_tol,
+                                     pme_order)
         else:
             box_arr = np.zeros(3, dtype=np.float64)
             alpha = None
             kmax = None
+            pme_grid = None
+            pme_order = 6
 
         # Direct-space method selection (trace-time static).
         grid = None
@@ -440,6 +451,8 @@ class CoulForce:
             cell_grid=grid,
             cell_capacity=capacity,
             recip_method=recip_method,
+            pme_grid=pme_grid,
+            pme_order=pme_order,
             flux_template=flux_template,
             excl_template=excl_template,
         )

@@ -1,0 +1,145 @@
+"""Smooth particle-mesh Ewald (pme.py) vs the classical Ewald sum.
+
+The classical factorized sum (ewald.py, f64) is the converged reference;
+PME must land within the tolerance its grid heuristic promises, forces must
+be the exact gradient of the computed energy, and the f32 production paths
+must hold the <=1e-4 force-RMSE budget vs f64 (VERDICT r1 item 7).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chargeflux_tpu.charges import effective_charges
+from chargeflux_tpu.energy import _energy, _energy_and_forces
+from chargeflux_tpu.ewald import reciprocal_energy
+from chargeflux_tpu.models import water_box
+from chargeflux_tpu.pme import (bspline, good_fft_size, pme_grid_size,
+                                pme_reciprocal_energy)
+
+
+@pytest.fixture(scope="module")
+def box4():
+    force, pos, _, box = water_box(n_side=4, flux="bond_angle", seed=9)
+    system = force.create_system(box=box, dtype=jnp.float64)
+    x = jnp.asarray(pos)
+    q = effective_charges(x, system)
+    return system, x, q, jnp.asarray(box)
+
+
+def test_bspline_partition_of_unity():
+    # sum_j M_p(t + j) = 1 on the support for any fractional offset
+    for order in (4, 6, 8):
+        t = jnp.asarray(np.linspace(0.0, 1.0, 17, endpoint=False))
+        vals = sum(bspline(t + j, order) for j in range(order))
+        np.testing.assert_allclose(np.asarray(vals), 1.0, atol=1e-12)
+
+
+def test_good_fft_size():
+    assert [good_fft_size(n) for n in (1, 7, 11, 63, 65, 97)] == \
+        [1, 8, 12, 64, 72, 100]
+
+
+def test_pme_energy_matches_classical(box4):
+    system, x, q, b = box4
+    alpha = system.spec.alpha
+    e_ref = float(reciprocal_energy(x, q, b, alpha, (33, 33, 33)))
+    for tol in (1e-4, 1e-6):
+        grid = pme_grid_size(np.asarray(b), alpha, tol)
+        e = float(pme_reciprocal_energy(x, q, b, alpha, grid))
+        assert abs(e - e_ref) / abs(e_ref) < tol, (tol, grid)
+
+
+def test_pme_forces_match_classical_within_tol(box4):
+    system, x, q, b = box4
+    alpha = system.spec.alpha
+    g_ref = np.asarray(jax.grad(
+        lambda xx: reciprocal_energy(xx, q, b, alpha, (33, 33, 33)))(x))
+    rms = np.sqrt(np.mean(g_ref ** 2))
+    for tol in (1e-4, 1e-6):
+        grid = pme_grid_size(np.asarray(b), alpha, tol)
+        g = np.asarray(jax.grad(
+            lambda xx: pme_reciprocal_energy(xx, q, b, alpha, grid))(x))
+        assert np.sqrt(np.mean((g - g_ref) ** 2)) / rms < tol, (tol, grid)
+
+
+def test_pme_grad_matches_finite_differences(box4):
+    system, x, q, b = box4
+    alpha = system.spec.alpha
+    grid = pme_grid_size(np.asarray(b), alpha, 1e-5)
+    f = lambda xx: pme_reciprocal_energy(xx, q, b, alpha, grid)  # noqa: E731
+    g = np.asarray(jax.grad(f)(x))
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(x.shape)
+    v /= np.linalg.norm(v)
+    h = 1e-6
+    fd = (float(f(x + h * v)) - float(f(x - h * v))) / (2 * h)
+    np.testing.assert_allclose(np.sum(g * np.asarray(v)), fd,
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_pme_dedq_consistent(box4):
+    """dE/dq through the spread must match the classical dE/dq."""
+    system, x, q, b = box4
+    alpha = system.spec.alpha
+    grid = pme_grid_size(np.asarray(b), alpha, 1e-6)
+    d_pme = np.asarray(jax.grad(
+        lambda qq: pme_reciprocal_energy(x, qq, b, alpha, grid))(q))
+    d_ref = np.asarray(jax.grad(
+        lambda qq: reciprocal_energy(x, qq, b, alpha, (33, 33, 33)))(q))
+    scale = np.sqrt(np.mean(d_ref ** 2))
+    assert np.sqrt(np.mean((d_pme - d_ref) ** 2)) / scale < 1e-6
+
+
+def test_total_energy_with_pme_route(box4):
+    """recip_method='pme' through the full engine vs the converged classical
+    route (kmax bumped well past the heuristic).  Tolerances scale with the
+    reciprocal-space energy (~260 kJ/mol here), not the total (which is
+    cancellation-prone on this small box)."""
+    system, x, _, _ = box4
+    sys_ref = dataclasses.replace(
+        system, spec=dataclasses.replace(system.spec, kmax=(17, 17, 17)))
+    sys_pme = dataclasses.replace(
+        system, spec=dataclasses.replace(system.spec, recip_method="pme"))
+    e_ref, f_ref = _energy_and_forces(x, sys_ref)
+    e, f = _energy_and_forces(x, sys_pme)
+    assert abs(float(e) - float(e_ref)) < 0.1  # ~3e-4 of E_rec
+    rms = np.sqrt(np.mean(np.asarray(f_ref) ** 2))
+    err = np.sqrt(np.mean((np.asarray(f) - np.asarray(f_ref)) ** 2)) / rms
+    assert err < 1e-4
+
+
+@pytest.mark.parametrize("recip", ["xla", "pme"])
+def test_f32_force_rmse_budget(recip):
+    """f32 production path force RMSE vs f64 classical: <=1e-4 relative.
+
+    Pins the BF16_BF16_F32_X3 precision choice (ewald.py / pme.py) — fails
+    if anyone drops the precision pin (VERDICT r1 weak item 6).
+    """
+    force, pos, _, box = water_box(n_side=7, flux="bond_angle", cutoff=0.65,
+                                   seed=13)
+    sys64 = force.create_system(box=box, dtype=jnp.float64,
+                                direct_method="cell")
+    x64 = jnp.asarray(pos, jnp.float64)
+    _, f64 = _energy_and_forces(x64, sys64)
+    rms = np.sqrt(np.mean(np.asarray(f64) ** 2))
+
+    sys32 = force.create_system(box=box, dtype=jnp.float32,
+                                direct_method="cell", recip_method=recip)
+    x32 = jnp.asarray(pos, jnp.float32)
+    _, f32 = _energy_and_forces(x32, sys32)
+    err = np.sqrt(np.mean((np.asarray(f32, np.float64)
+                           - np.asarray(f64)) ** 2)) / rms
+    assert err < 1e-4, err
+
+
+def test_heuristic_grid_reasonable():
+    grid = pme_grid_size(np.array([6.8354] * 3), 3.2427, 1e-4)
+    assert all(40 <= g <= 96 for g in grid)
+    # finer tolerance -> finer grid
+    finer = pme_grid_size(np.array([6.8354] * 3), 3.2427, 1e-6)
+    assert all(f > g for f, g in zip(finer, grid))

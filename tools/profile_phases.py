@@ -80,6 +80,11 @@ def main():
     phases["direct"] = grad_phase(
         lambda x: cells.cell_list_direct_energy(x, q0, system))
 
+    from chargeflux_tpu.pme import pme_reciprocal_energy
+    phases["recip_pme"] = grad_phase(
+        lambda x: pme_reciprocal_energy(x, q0, system.box, spec.alpha,
+                                        spec.pme_grid, spec.pme_order))
+
     def binning(x):
         slots, ov = cells.build_cell_list(x, system.box, spec.cell_grid,
                                           spec.cell_capacity)

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
+from typing import NamedTuple
 
 import numpy as np
 
@@ -82,12 +83,17 @@ def half_shell_tables(grid):
 
 
 @partial(jax.jit, static_argnums=(2, 3))
-def build_cell_list(positions: jax.Array, box: jax.Array, grid, capacity: int):
-    """Bin atoms into cells.  Returns (slots [n_cells, capacity] int32 with
-    sentinel N for empty, overflow count [scalar int32]).
+def build_cell_list_full(positions: jax.Array, box: jax.Array, grid,
+                         capacity: int):
+    """Bin atoms into cells.  Returns (slots, inv_slot, overflow):
 
-    Overflow (more atoms in a cell than capacity) drops atoms; callers must
-    check the returned count (see :func:`validate_cell_list`).
+    * slots [n_cells, capacity] int32 — slot -> atom id, sentinel N empty;
+    * inv_slot [N] int32 — atom -> flat slot index, sentinel n_cells*capacity
+      for atoms dropped by overflow.  The inverse permutation turns the
+      backward pass of the block gather into another (fast, row-wise)
+      gather instead of a scatter;
+    * overflow [scalar int32] — count of dropped atoms; the energy path
+      poisons the result to NaN when nonzero.
     """
     n = positions.shape[0]
     gvec = jnp.asarray(np.asarray(grid), dtype=positions.dtype)
@@ -119,11 +125,31 @@ def build_cell_list(positions: jax.Array, box: jax.Array, grid, capacity: int):
         flat_slot = sorted_cid * capacity + rank
         atom_ids = order.astype(jnp.int32)
 
-    slots = jnp.full((n_cells * capacity,), n, dtype=jnp.int32)
-    slots = slots.at[jnp.where(ok, flat_slot, n_cells * capacity)].set(
-        atom_ids, mode="drop")
+    sentinel = n_cells * capacity
+    slot_of = jnp.where(ok, flat_slot, sentinel).astype(jnp.int32)
+    slots = jnp.full((sentinel,), n, dtype=jnp.int32)
+    slots = slots.at[slot_of].set(atom_ids, mode="drop")
     overflow = jnp.sum(~ok).astype(jnp.int32)
-    return slots.reshape(n_cells, capacity), overflow
+    # inv_slot in ORIGINAL atom order (the one-hot branch already is; the
+    # sort branch needs the permutation inverted)
+    if n * n_cells <= 64_000_000:
+        inv_slot = slot_of
+    else:
+        inv_slot = jnp.full((n,), sentinel, jnp.int32).at[atom_ids].set(
+            slot_of, mode="drop")
+    return slots.reshape(n_cells, capacity), inv_slot, overflow
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def build_cell_list(positions: jax.Array, box: jax.Array, grid, capacity: int):
+    """Bin atoms into cells.  Returns (slots [n_cells, capacity] int32 with
+    sentinel N for empty, overflow count [scalar int32]).
+
+    Overflow (more atoms in a cell than capacity) drops atoms; callers must
+    check the returned count (see :func:`validate_cell_list`).
+    """
+    slots, _, overflow = build_cell_list_full(positions, box, grid, capacity)
+    return slots, overflow
 
 
 def validate_cell_list(positions, system) -> int:
@@ -242,40 +268,102 @@ def cell_rows_direct_energy(positions, q, system, slots, nbr_ids, offsets,
     return total
 
 
-def cell_roll_direct_energy(positions: jax.Array, q: jax.Array, system) -> jax.Array:
-    """Roll-based direct-space sum — the fast single-device XLA path.
+class CellBlocks(NamedTuple):
+    """Differentiable cell-major block arrays, all [gx, gy, gz, cap].
 
-    Cell-major data lives on the 3D grid [gx, gy, gz, cap]; the j-side slab
-    for a neighbor shift (dx, dy, dz) is ``jnp.roll`` of the i-side arrays
-    plus a *static* boundary image offset per axis.  No gathers inside the
-    shift loop — and since the transpose of roll is roll, the backward pass
-    has no scatters either (the autodiff-of-gather scatter-adds are what
-    made the row-gather variant slow).  Half-shell: 13 rolled shifts plus
-    the self cell with id_i < id_j.
+    ``x/y/z`` are box-wrapped absolute coordinates; ``q`` effective charges;
+    ``hs`` half-sigma and ``se`` 2*sqrt(eps) LJ prefactors.  Empty slots hold
+    zeros.  Produced by :func:`blockify` — the ONE gather (and, in the
+    backward pass, the ONE scatter) of the cell route, shared by the direct
+    walk and the cell-blocked PME spread.
+    """
+
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    q: jax.Array
+    hs: jax.Array
+    se: jax.Array
+
+
+def blockify(positions: jax.Array, q: jax.Array, system, slots: jax.Array,
+             inv_slot: jax.Array):
+    """Gather atom data into cell-major blocks with a hand-written VJP.
+
+    TPU gathers are ~50x faster when they move contiguous lane-aligned rows
+    than when they move scalar columns (measured, tools/microbench.py
+    'gathers'), so both directions move ONE [*, 8] row table:
+
+    * forward — gather the padded [N+1, 8] atom table (x y z q hs se 0 0)
+      by slot -> atom;
+    * backward — because ``slots`` is a permutation, the transpose is not a
+      scatter: gather the [S+1, 8] cotangent table by the *inverse*
+      permutation (atom -> slot).  7x faster than the row scatter-add, 17x
+      faster than per-field scatters.
+
+    The constant LJ prefactors get no cotangent (engine contract: no
+    parameter gradients through the direct space).  Centralizing the layout
+    change here means more block consumers (PME, future kernels) cost no
+    extra gathers.
     """
     spec = system.spec
     gx, gy, gz = spec.cell_grid
     cap = spec.cell_capacity
+    grid4 = (gx, gy, gz, cap)
     n = positions.shape[0]
+    n_slots = gx * gy * gz * cap
     dtype = positions.dtype
     box = system.box
+    flat = slots.reshape(-1)
 
-    slots, _ = build_cell_list(positions, box, spec.cell_grid, cap)
-    grid4 = (gx, gy, gz, cap)
-    ids = slots.reshape(grid4)
+    @jax.custom_vjp
+    def _blockify(positions, q):
+        pos_w = positions - box * jnp.floor(positions / box)
+        zero = jnp.zeros((n, 2), dtype)
+        table = jnp.concatenate(
+            [pos_w, q[:, None], 0.5 * system.sigma.astype(dtype)[:, None],
+             2.0 * jnp.sqrt(system.epsilon.astype(dtype))[:, None], zero],
+            axis=1)
+        table = jnp.concatenate([table, jnp.zeros((1, 8), dtype)], axis=0)
+        g = table[flat]                           # [S, 8] one row gather
+        g4 = g.reshape(grid4 + (8,))
+        return CellBlocks(x=g4[..., 0], y=g4[..., 1], z=g4[..., 2],
+                          q=g4[..., 3], hs=g4[..., 4], se=g4[..., 5])
 
-    pos_w = positions - box * jnp.floor(positions / box)
-    pad = lambda a, fill: jnp.concatenate(
-        [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
-    pos_p = pad(pos_w, 0.0)
-    q_p = pad(q, 0.0)
-    hs_p = pad(0.5 * system.sigma.astype(dtype), 0.0)
-    se_p = pad(2.0 * jnp.sqrt(system.epsilon.astype(dtype)), 0.0)
+    def _fwd(positions, q):
+        return _blockify(positions, q), None
 
-    comp = [pos_p[:, k][slots].reshape(grid4) for k in range(3)]
-    qc = q_p[slots].reshape(grid4)
-    hc = hs_p[slots].reshape(grid4)
-    sc = se_p[slots].reshape(grid4)
+    def _bwd(_, ct):
+        ct_tab = jnp.stack(
+            [ct.x.reshape(-1), ct.y.reshape(-1), ct.z.reshape(-1),
+             ct.q.reshape(-1)], axis=-1)          # [S, 4]
+        ct_tab = jnp.concatenate([ct_tab, jnp.zeros((1, 4), dtype)], axis=0)
+        back = ct_tab[jnp.minimum(inv_slot, n_slots)]   # [N, 4] row gather
+        return back[:, :3], back[:, 3]
+
+    _blockify.defvjp(_fwd, _bwd)
+    return _blockify(positions, q)
+
+
+def _roll_block_energy(blocks: CellBlocks, ids: jax.Array, system) -> jax.Array:
+    """Roll-based direct-space sum over cell blocks — the plain-autodiff XLA
+    path (used for energy-only queries and as the custom_vjp primal).
+
+    The j-side slab for a neighbor shift (dx, dy, dz) is ``jnp.roll`` of the
+    i-side arrays plus a *static* boundary image offset per axis.  No gathers
+    inside the shift loop — and since the transpose of roll is roll, the
+    backward pass has no scatters either (the autodiff-of-gather scatter-adds
+    are what made the row-gather variant slow).  Half-shell: 13 rolled shifts
+    plus the self cell with id_i < id_j.
+    """
+    spec = system.spec
+    gx, gy, gz = spec.cell_grid
+    n = system.n_atoms
+    dtype = blocks.x.dtype
+    box = system.box
+
+    comp = [blocks.x, blocks.y, blocks.z]
+    qc, hc, sc = blocks.q, blocks.hs, blocks.se
     valid = ids < n
 
     alpha = spec.alpha
@@ -343,37 +431,24 @@ _P_ERFC = 0.3275911
 _A_ERFC = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
 
 
-def _roll_fused_walk(positions, q, system):
+def _roll_fused_walk(blocks: CellBlocks, ids: jax.Array, system):
     """One walk over the half-shell slabs computing energy, dE/dx and dE/dq
     together (explicit derivatives — no second/third autodiff walk).
 
-    Returns (energy, dEdx [N,3], dEdq [N]).  Used as the forward pass of the
-    custom_vjp in :func:`cell_roll_direct_energy`; the same fusion the CUDA
-    computeNonbonded kernel does (PBCForce.cu:86-751).
+    Returns (energy, dEdx-per-block [3 x grid4], dEdq-per-block [grid4]).
+    Used as the forward pass of :func:`direct_energy_on_blocks`; the same
+    fusion the CUDA computeNonbonded kernel does (PBCForce.cu:86-751).
     """
     spec = system.spec
     gx_, gy_, gz_ = spec.cell_grid
     cap = spec.cell_capacity
-    n = positions.shape[0]
-    dtype = positions.dtype
+    n = system.n_atoms
+    dtype = blocks.x.dtype
     box = system.box
-
-    slots, _ = build_cell_list(positions, box, spec.cell_grid, cap)
     grid4 = (gx_, gy_, gz_, cap)
-    ids = slots.reshape(grid4)
 
-    pos_w = positions - box * jnp.floor(positions / box)
-    pad = lambda a, fill: jnp.concatenate(
-        [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
-    pos_p = pad(pos_w, 0.0)
-    q_p = pad(q, 0.0)
-    hs_p = pad(0.5 * system.sigma.astype(dtype), 0.0)
-    se_p = pad(2.0 * jnp.sqrt(system.epsilon.astype(dtype)), 0.0)
-
-    comp = [pos_p[:, k][slots].reshape(grid4) for k in range(3)]
-    qc = q_p[slots].reshape(grid4)
-    hc = hs_p[slots].reshape(grid4)
-    sc = se_p[slots].reshape(grid4)
+    comp = [blocks.x, blocks.y, blocks.z]
+    qc, hc, sc = blocks.q, blocks.hs, blocks.se
     valid = ids < n
 
     alpha = spec.alpha
@@ -467,32 +542,59 @@ def _roll_fused_walk(positions, q, system):
         g_acc = [g + a + b for g, a, b in zip(g_acc, gi, gj)]
         dq_acc = dq_acc + dq_both
 
-    return e_total, g_acc, dq_acc, slots
+    return e_total, g_acc, dq_acc
+
+
+def direct_energy_on_blocks(blocks: CellBlocks, ids: jax.Array,
+                            system) -> jax.Array:
+    """Direct-space energy over cell blocks with a hand-written VJP: the
+    forward pass computes energy + dE/dx + dE/dq in ONE slab walk
+    (:func:`_roll_fused_walk`); backward is a scale.  Cotangents flow into
+    the block arrays — :func:`blockify`'s VJP performs the single scatter
+    back to atom order, shared with every other block consumer."""
+
+    @jax.custom_vjp
+    def direct_energy(blocks):
+        return _roll_block_energy(blocks, ids, system)
+
+    def _fwd(blocks):
+        e, g_acc, dq_acc = _roll_fused_walk(blocks, ids, system)
+        return e, (g_acc, dq_acc)
+
+    def _bwd(res, g_out):
+        g_acc, dq_acc = res
+        zero = jnp.zeros_like(dq_acc)
+        return (CellBlocks(x=g_out * g_acc[0], y=g_out * g_acc[1],
+                           z=g_out * g_acc[2], q=g_out * dq_acc,
+                           hs=zero, se=zero),)
+
+    direct_energy.defvjp(_fwd, _bwd)
+    return direct_energy(blocks)
+
+
+def cell_roll_direct_energy(positions: jax.Array, q: jax.Array,
+                            system) -> jax.Array:
+    """Roll-based direct-space sum via plain autodiff (no fused walk);
+    the reference XLA path for equality tests."""
+    spec = system.spec
+    slots, inv_slot, _ = build_cell_list_full(positions, system.box,
+                                              spec.cell_grid,
+                                              spec.cell_capacity)
+    blocks = blockify(positions, q, system, slots, inv_slot)
+    ids = slots.reshape(blocks.x.shape)
+    return _roll_block_energy(blocks, ids, system)
 
 
 def cell_roll_fused_energy(positions, q, system):
-    """Direct-space energy with a hand-written VJP: the forward pass computes
-    energy + dE/dx + dE/dq in ONE slab walk; backward is scatter + scale."""
-
-    @jax.custom_vjp
-    def direct_energy(positions, q):
-        return cell_roll_direct_energy(positions, q, system)
-
-    def _fwd(positions, q):
-        e, g_acc, dq_acc, slots = _roll_fused_walk(positions, q, system)
-        flat = slots.reshape(-1)
-        g_flat = jnp.stack([g.reshape(-1) for g in g_acc], axis=-1)
-        x_bar = jnp.zeros_like(positions).at[flat].add(g_flat, mode="drop")
-        q_bar = jnp.zeros_like(q).at[flat].add(dq_acc.reshape(-1),
-                                               mode="drop")
-        return e, (x_bar, q_bar)
-
-    def _bwd(res, g_out):
-        x_bar, q_bar = res
-        return g_out * x_bar, g_out * q_bar
-
-    direct_energy.defvjp(_fwd, _bwd)
-    return direct_energy(positions, q)
+    """Direct-space energy with the fused-walk VJP (standalone wrapper;
+    energy.py builds the blocks once and shares them with PME)."""
+    spec = system.spec
+    slots, inv_slot, _ = build_cell_list_full(positions, system.box,
+                                              spec.cell_grid,
+                                              spec.cell_capacity)
+    blocks = blockify(positions, q, system, slots, inv_slot)
+    ids = slots.reshape(blocks.x.shape)
+    return direct_energy_on_blocks(blocks, ids, system)
 
 
 def cell_list_direct_energy(positions: jax.Array, q: jax.Array, system) -> jax.Array:

@@ -170,26 +170,9 @@ def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
 
     comps: Dict[str, jax.Array] = {}
     comps["self"] = self_energy(q, spec.alpha)
-    recip_method = spec.recip_method
-    if recip_method == "auto":
-        # On TPU f32 the fused classical-Ewald Pallas kernel currently wins
-        # (2.8 ms vs 6.2 ms for the dense-separable PME spread at 30k — the
-        # [N, G] column contraction is HBM-bound; the cell-blocked PME
-        # spread will flip this default).  Elsewhere (CPU tests, f64 parity
-        # vs the oracle's classical sum) use the XLA classical matmuls.
-        recip_method = ("pallas" if (jax.default_backend() == "tpu"
-                                     and positions.dtype == jnp.float32)
-                        else "xla")
-    if recip_method == "pme":
-        from .pme import pme_reciprocal_energy
 
-        comps["reciprocal"] = pme_reciprocal_energy(
-            positions, q, system.box, spec.alpha, spec.pme_grid,
-            spec.pme_order)
-    else:
-        comps["reciprocal"] = reciprocal_energy(positions, q, system.box,
-                                                spec.alpha, spec.kmax,
-                                                method=recip_method)
+    # -- direct space (builds the shared cell blocks when applicable) -------
+    blocks = ids = None
     if spec.direct_method == "cell_pallas":
         from .ops.pallas_direct import make_pallas_direct
 
@@ -197,13 +180,49 @@ def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
         comps["exclusion"] = _exclusion_correction(positions, q, system,
                                                    subtract_direct=True)
     elif spec.direct_method == "cell":
-        comps["direct"] = cells.cell_list_direct_energy(positions, q, system)
+        slots, inv_slot, overflow = cells.build_cell_list_full(
+            positions, system.box, spec.cell_grid, spec.cell_capacity)
+        blocks = cells.blockify(positions, q, system, slots, inv_slot)
+        ids = slots.reshape(blocks.x.shape)
+        e_dir = cells.direct_energy_on_blocks(blocks, ids, system)
+        # In-jit overflow safety: a cell past capacity silently drops pair
+        # interactions, so poison the energy — a density fluctuation mid-
+        # trajectory becomes a visible NaN, not a quietly wrong force.
+        e_dir = jnp.where(overflow > 0,
+                          jnp.asarray(jnp.nan, e_dir.dtype), e_dir)
+        comps["direct"] = e_dir
         comps["exclusion"] = _exclusion_correction(positions, q, system,
                                                    subtract_direct=True)
     else:
         comps["direct"] = _dense_pair_energy(positions, q, system)
         comps["exclusion"] = _exclusion_correction(positions, q, system,
                                                    subtract_direct=False)
+
+    # -- reciprocal space ----------------------------------------------------
+    recip_method = spec.recip_method
+    if recip_method == "auto":
+        # On TPU f32: the cell-blocked PME spread (shares the direct walk's
+        # block gather, no scatters) when the cell route is active, else the
+        # fused classical-Ewald Pallas kernel.  Elsewhere (CPU tests, f64
+        # parity vs the oracle's classical sum) the XLA classical matmuls.
+        if jax.default_backend() == "tpu" and positions.dtype == jnp.float32:
+            recip_method = "pme" if blocks is not None else "pallas"
+        else:
+            recip_method = "xla"
+    if recip_method == "pme":
+        from .pme import pme_cell_reciprocal_energy, pme_reciprocal_energy
+
+        if blocks is not None:
+            comps["reciprocal"] = pme_cell_reciprocal_energy(blocks, ids,
+                                                             system)
+        else:
+            comps["reciprocal"] = pme_reciprocal_energy(
+                positions, q, system.box, spec.alpha, spec.pme_grid,
+                spec.pme_order)
+    else:
+        comps["reciprocal"] = reciprocal_energy(positions, q, system.box,
+                                                spec.alpha, spec.kmax,
+                                                method=recip_method)
     return comps
 
 

@@ -206,6 +206,99 @@ def _spread_grid(wx, wy, wz, q, dtype):
     return blocks.reshape(gx, wy.shape[1], wz.shape[1])
 
 
+def _patch_origins(n_cells: int, grid_n: int, order: int) -> np.ndarray:
+    """Static grid origin of each cell's spread patch (may be negative;
+    wrap handled by jnp.roll at placement)."""
+    c = np.arange(n_cells)
+    return (np.floor(c * grid_n / n_cells)).astype(np.int64) - order
+
+
+def _patch_width(n_cells: int, grid_n: int, order: int) -> int:
+    """Patch extent covering every support point of every atom in a cell,
+    with one point of slack on each side for binning/scaling rounding."""
+    return int(math.ceil(grid_n / n_cells)) + order + 2
+
+
+def _fold_axis(parts, origins, grid_n, patch_axis, cell_axis):
+    """Overlap-add a cell-indexed patch axis onto the full grid axis:
+    out = sum_c roll(pad(parts[c], to grid_n), origins[c]).  All shapes and
+    shifts are static; the autodiff backward is slice + roll."""
+    n_cells = parts.shape[cell_axis]
+    w = parts.shape[patch_axis]
+    padcfg = [(0, 0)] * (parts.ndim - 1)
+    out = None
+    for c in range(n_cells):
+        part = jax.lax.index_in_dim(parts, c, axis=cell_axis, keepdims=False)
+        pa = patch_axis - (1 if cell_axis < patch_axis else 0)
+        cfg = list(padcfg)
+        cfg[pa] = (0, grid_n - w)
+        placed = jnp.roll(jnp.pad(part, cfg), int(origins[c]), axis=pa)
+        out = placed if out is None else out + placed
+    return out
+
+
+def pme_cell_reciprocal_energy(blocks, ids, system) -> jax.Array:
+    """SPME reciprocal energy spread from the shared cell-major blocks.
+
+    The dense-separable spread (:func:`pme_reciprocal_energy`) streams
+    [N, G] weight matrices through HBM per grid column — measured 6.2 ms at
+    30k on v5e.  Here atoms are already binned into direct-space cells
+    (cells.blockify — gather shared with the direct walk, so this path adds
+    ZERO gathers/scatters): each cell's atoms can only touch a static
+    [W, W, W] patch of the mesh (W = ceil(G/cells) + order + 2), so the
+    spread is per-cell compact weights + one batched [Wx*Wy, cap] @
+    [cap, Wz] matmul + a static roll/pad overlap-add onto the grid.  All
+    shapes static, no scatter anywhere, backward is matmuls + slices.
+    """
+    spec = system.spec
+    dtype = blocks.x.dtype
+    box = system.box
+    alpha = spec.alpha
+    grid = spec.pme_grid
+    order = spec.pme_order
+    ngx, ngy, ngz = spec.cell_grid
+    cap = blocks.x.shape[-1]
+    gx, gy, gz = grid
+
+    n = system.n_atoms
+    qv = jnp.where(ids < n, blocks.q, 0.0)
+
+    def axis_weights(coord, n_cells, grid_n, length, cell_axis):
+        u = coord * (grid_n / length)                     # [ngx,ngy,ngz,cap]
+        org = _patch_origins(n_cells, grid_n, order)
+        w = _patch_width(n_cells, grid_n, order)
+        shape = [1, 1, 1, 1, 1]
+        shape[cell_axis] = n_cells
+        base = jnp.asarray(org, dtype).reshape(shape)
+        j = jnp.arange(w, dtype=dtype).reshape(1, 1, 1, 1, w)
+        t = u[..., None] - (base + j)                     # [.., cap, W]
+        return bspline(t, order), org, w
+
+    wlx, orx, wx = axis_weights(blocks.x, ngx, gx, box[0], 0)
+    wly, ory, wy = axis_weights(blocks.y, ngy, gy, box[1], 1)
+    wlz, orz, wz = axis_weights(blocks.z, ngz, gz, box[2], 2)
+
+    nc = ngx * ngy * ngz
+    if dtype == jnp.float32:
+        prec = jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3
+    else:
+        prec = None
+    a = (qv[..., None] * wlx)[..., :, None] * wly[..., None, :]
+    a = a.reshape(nc, cap, wx * wy)
+    patches = jnp.einsum("caw,caz->cwz", a, wlz.reshape(nc, cap, wz),
+                         preferred_element_type=dtype, precision=prec)
+    patches = patches.reshape(ngx, ngy, ngz, wx, wy, wz)
+
+    # overlap-add: fold z, then y, then x
+    b = _fold_axis(patches, orz, gz, patch_axis=5, cell_axis=2)
+    b = _fold_axis(b, ory, gy, patch_axis=3, cell_axis=1)
+    qgrid = _fold_axis(b, orx, gx, patch_axis=1, cell_axis=0)
+
+    qhat = jnp.fft.rfftn(qgrid)
+    d = influence_function(grid, box, alpha, order, dtype)
+    return jnp.sum(d * (qhat.real * qhat.real + qhat.imag * qhat.imag))
+
+
 def pme_reciprocal_energy(positions: jax.Array, q: jax.Array, box: jax.Array,
                           alpha: float, grid: Tuple[int, int, int],
                           order: int = DEFAULT_ORDER) -> jax.Array:

@@ -90,3 +90,25 @@ def test_cell_components_match_dense():
         float(cd["direct"] + cd["exclusion"]), rel=1e-12)
     assert float(cc["self"]) == pytest.approx(float(cd["self"]), rel=1e-14)
     assert float(cc["reciprocal"]) == pytest.approx(float(cd["reciprocal"]), rel=1e-14)
+
+
+def test_overflow_poisons_energy_in_jit():
+    """A cell past capacity must make the energy visibly NaN inside the jit
+    step, not silently drop pair interactions (VERDICT r1 item 6)."""
+    import dataclasses
+
+    from chargeflux_tpu.energy import _energy_and_forces
+
+    force, pos, _, box = water_box(n_side=7, flux="bond_angle", cutoff=0.65,
+                                   seed=5)
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell")
+    x = jnp.asarray(pos)
+    e0, _ = _energy_and_forces(x, system)
+    assert np.isfinite(float(e0))
+
+    # shrink capacity below the densest cell -> overflow -> NaN energy
+    tiny = dataclasses.replace(
+        system, spec=dataclasses.replace(system.spec, cell_capacity=8))
+    e1, _ = _energy_and_forces(x, tiny)
+    assert np.isnan(float(e1))

@@ -115,3 +115,135 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+# -- appended: PME-on-blocks sub-op benchmarks (run: python tools/microbench.py pme_sub) --
+def pme_sub():
+    import os, sys as _s
+    _s.path.insert(0, os.getcwd())
+    import jax, numpy as np, jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    NC, CAP, W, G = 343, 128, 19, 75
+    wl = jnp.asarray(rng.random((NC, CAP, W)), jnp.float32)
+    q = jnp.asarray(rng.random((NC, CAP)), jnp.float32)
+    P = jnp.asarray(rng.random((7,7,7,W,W,W)), jnp.float32)
+    g3 = jnp.asarray(rng.random((G,G,G)), jnp.float32)
+    u = jnp.asarray(rng.random((NC, CAP)), jnp.float32) * G
+
+    def t_of(step, x0):
+        return timed(step, x0)
+
+    def fft_case(v):
+        gk = jnp.fft.rfftn(g3 + v[0])
+        s = jnp.sum(gk.real**2 + gk.imag**2)
+        return v + 1e-12*s, s
+    print("fft75_fwd        ", t_of(fft_case, jnp.zeros(8)))
+
+    def fftgrad_case(v):
+        f = lambda g: jnp.sum(jnp.abs(jnp.fft.rfftn(g + v[0]))**2)
+        s = jnp.sum(jax.grad(f)(g3))
+        return v + 1e-12*s, s
+    print("fft75_fwd+grad   ", t_of(fftgrad_case, jnp.zeros(8)))
+
+    def einsum_case(v):
+        a = (q[..., None] * wl)[..., :, None] * wl[..., None, :]
+        a = a.reshape(NC, CAP, W*W)
+        p = jnp.einsum("caw,caz->cwz", a, wl + v[0],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3)
+        s = jnp.sum(p)
+        return v + 1e-12*s, s
+    print("patch_einsum_fwd ", t_of(einsum_case, jnp.zeros(8)))
+
+    def einsum_grad(v):
+        def f(wla):
+            a = (q[..., None] * wla)[..., :, None] * wla[..., None, :]
+            a = a.reshape(NC, CAP, W*W)
+            p = jnp.einsum("caw,caz->cwz", a, wla,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3)
+            return jnp.sum(p*p)
+        s = jnp.sum(jax.grad(f)(wl + v[0]))
+        return v + 1e-12*s, s
+    print("patch_einsum_f+g ", t_of(einsum_grad, jnp.zeros(8)))
+
+    from chargeflux_tpu.pme import _fold_axis, _patch_origins
+    orgs = _patch_origins(7, G, 6)
+    def fold_case(v):
+        b = _fold_axis(P + v[0], orgs, G, patch_axis=5, cell_axis=2)
+        b = _fold_axis(b, orgs, G, patch_axis=3, cell_axis=1)
+        qg = _fold_axis(b, orgs, G, patch_axis=1, cell_axis=0)
+        s = jnp.sum(qg)
+        return v + 1e-12*s, s
+    print("folds_fwd        ", t_of(fold_case, jnp.zeros(8)))
+
+    def fold_grad(v):
+        def f(Pp):
+            b = _fold_axis(Pp, orgs, G, patch_axis=5, cell_axis=2)
+            b = _fold_axis(b, orgs, G, patch_axis=3, cell_axis=1)
+            qg = _fold_axis(b, orgs, G, patch_axis=1, cell_axis=0)
+            return jnp.sum(qg*qg)
+        s = jnp.sum(jax.grad(f)(P + v[0]))
+        return v + 1e-12*s, s
+    print("folds_fwd+grad   ", t_of(fold_grad, jnp.zeros(8)))
+
+    from chargeflux_tpu.pme import bspline
+    def weights_case(v):
+        t = (u[..., None] - jnp.arange(W, dtype=jnp.float32)) + v[0]
+        s = jnp.sum(bspline(t, 6)) + jnp.sum(bspline(t, 6)*t) + jnp.sum(bspline(t,6)/ (t+100))
+        return v + 1e-12*s, s
+    print("weights3x_fwd    ", t_of(weights_case, jnp.zeros(8)))
+
+if __name__ == "__main__" and "pme_sub" in sys.argv:
+    pme_sub()
+    sys.exit(0)
+
+def gather_variants():
+    import os, sys as _s
+    _s.path.insert(0, os.getcwd())
+    import numpy as np, jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    N, S = 32768, 43904            # atoms, slot count (343*128)
+    flat = jnp.asarray(rng.permutation(S)[:N], jnp.int32)   # atom -> slot
+    # slot -> atom (sentinel N for empty)
+    inv = np.full(S, N, np.int64); inv[np.asarray(flat)] = np.arange(N)
+    slots = jnp.asarray(inv, jnp.int32)
+    x0 = jnp.asarray(rng.standard_normal((N, 8)), jnp.float32)
+
+    def six_gathers(v):
+        vp = jnp.concatenate([v, jnp.zeros((1, 8), jnp.float32)])
+        cols = [vp[:, k][slots] for k in range(6)]
+        s = sum(jnp.sum(c) for c in cols)
+        return v + 1e-12 * s, s
+    print("six_single_gathers_44k  ", timed(six_gathers, x0))
+
+    def row_gather(v):
+        vp = jnp.concatenate([v, jnp.zeros((1, 8), jnp.float32)])
+        g = vp[slots]               # [S, 8] row gather
+        s = jnp.sum(g)
+        return v + 1e-12 * s, s
+    print("row_gather_44k_x8       ", timed(row_gather, x0))
+
+    def row_gather4(v):
+        vp = jnp.concatenate([v[:, :4], jnp.zeros((1, 4), jnp.float32)])
+        g = vp[slots]               # [S, 4]
+        s = jnp.sum(g)
+        return v + 1e-12 * s, s
+    print("row_gather_44k_x4       ", timed(row_gather4, x0))
+
+    def scatter_back(v):
+        big = jnp.pad(v[:, :4], ((0, S - N), (0, 0)))
+        out = jnp.zeros((N, 4), jnp.float32).at[slots[:N]].add(big[:N])
+        s = jnp.sum(out)
+        return v + 1e-12 * s, s
+    print("scatter_44k_to_32k_x4   ", timed(scatter_back, x0))
+
+    def inv_gather(v):
+        big = jnp.pad(v[:, :4], ((0, S - N + 1), (0, 0)))
+        out = big[flat]             # [N, 4] permutation gather
+        s = jnp.sum(out)
+        return v + 1e-12 * s, s
+    print("inv_perm_gather_32k_x4  ", timed(inv_gather, x0))
+
+if __name__ == "__main__" and "gathers" in sys.argv:
+    gather_variants()
+    sys.exit(0)

@@ -80,10 +80,20 @@ def main():
     phases["direct"] = grad_phase(
         lambda x: cells.cell_list_direct_energy(x, q0, system))
 
-    from chargeflux_tpu.pme import pme_reciprocal_energy
+    from chargeflux_tpu.pme import (pme_cell_reciprocal_energy,
+                                    pme_reciprocal_energy)
     phases["recip_pme"] = grad_phase(
         lambda x: pme_reciprocal_energy(x, q0, system.box, spec.alpha,
                                         spec.pme_grid, spec.pme_order))
+
+    def e_pme_cell(x):
+        slots, inv_slot, _ = cells.build_cell_list_full(
+            x, system.box, spec.cell_grid, spec.cell_capacity)
+        blocks = cells.blockify(x, q0, system, slots, inv_slot)
+        return pme_cell_reciprocal_energy(blocks,
+                                          slots.reshape(blocks.x.shape),
+                                          system)
+    phases["recip_pme_cell"] = grad_phase(e_pme_cell)
 
     def binning(x):
         slots, ov = cells.build_cell_list(x, system.box, spec.cell_grid,

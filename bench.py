@@ -1,11 +1,19 @@
-"""Benchmark harness: ms/step for energy+forces on the BASELINE.md ladder.
+"""Benchmark harness: MD step time for the BASELINE.md workload ladder.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The headline metric is ms/step at the 30k-atom Ewald box on one TPU chip
-(BASELINE.md target: <= 2 ms/step); vs_baseline = target_ms / measured_ms
+Prints ONE JSON line with the headline metric (ms per velocity-Verlet NVE
+step — energy+forces+integration — at the 30k-atom Ewald box on one TPU
+chip; BASELINE.md target <= 2 ms/step), plus ns/day at the benchmark
+timestep and a per-phase breakdown.  vs_baseline = target_ms / measured_ms
 (>1 beats the target).
 
-Usage: python bench.py [30k|4k|216]
+Usage: python bench.py [216|4k|30k|100k|replicas]
+
+Methodology for the tunneled TPU platform (CLAUDE.md): dispatch is async
+and block_until_ready does not wait for remote completion, so a single-step
+wall time only measures the ~30 ms tunnel roundtrip.  Instead run K MD
+steps *on device* in one lax.scan (each step consumes the previous forces,
+so steps cannot collapse), sync via a scalar fetch, and difference two run
+lengths to cancel the fixed roundtrip overhead.
 """
 
 from __future__ import annotations
@@ -20,27 +28,120 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+DT_PS = 5e-4   # 0.5 fs — flexible water needs a short step
+TARGET_MS = 2.0
+
 
 def build(config: str):
     from chargeflux_tpu.models import water_box
 
-    if config == "216":
-        force, pos, _, box = water_box(n_side=6, flux="bond_angle")
-        method = "dense"
-    elif config == "4k":
-        force, pos, _, box = water_box(n_side=11, flux="bond_angle")
-        method = "dense"
-    elif config == "30k":
-        force, pos, _, box = water_box(n_side=22, flux="bond_angle")
-        method = "cell"
-    elif config == "100k":
-        force, pos, _, box = water_box(n_side=32, flux="bond_angle")
-        method = "cell"
-    else:
+    n_side = {"216": 6, "4k": 11, "30k": 22, "100k": 32}.get(config)
+    if n_side is None:
         raise SystemExit(f"unknown config {config!r}")
+    method = "cell" if config in ("30k", "100k") else "dense"
+    force, pos, masses, box = water_box(n_side=n_side, flux="bond_angle")
     system = force.create_system(box=box, dtype=jnp.float32,
                                  direct_method=method)
-    return jnp.asarray(pos, jnp.float32), system
+    return (jnp.asarray(pos, jnp.float32), system,
+            jnp.asarray(np.asarray(masses), jnp.float32))
+
+
+def _timed_scan(run, x0, k1, k2, reps=7):
+    float(run(x0, k1))
+    float(run(x0, k2))
+
+    def t(k):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(run(x0, k))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    return (t(k2) - t(k1)) / (k2 - k1) * 1e3
+
+
+def measure_md_step(x, system, masses):
+    """ms per NVE velocity-Verlet step with neighbor-state reuse."""
+    from chargeflux_tpu.integrate import (init_state_nb, make_nb_energy_fn,
+                                          nve_step_nb)
+    from chargeflux_tpu.models import water_bonded_params
+
+    bonded = water_bonded_params(system.n_atoms // 3, box=np.asarray(
+        jnp.asarray(system.box)), dtype=jnp.float32)
+    e_fn, init_nb = make_nb_energy_fn(system, bonded=bonded)
+    s0 = init_state_nb(x, jnp.zeros_like(x), e_fn, init_nb)
+
+    @partial(jax.jit, static_argnums=(1,))
+    def run(s, k):
+        def body(st, _):
+            st = nve_step_nb(st, e_fn, masses, DT_PS)
+            return st, st.potential
+
+        def outer(st, _):
+            st = st._replace(nb=init_nb(st.positions))
+            return jax.lax.scan(body, st, None, length=10)
+
+        s_k, es = jax.lax.scan(outer, s, None, length=k)
+        return es[-1, -1] + 0.0 * jnp.sum(s_k.positions)
+
+    # k counts 10-step chunks (rebuild_every=10)
+    ms10 = _timed_scan(run, s0, 1, 6, reps=7)
+    return ms10 / 10.0, float(run(s0, 1))
+
+
+def measure_phases(x, system):
+    """Compact per-phase fwd+grad timings (binning / direct / reciprocal /
+    charges+exclusions) for the breakdown field."""
+    from chargeflux_tpu import cells
+    from chargeflux_tpu.charges import effective_charges
+    from chargeflux_tpu.energy import _energy
+    from chargeflux_tpu.pme import pme_cell_reciprocal_energy
+
+    spec = system.spec
+    q0 = effective_charges(x, system)
+    out = {}
+
+    def grad_loop(f, k1=3, k2=23):
+        def step(x):
+            e, g = jax.value_and_grad(f)(x)
+            return x - 1e-9 * g, e
+
+        @partial(jax.jit, static_argnums=(1,))
+        def run(x0, k):
+            xk, es = jax.lax.scan(lambda xx, _: step(xx), x0, None, length=k)
+            return es[-1] + 0.0 * jnp.sum(xk)
+
+        return _timed_scan(run, x, k1, k2, reps=5)
+
+    if spec.direct_method == "cell":
+        def binning(x):
+            slots, _, ov = cells.build_cell_list_full(
+                x, system.box, spec.cell_grid, spec.cell_capacity)
+            return x + 0.0 * jnp.sum(slots % 7).astype(x.dtype), \
+                ov.astype(x.dtype)
+
+        @partial(jax.jit, static_argnums=(1,))
+        def run_b(x0, k):
+            xk, es = jax.lax.scan(lambda xx, _: binning(xx), x0, None,
+                                  length=k)
+            return es[-1] + 0.0 * jnp.sum(xk)
+
+        out["binning"] = round(_timed_scan(run_b, x, 3, 23, reps=5), 3)
+        out["direct"] = round(grad_loop(
+            lambda xx: cells.cell_list_direct_energy(xx, q0, system)), 3)
+
+        def recip(xx):
+            slots, inv, _ = cells.build_cell_list_full(
+                xx, system.box, spec.cell_grid, spec.cell_capacity)
+            blocks = cells.blockify(xx, q0, system, slots, inv)
+            return pme_cell_reciprocal_energy(
+                blocks, slots.reshape(blocks.x.shape), system)
+
+        out["recip_pme_standalone"] = round(grad_loop(recip), 3)
+        out["full_fwd_grad"] = round(grad_loop(
+            lambda xx: _energy(xx, system)), 3)
+    return out
 
 
 def bench_replicas(n_replicas: int = 64):
@@ -62,29 +163,17 @@ def bench_replicas(n_replicas: int = 64):
         xb, es = jax.vmap(one)(xb)
         return xb, jnp.sum(es)
 
-    from functools import partial as _p
-
-    @_p(jax.jit, static_argnums=(1,))
+    @partial(jax.jit, static_argnums=(1,))
     def run(x0, k):
         xk, es = jax.lax.scan(step, x0, None, length=k)
         return es[-1] + 0.0 * jnp.sum(xk)
 
-    float(run(batch, 3)); float(run(batch, 13))
-
-    def t(k):
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            float(run(batch, k))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    ms = (t(13) - t(3)) / 10 * 1e3
+    ms = _timed_scan(run, batch, 3, 13, reps=5)
     print(json.dumps({
         "metric": f"ms_per_step_{n_replicas}x216_replica_ensemble",
         "value": round(ms, 4),
         "unit": "ms",
-        "vs_baseline": round(2.0 * n_replicas / ms, 4),
+        "vs_baseline": round(TARGET_MS * n_replicas / ms, 4),
     }))
 
 
@@ -93,55 +182,29 @@ def main():
     if config == "replicas":
         bench_replicas()
         return
-    x, system = build(config)
-    n = system.n_atoms
+    x, system, masses = build(config)
 
-    from chargeflux_tpu.energy import _energy
-
-    # Measurement methodology for the tunneled TPU platform: dispatch is
-    # async and block_until_ready does not wait for remote completion, so a
-    # single-step wall time only measures the ~30 ms tunnel roundtrip.
-    # Instead run K steps of a force-relaxation loop *on device* in one
-    # lax.scan (each step consumes the previous forces, so steps cannot be
-    # collapsed), sync via a scalar fetch, and difference two run lengths to
-    # cancel the fixed roundtrip overhead.
-    def step(x_cur, _):
-        e, g = jax.value_and_grad(_energy)(x_cur, system)
-        return x_cur - 1e-7 * g, e
-
-    @partial(jax.jit, static_argnums=(1,))
-    def run(x0, k):
-        xk, es = jax.lax.scan(step, x0, None, length=k)
-        return es[-1] + 0.0 * jnp.sum(xk)
-
-    k1, k2 = 5, 55
     t0 = time.perf_counter()
-    float(run(x, k1))
-    float(run(x, k2))
+    ms, e_check = measure_md_step(x, system, masses)
     compile_s = time.perf_counter() - t0
 
-    def timed(k):
-        ts = []
-        for _ in range(7):
-            t0 = time.perf_counter()
-            float(run(x, k))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    ms = (timed(k2) - timed(k1)) / (k2 - k1) * 1e3
-    e = float(run(x, k1))
-
-    target_ms = 2.0
-    print(json.dumps({
-        "metric": f"ms_per_step_{config}_ewald_f32",
+    ns_day = DT_PS * 1e-3 * 86400.0 * 1000.0 / ms
+    result = {
+        "metric": f"ms_per_md_step_{config}_ewald_f32",
         "value": round(ms, 4),
         "unit": "ms",
-        "vs_baseline": round(target_ms / ms, 4),
-    }))
-    print(f"# config={config} atoms={n} device={jax.devices()[0].device_kind} "
-          f"compile={compile_s:.1f}s kmax={system.spec.kmax} "
+        "vs_baseline": round(TARGET_MS / ms, 4),
+        "ns_per_day": round(ns_day, 2),
+        "dt_fs": DT_PS * 1e3,
+    }
+    if config == "30k":
+        result["phases_ms"] = measure_phases(x, system)
+    print(json.dumps(result))
+    print(f"# config={config} atoms={system.n_atoms} "
+          f"device={jax.devices()[0].device_kind} compile={compile_s:.1f}s "
+          f"kmax={system.spec.kmax} pme={system.spec.pme_grid} "
           f"grid={system.spec.cell_grid} cap={system.spec.cell_capacity} "
-          f"energy={e:.3f}", file=sys.stderr)
+          f"energy={e_check:.3f}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -287,7 +287,7 @@ class CellBlocks(NamedTuple):
 
 
 def blockify(positions: jax.Array, q: jax.Array, system, slots: jax.Array,
-             inv_slot: jax.Array):
+             inv_slot: jax.Array, wrap: jax.Array = None):
     """Gather atom data into cell-major blocks with a hand-written VJP.
 
     TPU gathers are ~50x faster when they move contiguous lane-aligned rows
@@ -318,7 +318,12 @@ def blockify(positions: jax.Array, q: jax.Array, system, slots: jax.Array,
 
     @jax.custom_vjp
     def _blockify(positions, q):
-        pos_w = positions - box * jnp.floor(positions / box)
+        # With neighbor-state reuse, wrap offsets are frozen at rebuild time
+        # so coordinates stay continuous across the periodic boundary.
+        if wrap is None:
+            pos_w = positions - box * jnp.floor(positions / box)
+        else:
+            pos_w = positions - wrap
         zero = jnp.zeros((n, 2), dtype)
         table = jnp.concatenate(
             [pos_w, q[:, None], 0.5 * system.sigma.astype(dtype)[:, None],

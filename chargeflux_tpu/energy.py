@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from . import cells
 from .charges import apply_chain_rule, effective_charges
+from .utils.profiling import phase_scope
 from .ewald import reciprocal_energy, self_energy
 from .ops.erfc import erfc_fast
 from .pairs import displacement, pair_matrix_mask
@@ -160,7 +161,8 @@ def _exclusion_correction(positions, q, system: ChargeFluxSystem,
 
 
 def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
-                                    system: ChargeFluxSystem) -> Dict[str, jax.Array]:
+                                    system: ChargeFluxSystem,
+                                    nb=None) -> Dict[str, jax.Array]:
     """Energy breakdown treating the effective charges as an independent
     input.  grad wrt ``q`` of the sum is exactly the reference's dedq vector
     (ReferenceCoulKernels.cpp:458-459, 509, 546, 588-589, 615-616)."""
@@ -176,27 +178,41 @@ def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
     if spec.direct_method == "cell_pallas":
         from .ops.pallas_direct import make_pallas_direct
 
-        comps["direct"] = make_pallas_direct(system)(positions, q)
-        comps["exclusion"] = _exclusion_correction(positions, q, system,
-                                                   subtract_direct=True)
+        with phase_scope("cf_direct"):
+            comps["direct"] = make_pallas_direct(system)(positions, q)
+        with phase_scope("cf_exclusion"):
+            comps["exclusion"] = _exclusion_correction(
+                positions, q, system, subtract_direct=True)
     elif spec.direct_method == "cell":
-        slots, inv_slot, overflow = cells.build_cell_list_full(
-            positions, system.box, spec.cell_grid, spec.cell_capacity)
-        blocks = cells.blockify(positions, q, system, slots, inv_slot)
+        with phase_scope("cf_binning"):
+            if nb is None:
+                slots, inv_slot, overflow = cells.build_cell_list_full(
+                    positions, system.box, spec.cell_grid,
+                    spec.cell_capacity)
+                wrap = None
+            else:
+                slots, inv_slot, overflow = nb.slots, nb.inv_slot, nb.overflow
+                wrap = nb.wrap
+            blocks = cells.blockify(positions, q, system, slots, inv_slot,
+                                    wrap=wrap)
         ids = slots.reshape(blocks.x.shape)
-        e_dir = cells.direct_energy_on_blocks(blocks, ids, system)
+        with phase_scope("cf_direct"):
+            e_dir = cells.direct_energy_on_blocks(blocks, ids, system)
         # In-jit overflow safety: a cell past capacity silently drops pair
         # interactions, so poison the energy — a density fluctuation mid-
         # trajectory becomes a visible NaN, not a quietly wrong force.
         e_dir = jnp.where(overflow > 0,
                           jnp.asarray(jnp.nan, e_dir.dtype), e_dir)
         comps["direct"] = e_dir
-        comps["exclusion"] = _exclusion_correction(positions, q, system,
-                                                   subtract_direct=True)
+        with phase_scope("cf_exclusion"):
+            comps["exclusion"] = _exclusion_correction(
+                positions, q, system, subtract_direct=True)
     else:
-        comps["direct"] = _dense_pair_energy(positions, q, system)
-        comps["exclusion"] = _exclusion_correction(positions, q, system,
-                                                   subtract_direct=False)
+        with phase_scope("cf_direct"):
+            comps["direct"] = _dense_pair_energy(positions, q, system)
+        with phase_scope("cf_exclusion"):
+            comps["exclusion"] = _exclusion_correction(
+                positions, q, system, subtract_direct=False)
 
     # -- reciprocal space ----------------------------------------------------
     recip_method = spec.recip_method
@@ -209,26 +225,28 @@ def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
             recip_method = "pme" if blocks is not None else "pallas"
         else:
             recip_method = "xla"
-    if recip_method == "pme":
-        from .pme import pme_cell_reciprocal_energy, pme_reciprocal_energy
+    with phase_scope("cf_reciprocal"):
+        if recip_method == "pme":
+            from .pme import pme_cell_reciprocal_energy, pme_reciprocal_energy
 
-        if blocks is not None:
-            comps["reciprocal"] = pme_cell_reciprocal_energy(blocks, ids,
-                                                             system)
+            if blocks is not None:
+                comps["reciprocal"] = pme_cell_reciprocal_energy(blocks, ids,
+                                                                 system)
+            else:
+                comps["reciprocal"] = pme_reciprocal_energy(
+                    positions, q, system.box, spec.alpha, spec.pme_grid,
+                    spec.pme_order)
         else:
-            comps["reciprocal"] = pme_reciprocal_energy(
-                positions, q, system.box, spec.alpha, spec.pme_grid,
-                spec.pme_order)
-    else:
-        comps["reciprocal"] = reciprocal_energy(positions, q, system.box,
-                                                spec.alpha, spec.kmax,
-                                                method=recip_method)
+            comps["reciprocal"] = reciprocal_energy(positions, q, system.box,
+                                                    spec.alpha, spec.kmax,
+                                                    method=recip_method)
     return comps
 
 
-def energy_fixed_charges(positions, q, system) -> jax.Array:
+def energy_fixed_charges(positions, q, system, nb=None) -> jax.Array:
     total = 0.0
-    for v in energy_components_fixed_charges(positions, q, system).values():
+    for v in energy_components_fixed_charges(positions, q, system,
+                                             nb=nb).values():
         total = total + v
     return total
 
@@ -238,17 +256,19 @@ def _energy_components(positions, system) -> Dict[str, jax.Array]:
     return energy_components_fixed_charges(positions, q, system)
 
 
-def _energy(positions: jax.Array, system: ChargeFluxSystem) -> jax.Array:
-    q = effective_charges(positions, system)
-    return energy_fixed_charges(positions, q, system)
+def _energy(positions: jax.Array, system: ChargeFluxSystem,
+            nb=None) -> jax.Array:
+    with phase_scope("cf_charges"):
+        q = effective_charges(positions, system)
+    return energy_fixed_charges(positions, q, system, nb=nb)
 
 
 def _forces(positions, system):
     return -jax.grad(_energy)(positions, system)
 
 
-def _energy_and_forces(positions, system):
-    e, g = jax.value_and_grad(_energy)(positions, system)
+def _energy_and_forces(positions, system, nb=None):
+    e, g = jax.value_and_grad(_energy)(positions, system, nb)
     return e, -g
 
 

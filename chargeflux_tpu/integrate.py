@@ -44,6 +44,100 @@ def init_state(positions, velocities, energy_fn) -> MDState:
     return MDState(positions, velocities, -g, e)
 
 
+# ---------------------------------------------------------------------------
+# Neighbor-state-threaded trajectories (amortized cell-list rebuilds)
+# ---------------------------------------------------------------------------
+
+
+class MDStateNB(NamedTuple):
+    positions: jax.Array
+    velocities: jax.Array
+    forces: jax.Array
+    potential: jax.Array
+    nb: object             # neighbors.NeighborState
+
+
+def make_nb_energy_fn(system, bonded=None, guard: bool = True):
+    """Stateful energy for trajectory loops: returns (e_fn, init_nb) where
+    ``e_fn(x, nb) -> (energy, forces, nb)`` evaluates with a reused neighbor
+    state and ``init_nb(x)`` (re)builds one.
+
+    Rebuild *scheduling* lives in the trajectory drivers, which rebuild
+    unconditionally every ``rebuild_every`` steps in a nested scan — a
+    data-dependent ``lax.cond`` rebuild costs ~0.8 ms/step of conditional
+    overhead on TPU even when the cheap branch is taken (measured), more
+    than the binning it saves.  With ``guard`` (default), a step whose
+    displacement invalidates the reused state poisons the energy to NaN —
+    an over-optimistic rebuild interval is visible, never silently wrong.
+    """
+    from .neighbors import build_neighbor_state, neighbor_state_fresh
+
+    def init_nb(x):
+        return jax.lax.stop_gradient(build_neighbor_state(x, system))
+
+    def e_fn(x, nb):
+        def e_of(xx):
+            e = _energy(xx, system, nb=nb)
+            if bonded is not None:
+                e = e + bonded_energy(xx, bonded)
+            return e
+
+        e, g = jax.value_and_grad(e_of)(x)
+        if guard:
+            e = jnp.where(neighbor_state_fresh(nb, x, system), e,
+                          jnp.asarray(jnp.nan, e.dtype))
+        return e, -g, nb
+
+    return e_fn, init_nb
+
+
+def init_state_nb(positions, velocities, e_fn, init_nb) -> MDStateNB:
+    nb = init_nb(positions)
+    e, f, nb = e_fn(positions, nb)
+    return MDStateNB(positions, velocities, f, e, nb)
+
+
+def nve_step_nb(state: MDStateNB, e_fn, masses, dt: float) -> MDStateNB:
+    """Velocity-Verlet step with a reused neighbor state."""
+    inv_m = (1.0 / masses)[:, None]
+    v_half = state.velocities + 0.5 * dt * state.forces * inv_m
+    x_new = state.positions + dt * v_half
+    e, f_new, nb = e_fn(x_new, state.nb)
+    v_new = v_half + 0.5 * dt * f_new * inv_m
+    return MDStateNB(x_new, v_new, f_new, e, nb)
+
+
+def nve_trajectory_nb(state: MDStateNB, e_fn, init_nb, masses, dt: float,
+                      n_steps: int, rebuild_every: int = 10):
+    """n_steps of NVE with the cell list rebuilt every ``rebuild_every``
+    steps (unconditionally, in a nested scan — see make_nb_energy_fn);
+    returns (final_state, per-step total energies).
+
+    Pick ``rebuild_every`` so the fastest atoms move < skin/2 between
+    rebuilds (neighbors.skin_radius); the guard in e_fn NaN-poisons the
+    energy if the interval was too long.
+    """
+
+    def inner(s, _):
+        s = nve_step_nb(s, e_fn, masses, dt)
+        return s, s.potential + kinetic_energy(s.velocities, masses)
+
+    def outer(s, _):
+        s = s._replace(nb=init_nb(s.positions))
+        return jax.lax.scan(inner, s, None, length=rebuild_every)
+
+    n_outer, rem = divmod(n_steps, rebuild_every)
+    es = []
+    if n_outer:
+        state, e_chunks = jax.lax.scan(outer, state, None, length=n_outer)
+        es.append(e_chunks.reshape(-1))
+    if rem:
+        state = state._replace(nb=init_nb(state.positions))
+        state, e_tail = jax.lax.scan(inner, state, None, length=rem)
+        es.append(e_tail)
+    return state, jnp.concatenate(es) if len(es) != 1 else es[0]
+
+
 def nve_step(state: MDState, energy_fn, masses: jax.Array, dt: float) -> MDState:
     """One velocity-Verlet step.  masses [N] in amu; dt in ps."""
     inv_m = (1.0 / masses)[:, None]

@@ -87,15 +87,17 @@ def water_bonded_params(n_waters: int, box=None, dtype=None):
     n_b, n_a = 2 * n_waters, n_waters
     pbc = box is not None
     box_arr = np.asarray(box, dtype=np.float64) if pbc else np.zeros(3)
-    return BondedParams(
-        bond_idx=jnp.asarray(bond_idx, jnp.int32),
-        bond_k=jnp.full(n_b, KB_OH, dtype),
-        bond_r0=jnp.full(n_b, R_OH, dtype),
-        angle_idx=jnp.asarray(angle_idx, jnp.int32),
-        angle_k=jnp.full(n_a, KA_HOH, dtype),
-        angle_theta0=jnp.full(n_a, ANGLE_HOH, dtype),
-        box=jnp.asarray(box_arr, dtype),
+    return BondedParams.create(
+        bond_idx=bond_idx,
+        bond_k=np.full(n_b, KB_OH),
+        bond_r0=np.full(n_b, R_OH),
+        angle_idx=angle_idx,
+        angle_k=np.full(n_a, KA_HOH),
+        angle_theta0=np.full(n_a, ANGLE_HOH),
+        box=box_arr,
         pbc=pbc,
+        n_atoms=3 * n_waters,
+        dtype=dtype,
     )
 
 

@@ -1,0 +1,75 @@
+"""Neighbor-state reuse with a skin radius — amortized cell-list rebuilds.
+
+The reference rebuilds its neighbor list on every evaluation
+(ReferenceCoulKernels.cpp:559, SURVEY §5 quirk 7).  Here the binning
+(cells.build_cell_list_full, ~0.9 ms at 30k) is reused across steps: the
+cell edge already exceeds the cutoff (edge = box/floor(box/cutoff)), so the
+surplus is a free *skin* — the traversal's r < cutoff mask keeps results
+exact while every atom has moved less than skin/2 since the last rebuild
+(the standard Verlet-list argument).  ``refresh_neighbor_state`` checks the
+max displacement and rebuilds inside ``lax.cond`` only when needed, so a
+trajectory scan pays for binning every ~10-20 steps instead of every step.
+
+Wrap offsets are frozen at rebuild time (``wrap = box*floor(x_ref/box)``):
+during reuse, block coordinates are ``x - wrap`` — continuous across the
+periodic boundary, so an atom drifting over the box edge stays numerically
+next to its binned cell and the static per-cell image offsets remain valid.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cells import build_cell_list_full
+
+
+class NeighborState(NamedTuple):
+    """Reusable binning state (see module docstring)."""
+
+    slots: jax.Array      # [n_cells, cap] int32, slot -> atom id
+    inv_slot: jax.Array   # [N] int32, atom -> flat slot
+    wrap: jax.Array       # [N, 3] box*floor(x_ref/box) at rebuild
+    x_ref: jax.Array      # [N, 3] positions at rebuild
+    overflow: jax.Array   # int32 dropped-atom count at rebuild
+
+
+def skin_radius(system) -> jax.Array:
+    """Free skin: smallest cell edge minus the cutoff (>= 0)."""
+    spec = system.spec
+    grid = jnp.asarray(np.asarray(spec.cell_grid), system.box.dtype)
+    return jnp.maximum(jnp.min(system.box / grid) - spec.cutoff, 0.0)
+
+
+def build_neighbor_state(positions: jax.Array, system) -> NeighborState:
+    spec = system.spec
+    slots, inv_slot, overflow = build_cell_list_full(
+        positions, system.box, spec.cell_grid, spec.cell_capacity)
+    wrap = system.box * jnp.floor(positions / system.box)
+    return NeighborState(slots=slots, inv_slot=inv_slot, wrap=wrap,
+                         x_ref=positions, overflow=overflow)
+
+
+def neighbor_state_fresh(state: NeighborState, positions: jax.Array,
+                         system) -> jax.Array:
+    """True while every atom has moved < skin/2 since the last rebuild (so
+    the reused binning still yields every pair within the cutoff)."""
+    half_skin = 0.5 * skin_radius(system)
+    d = positions - state.x_ref
+    max_d2 = jnp.max(jnp.sum(d * d, axis=-1))
+    return max_d2 < half_skin * half_skin
+
+
+def refresh_neighbor_state(state: NeighborState, positions: jax.Array,
+                           system) -> NeighborState:
+    """Rebuild the binning iff an atom moved past skin/2 (lax.cond: the
+    rebuild cost is paid only on rebuild steps).  Non-differentiable by
+    construction; callers should treat the result as constant data."""
+    return jax.lax.cond(
+        neighbor_state_fresh(state, positions, system),
+        lambda: state,
+        lambda: build_neighbor_state(positions, system),
+    )

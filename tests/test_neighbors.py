@@ -1,0 +1,80 @@
+"""Neighbor-state reuse (skin radius, amortized rebuilds) — exactness.
+
+The reused binning must give bit-level-identical physics to per-step
+rebuilds while displacements stay under skin/2, including across periodic
+boundaries (frozen wrap offsets), and must rebuild itself when exceeded.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from chargeflux_tpu.energy import _energy, _energy_and_forces
+from chargeflux_tpu.integrate import (MDState, init_state, init_state_nb,
+                                      make_energy_fn, make_nb_energy_fn,
+                                      nve_trajectory, nve_trajectory_nb)
+from chargeflux_tpu.models import WATER_MASSES, water_box
+from chargeflux_tpu.neighbors import (build_neighbor_state,
+                                      neighbor_state_fresh,
+                                      refresh_neighbor_state, skin_radius)
+
+
+def _system():
+    force, pos, masses, box = water_box(n_side=7, flux="bond_angle",
+                                        cutoff=0.65, seed=21)
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell")
+    return system, jnp.asarray(pos), jnp.asarray(np.asarray(masses))
+
+
+def test_energy_with_fresh_nb_matches_plain():
+    system, x, _ = _system()
+    nb = build_neighbor_state(x, system)
+    e0 = float(_energy(x, system))
+    e1 = float(_energy(x, system, nb=nb))
+    assert e0 == e1
+
+
+def test_reuse_is_exact_under_small_displacement():
+    system, x, _ = _system()
+    skin = float(skin_radius(system))
+    assert skin > 0.05
+    nb = build_neighbor_state(x, system)
+    rng = np.random.default_rng(0)
+    # move everything by < skin/2 (including atoms near the boundary)
+    x2 = x + jnp.asarray(rng.uniform(-0.4, 0.4, x.shape)) * (skin / 2) / 0.7
+    assert bool(neighbor_state_fresh(nb, x2, system))
+    e_reuse, f_reuse = _energy_and_forces(x2, system, nb=nb)
+    e_fresh, f_fresh = _energy_and_forces(x2, system)
+    np.testing.assert_allclose(float(e_reuse), float(e_fresh), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f_reuse), np.asarray(f_fresh),
+                               rtol=1e-9, atol=1e-10)
+
+
+def test_refresh_rebuilds_past_half_skin():
+    system, x, _ = _system()
+    skin = float(skin_radius(system))
+    nb = build_neighbor_state(x, system)
+    x2 = x.at[0, 0].add(0.7 * skin)
+    assert not bool(neighbor_state_fresh(nb, x2, system))
+    nb2 = refresh_neighbor_state(nb, x2, system)
+    fresh = build_neighbor_state(x2, system)
+    np.testing.assert_array_equal(np.asarray(nb2.slots),
+                                  np.asarray(fresh.slots))
+    np.testing.assert_array_equal(np.asarray(nb2.x_ref), np.asarray(x2))
+
+
+def test_nb_trajectory_matches_per_step_rebuild():
+    system, x, masses = _system()
+    e_plain = make_energy_fn(system)
+    e_nb, init_nb = make_nb_energy_fn(system)
+    dt = 5e-5
+    v0 = jnp.zeros_like(x)
+    s_plain = init_state(x, v0, e_plain)
+    s_nb = init_state_nb(x, v0, e_nb, init_nb)
+    _, etot_plain = nve_trajectory(s_plain, e_plain, masses, dt, 25)
+    _, etot_nb = nve_trajectory_nb(s_nb, e_nb, init_nb, masses, dt, 25,
+                                   rebuild_every=10)
+    np.testing.assert_allclose(np.asarray(etot_nb), np.asarray(etot_plain),
+                               rtol=1e-10)

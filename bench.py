@@ -80,14 +80,20 @@ def measure_md_step(x, system, masses):
 
         def outer(st, _):
             st = st._replace(nb=init_nb(st.positions))
-            return jax.lax.scan(body, st, None, length=10)
+            return jax.lax.scan(body, st, None, length=rebuild_every)
 
         s_k, es = jax.lax.scan(outer, s, None, length=k)
         return es[-1, -1] + 0.0 * jnp.sum(s_k.positions)
 
-    # k counts 10-step chunks (rebuild_every=10)
-    ms10 = _timed_scan(run, s0, 1, 6, reps=7)
-    return ms10 / 10.0, float(run(s0, 1))
+    # k counts rebuild_every-step chunks
+    from chargeflux_tpu.neighbors import suggest_rebuild_interval
+    if system.spec.direct_method == "cell":
+        rebuild_every = suggest_rebuild_interval(system, DT_PS, cap=10)
+    else:
+        rebuild_every = 10
+    k1 = max(1, 10 // rebuild_every)
+    ms_chunk = _timed_scan(run, s0, k1, 6 * k1, reps=7)
+    return ms_chunk / rebuild_every, float(run(s0, 1))
 
 
 def measure_phases(x, system):
@@ -205,6 +211,7 @@ def main():
           f"kmax={system.spec.kmax} pme={system.spec.pme_grid} "
           f"grid={system.spec.cell_grid} cap={system.spec.cell_capacity} "
           f"energy={e_check:.3f}", file=sys.stderr)
+    assert np.isfinite(e_check), "benchmark trajectory produced NaN"
 
 
 if __name__ == "__main__":

@@ -105,10 +105,12 @@ def build_cell_list_full(positions: jax.Array, box: jax.Array, grid,
     cell_id = (ci[:, 0] * gy + ci[:, 1]) * gz + ci[:, 2]
     n_cells = gx * gy * gz
 
-    if n * n_cells <= 64_000_000:
+    if n * n_cells <= 256_000_000:
         # One-hot + cumulative count: rank of atom i within its cell is the
-        # number of same-cell atoms before it.  3.4x faster than the sort
-        # route on TPU (XLA's device sort is slow); identical slot layout.
+        # number of same-cell atoms before it.  Beats the sort route on TPU
+        # at every measured size (1.16 vs 3.6 ms at 30k, 8.1 vs 13.2 ms at
+        # 100k — XLA's device sort is slow); identical slot layout.  The
+        # [N, n_cells] one-hot is 1 GB of int32 at the threshold.
         onehot = (cell_id[:, None] == jnp.arange(n_cells)[None, :]).astype(jnp.int32)
         cum = jnp.cumsum(onehot, axis=0)
         rank = cum[jnp.arange(n), cell_id] - 1
@@ -132,7 +134,7 @@ def build_cell_list_full(positions: jax.Array, box: jax.Array, grid,
     overflow = jnp.sum(~ok).astype(jnp.int32)
     # inv_slot in ORIGINAL atom order (the one-hot branch already is; the
     # sort branch needs the permutation inverted)
-    if n * n_cells <= 64_000_000:
+    if n * n_cells <= 256_000_000:
         inv_slot = slot_of
     else:
         inv_slot = jnp.full((n,), sentinel, jnp.int32).at[atom_ids].set(
@@ -286,6 +288,38 @@ class CellBlocks(NamedTuple):
     se: jax.Array
 
 
+
+@jax.custom_vjp
+def gather_rows(table, flat, inv):
+    """Row gather with an inverse-permutation backward.
+
+    ``table`` [R, C] (last row a zero pad), ``flat`` [S] row indices
+    (sentinel R-1 allowed), ``inv`` [R-1] the inverse mapping (row -> output
+    position, sentinel >= S for rows that appear nowhere).  Forward is one
+    row gather; backward gathers cotangent rows by ``inv`` instead of
+    scatter-adding (valid because flat is a permutation; 7-17x faster on
+    TPU).  Defined at module level with the index arrays as explicit
+    arguments (float0 cotangents): a custom_vjp whose fwd/bwd close over
+    forward-trace tracers breaks under the shard_map transpose.
+    """
+    return table[flat]
+
+
+def _gather_rows_fwd(table, flat, inv):
+    return table[flat], (inv, table.shape[0])
+
+
+def _gather_rows_bwd(res, ct):
+    inv, nrow = res
+    ctp = jnp.concatenate([ct, jnp.zeros((1, ct.shape[1]), ct.dtype)])
+    pad = jnp.full((nrow - inv.shape[0],), ct.shape[0], inv.dtype)
+    back = ctp[jnp.minimum(jnp.concatenate([inv, pad]), ct.shape[0])]
+    z = np.zeros(inv.shape, dtype=jax.dtypes.float0)
+    return back, z, z
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
 def blockify(positions: jax.Array, q: jax.Array, system, slots: jax.Array,
              inv_slot: jax.Array, wrap: jax.Array = None):
     """Gather atom data into cell-major blocks with a hand-written VJP.
@@ -311,43 +345,24 @@ def blockify(positions: jax.Array, q: jax.Array, system, slots: jax.Array,
     cap = spec.cell_capacity
     grid4 = (gx, gy, gz, cap)
     n = positions.shape[0]
-    n_slots = gx * gy * gz * cap
     dtype = positions.dtype
     box = system.box
     flat = slots.reshape(-1)
 
-    @jax.custom_vjp
-    def _blockify(positions, q):
-        # With neighbor-state reuse, wrap offsets are frozen at rebuild time
-        # so coordinates stay continuous across the periodic boundary.
-        if wrap is None:
-            pos_w = positions - box * jnp.floor(positions / box)
-        else:
-            pos_w = positions - wrap
-        zero = jnp.zeros((n, 2), dtype)
-        table = jnp.concatenate(
-            [pos_w, q[:, None], 0.5 * system.sigma.astype(dtype)[:, None],
-             2.0 * jnp.sqrt(system.epsilon.astype(dtype))[:, None], zero],
-            axis=1)
-        table = jnp.concatenate([table, jnp.zeros((1, 8), dtype)], axis=0)
-        g = table[flat]                           # [S, 8] one row gather
-        g4 = g.reshape(grid4 + (8,))
-        return CellBlocks(x=g4[..., 0], y=g4[..., 1], z=g4[..., 2],
-                          q=g4[..., 3], hs=g4[..., 4], se=g4[..., 5])
-
-    def _fwd(positions, q):
-        return _blockify(positions, q), None
-
-    def _bwd(_, ct):
-        ct_tab = jnp.stack(
-            [ct.x.reshape(-1), ct.y.reshape(-1), ct.z.reshape(-1),
-             ct.q.reshape(-1)], axis=-1)          # [S, 4]
-        ct_tab = jnp.concatenate([ct_tab, jnp.zeros((1, 4), dtype)], axis=0)
-        back = ct_tab[jnp.minimum(inv_slot, n_slots)]   # [N, 4] row gather
-        return back[:, :3], back[:, 3]
-
-    _blockify.defvjp(_fwd, _bwd)
-    return _blockify(positions, q)
+    # With neighbor-state reuse, wrap offsets are frozen at rebuild time
+    # so coordinates stay continuous across the periodic boundary.
+    if wrap is None:
+        pos_w = positions - box * jnp.floor(positions / box)
+    else:
+        pos_w = positions - wrap
+    table = jnp.concatenate(
+        [pos_w, q[:, None], 0.5 * system.sigma.astype(dtype)[:, None],
+         2.0 * jnp.sqrt(system.epsilon.astype(dtype))[:, None],
+         jnp.zeros((n, 2), dtype)], axis=1)
+    table = jnp.concatenate([table, jnp.zeros((1, 8), dtype)], axis=0)
+    g4 = gather_rows(table, flat, inv_slot).reshape(grid4 + (8,))
+    return CellBlocks(x=g4[..., 0], y=g4[..., 1], z=g4[..., 2],
+                      q=g4[..., 3], hs=g4[..., 4], se=g4[..., 5])
 
 
 def _roll_block_energy(blocks: CellBlocks, ids: jax.Array, system) -> jax.Array:

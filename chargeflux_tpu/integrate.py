@@ -72,7 +72,11 @@ def make_nb_energy_fn(system, bonded=None, guard: bool = True):
     """
     from .neighbors import build_neighbor_state, neighbor_state_fresh
 
+    has_cells = system.spec.direct_method == "cell"
+
     def init_nb(x):
+        if not has_cells:
+            return None        # dense route: nothing to reuse
         return jax.lax.stop_gradient(build_neighbor_state(x, system))
 
     def e_fn(x, nb):
@@ -83,7 +87,7 @@ def make_nb_energy_fn(system, bonded=None, guard: bool = True):
             return e
 
         e, g = jax.value_and_grad(e_of)(x)
-        if guard:
+        if guard and nb is not None:
             e = jnp.where(neighbor_state_fresh(nb, x, system), e,
                           jnp.asarray(jnp.nan, e.dtype))
         return e, -g, nb

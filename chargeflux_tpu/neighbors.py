@@ -73,3 +73,16 @@ def refresh_neighbor_state(state: NeighborState, positions: jax.Array,
         lambda: state,
         lambda: build_neighbor_state(positions, system),
     )
+
+
+def suggest_rebuild_interval(system, dt: float, max_speed: float = 4.0,
+                             cap: int = 50) -> int:
+    """Steps between unconditional rebuilds such that atoms moving at
+    ``max_speed`` (nm/ps; 4 is a generous bound for 300 K hydrogens) stay
+    within skin/2.  At least 1 (rebuild every step when the grid leaves no
+    skin); the e_fn guard still NaN-poisons if the bound is ever beaten."""
+    spec = system.spec
+    box = np.asarray(jax.device_get(system.box), dtype=np.float64)
+    grid = np.asarray(spec.cell_grid)
+    skin = max(float(np.min(box / grid)) - spec.cutoff, 0.0)
+    return int(max(1, min(cap, np.floor(0.5 * skin / (max_speed * dt)))))

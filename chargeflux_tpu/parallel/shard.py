@@ -107,9 +107,20 @@ def make_sharded_energy_fn(system, mesh: Mesh, axis_name: str = "space"):
     """Build energy(positions) -> scalar with work sharded over
     ``mesh[axis_name]``; positions replicated, result replicated.
 
+    Cell-route systems whose x cell-plane count divides the mesh axis take
+    the spatial slab decomposition with ppermute halo exchange (halo.py:
+    local binning, one boundary plane exchanged per neighbor); anything else
+    falls back to work sharding over replicated positions (which keeps the
+    full per-device rebuild and, on the cell route, gather-based rows —
+    correct but slower at scale).
+
     Differentiable: jax.grad of the returned function yields forces with
     per-device partials psummed by the shard_map transpose.
     """
+    from .halo import halo_compatible, make_halo_energy_fn
+
+    if halo_compatible(system, mesh.shape[axis_name]):
+        return make_halo_energy_fn(system, mesh, axis_name)
     local_energy = _local_energy_builder(system, axis_name,
                                          mesh.shape[axis_name])
     sharded = jax.shard_map(local_energy, mesh=mesh, in_specs=P(),
@@ -208,8 +219,14 @@ def make_replica_sharded_energy_fn(system, mesh: Mesh,
     mesh.shape[replica_axis].  This is the DP x spatial composition — the MD
     analog of dp x tp in an ML framework.
     """
-    inner = _local_energy_builder(system, space_axis,
-                                  mesh.shape[space_axis])
+    from .halo import _halo_local_energy_builder, halo_compatible
+
+    if halo_compatible(system, mesh.shape[space_axis]):
+        inner = _halo_local_energy_builder(system, space_axis,
+                                           mesh.shape[space_axis])
+    else:
+        inner = _local_energy_builder(system, space_axis,
+                                      mesh.shape[space_axis])
 
     def local_batch(positions_chunk):          # [R_local, N, 3] on device
         return jax.vmap(inner)(positions_chunk)

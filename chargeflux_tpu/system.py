@@ -319,6 +319,7 @@ class CoulForce:
         direct_method: str = "auto",
         cell_capacity: Optional[int] = None,
         recip_method: str = "auto",
+        skin_frac: float = 0.05,
     ) -> ChargeFluxSystem:
         """Compile the builder into an immutable pytree system.
 
@@ -360,7 +361,13 @@ class CoulForce:
         if not self._pbc:
             method = "dense"
         else:
-            ncells = tuple(int(np.floor(b / self._cutoff)) for b in box_arr)
+            # Reserve skin_frac*cutoff of Verlet skin when sizing cells:
+            # slightly larger cells (more pair candidates) buy reusable
+            # binning across ~skin/(2*v*dt) MD steps (neighbors.py).  A grid
+            # sized exactly to the cutoff leaves zero skin and forces a
+            # rebuild (and its gather/sort cost) every step.
+            eff = self._cutoff * (1.0 + skin_frac)
+            ncells = tuple(int(np.floor(b / eff)) for b in box_arr)
             cell_ok = all(c >= 3 for c in ncells)
             if method == "auto":
                 method = "cell" if (cell_ok and n > 2048) else "dense"

@@ -247,3 +247,45 @@ def gather_variants():
 if __name__ == "__main__" and "gathers" in sys.argv:
     gather_variants()
     sys.exit(0)
+
+def binning_100k():
+    import os, sys as _s
+    _s.path.insert(0, os.getcwd())
+    import numpy as np, jax, jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    N = 98304
+    box = jnp.asarray([9.9424]*3, jnp.float32)
+    x0 = jnp.asarray(rng.uniform(0, 9.9424, (N, 3)), jnp.float32)
+    grid = (10, 10, 10); cap = 160
+
+    def via(branch):
+        def step(x):
+            gvec = jnp.asarray(np.asarray(grid), x.dtype)
+            frac = x / box; frac = frac - jnp.floor(frac)
+            ci = jnp.clip((frac * gvec).astype(jnp.int32), 0, 9)
+            cell_id = (ci[:, 0] * 10 + ci[:, 1]) * 10 + ci[:, 2]
+            n_cells = 1000
+            if branch == "onehot":
+                onehot = (cell_id[:, None] == jnp.arange(n_cells)[None, :]).astype(jnp.int32)
+                cum = jnp.cumsum(onehot, axis=0)
+                rank = cum[jnp.arange(N), cell_id] - 1
+                atom_ids = jnp.arange(N, dtype=jnp.int32)
+                flat = cell_id * cap + rank
+            else:
+                order = jnp.argsort(cell_id)
+                scid = cell_id[order]
+                first = jnp.searchsorted(scid, scid, side="left")
+                rank = jnp.arange(N, dtype=jnp.int32) - first.astype(jnp.int32)
+                atom_ids = order.astype(jnp.int32)
+                flat = scid * cap + rank
+            ok = rank < cap
+            slot_of = jnp.where(ok, flat, n_cells * cap).astype(jnp.int32)
+            slots = jnp.full((n_cells * cap,), N, jnp.int32).at[slot_of].set(atom_ids, mode="drop")
+            return x + 0.0 * jnp.sum(slots % 7).astype(x.dtype), jnp.sum(rank).astype(x.dtype)
+        return step
+    for b in ("onehot", "sort"):
+        print(f"bin100k_{b:7s}", timed(via(b), x0, k1=3, k2=13))
+
+if __name__ == "__main__" and "bin100k" in sys.argv:
+    binning_100k()
+    sys.exit(0)

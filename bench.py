@@ -42,6 +42,17 @@ def build(config: str):
     force, pos, masses, box = water_box(n_side=n_side, flux="bond_angle")
     system = force.create_system(box=box, dtype=jnp.float32,
                                  direct_method=method)
+    if method == "cell":
+        # lattice initial configs alias against the cell grid and can beat
+        # the 4-sigma default capacity; size it from the real occupancy
+        from chargeflux_tpu.cells import suggest_capacity
+        # margin 1.05: short near-equilibrium runs; the in-jit overflow
+        # guard NaNs (and the final assert fails) if it's ever beaten
+        cap = suggest_capacity(pos, box, system.spec.cell_grid, margin=1.05)
+        if cap != system.spec.cell_capacity:
+            system = force.create_system(box=box, dtype=jnp.float32,
+                                         direct_method=method,
+                                         cell_capacity=cap)
     return (jnp.asarray(pos, jnp.float32), system,
             jnp.asarray(np.asarray(masses), jnp.float32))
 

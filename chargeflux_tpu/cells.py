@@ -154,6 +154,25 @@ def build_cell_list(positions: jax.Array, box: jax.Array, grid, capacity: int):
     return slots, overflow
 
 
+def suggest_capacity(positions, box, grid, margin: float = 1.25,
+                     multiple: int = 8) -> int:
+    """Capacity from an actual configuration: max cell occupancy * margin,
+    rounded up to ``multiple``.  The create_system default (4-sigma Poisson
+    headroom) underestimates clumpy configurations — e.g. lattice initial
+    conditions aliasing against the cell grid; the in-jit overflow guard
+    turns that into a visible NaN, and this helper is the remedy."""
+    positions = np.asarray(positions, dtype=np.float64)
+    box = np.asarray(box, dtype=np.float64)
+    grid = np.asarray(grid)
+    frac = positions / box
+    frac -= np.floor(frac)
+    ci = np.clip((frac * grid).astype(np.int64), 0, grid - 1)
+    cid = (ci[:, 0] * grid[1] + ci[:, 1]) * grid[2] + ci[:, 2]
+    peak = int(np.bincount(cid, minlength=int(np.prod(grid))).max())
+    cap = int(math.ceil(peak * margin))
+    return ((cap + multiple - 1) // multiple) * multiple
+
+
 def validate_cell_list(positions, system) -> int:
     """Host-side overflow check; returns the dropped-atom count (should be 0,
     otherwise rebuild the system with a larger cell_capacity)."""

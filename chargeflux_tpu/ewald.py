@@ -88,6 +88,11 @@ def structure_factors(positions: jax.Array, q: jax.Array, box: jax.Array,
     cz, sz = jnp.cos(phz), jnp.sin(phz)
 
     if method == "pallas":
+        if dtype != jnp.float32:
+            raise ValueError(
+                "recip_method='pallas' is an f32 TPU kernel and would "
+                f"silently degrade a {dtype} system's ~1e-10 parity "
+                "contract; use 'xla' (or 'pme') for f64 work")
         from .ops.pallas_recip import make_structure_factor_fn, _ceil_to
 
         n_at = positions.shape[0]

@@ -50,7 +50,12 @@ def save_checkpoint(path: str, state: Any, step: int = 0, extra: dict | None = N
 
 def load_checkpoint(path: str, like: Any):
     """Load a checkpoint saved by :func:`save_checkpoint` into the structure
-    of ``like`` (leaves are matched positionally; dtypes follow ``like``).
+    of ``like`` (dtypes follow ``like``).
+
+    The template is validated structurally: the stored treedef string must
+    match ``like``'s and every leaf shape must agree — a same-length but
+    differently shaped template (e.g. velocities where positions belong)
+    raises instead of silently transposing arrays.
 
     Returns (state, step).
     """
@@ -59,12 +64,21 @@ def load_checkpoint(path: str, like: Any):
     if len(leaves) != len(npz.files):
         raise ValueError(
             f"checkpoint has {len(npz.files)} leaves, template has {len(leaves)}")
+    with open(_meta_path(path)) as f:
+        meta = json.load(f)
+    saved_treedef = meta.get("treedef")
+    if saved_treedef is not None and saved_treedef != str(treedef):
+        raise ValueError(
+            "checkpoint treedef does not match the template structure:\n"
+            f"  saved:    {saved_treedef}\n  template: {treedef}")
     new_leaves = []
     for i, leaf in enumerate(leaves):
         arr = npz[f"leaf_{i}"]
+        if tuple(arr.shape) != tuple(np.shape(leaf)):
+            raise ValueError(
+                f"checkpoint leaf {i} has shape {tuple(arr.shape)}, "
+                f"template expects {tuple(np.shape(leaf))}")
         new_leaves.append(jax.numpy.asarray(arr, dtype=leaf.dtype))
-    with open(_meta_path(path)) as f:
-        meta = json.load(f)
     return jax.tree.unflatten(treedef, new_leaves), int(meta.get("step", 0))
 
 

@@ -44,3 +44,38 @@ def test_coulforce_dict_roundtrip():
     x = jnp.asarray(pos)
     assert float(cf.energy(x, s1)) == pytest.approx(float(cf.energy(x, s2)),
                                                     rel=1e-14)
+
+
+def test_load_checkpoint_rejects_mismatched_template(tmp_path):
+    """Structural validation (ADVICE r1): same leaf count, different shapes
+    or treedef must raise, not silently transpose arrays."""
+    import pytest
+
+    from chargeflux_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    state = {"a": jnp.zeros((4, 3)), "b": jnp.ones((7,))}
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, state, step=3)
+
+    wrong_shape = {"a": jnp.zeros((3, 4)), "b": jnp.ones((7,))}
+    with pytest.raises(ValueError, match="shape"):
+        load_checkpoint(path, wrong_shape)
+
+    wrong_tree = {"x": jnp.zeros((4, 3)), "y": jnp.ones((7,))}
+    with pytest.raises(ValueError, match="treedef"):
+        load_checkpoint(path, wrong_tree)
+
+    back, step = load_checkpoint(path, state)
+    assert step == 3 and back["a"].shape == (4, 3)
+
+
+def test_pallas_recip_rejects_f64():
+    import pytest
+
+    from chargeflux_tpu.ewald import structure_factors
+
+    x = jnp.zeros((4, 3), jnp.float64)
+    q = jnp.zeros((4,), jnp.float64)
+    with pytest.raises(ValueError, match="f32"):
+        structure_factors(x, q, jnp.ones(3, jnp.float64), (3, 3, 3),
+                          method="pallas")

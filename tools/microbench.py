@@ -289,3 +289,45 @@ def binning_100k():
 if __name__ == "__main__" and "bin100k" in sys.argv:
     binning_100k()
     sys.exit(0)
+
+def walk_30k():
+    import os, sys as _s
+    _s.path.insert(0, os.getcwd())
+    import numpy as np, jax, jax.numpy as jnp
+    from bench import build
+    from chargeflux_tpu import cells
+    from chargeflux_tpu.charges import effective_charges
+
+    x, system, _ = build("30k")
+    spec = system.spec
+    q0 = effective_charges(x, system)
+    slots, inv, _ = cells.build_cell_list_full(x, system.box, spec.cell_grid,
+                                               spec.cell_capacity)
+
+    def blocks_of(xx):
+        return cells.blockify(xx, q0, system, slots, inv)
+
+    ids = slots.reshape(spec.cell_grid + (spec.cell_capacity,))
+
+    def fwd_only(xx):
+        b = blocks_of(xx)
+        e = cells._roll_block_energy(b, ids, system)
+        return xx + 1e-12 * e, e
+    print("walk_fwd_only      ", timed(fwd_only, x, k1=3, k2=23, reps=5))
+
+    def fused(xx):
+        b = blocks_of(xx)
+        e, g, dq = cells._roll_fused_walk(b, ids, system)
+        s = e + 1e-12 * (jnp.sum(g[0]) + jnp.sum(dq))
+        return xx + 1e-12 * s, s
+    print("walk_fused_e_g_dq  ", timed(fused, x, k1=3, k2=23, reps=5))
+
+    def blockify_only(xx):
+        b = blocks_of(xx)
+        s = jnp.sum(b.q) + jnp.sum(b.x)
+        return xx + 1e-12 * s, s
+    print("blockify_only      ", timed(blockify_only, x, k1=3, k2=23, reps=5))
+
+if __name__ == "__main__" and "walk30k" in sys.argv:
+    walk_30k()
+    sys.exit(0)

@@ -52,7 +52,7 @@ def main():
                                        energy_fixed_charges)
     from chargeflux_tpu.ewald import reciprocal_energy, self_energy
 
-    x, system = build(config)
+    x, system, _ = build(config)
     spec = system.spec
     q0 = effective_charges(x, system)
     lr = 1e-9

@@ -4,6 +4,11 @@ from .shard import (
     make_sharded_energy_fn,
 )
 from .replicas import replica_energy_and_forces, replica_nve_step, shard_replicas
+from .multislice import (
+    ensemble_mean,
+    make_multislice_energy_fn,
+    shard_batch,
+)
 
 __all__ = [
     "make_sharded_energy_fn",
@@ -12,4 +17,7 @@ __all__ = [
     "replica_energy_and_forces",
     "replica_nve_step",
     "shard_replicas",
+    "make_multislice_energy_fn",
+    "ensemble_mean",
+    "shard_batch",
 ]

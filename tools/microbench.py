@@ -331,3 +331,51 @@ def walk_30k():
 if __name__ == "__main__" and "walk30k" in sys.argv:
     walk_30k()
     sys.exit(0)
+
+def blockify_parts():
+    import os, sys as _s
+    _s.path.insert(0, os.getcwd())
+    import numpy as np, jax, jax.numpy as jnp
+    from bench import build
+    from chargeflux_tpu import cells
+    from chargeflux_tpu.charges import effective_charges
+
+    x, system, _ = build("30k")
+    spec = system.spec
+    q0 = effective_charges(x, system)
+    slots, inv, _ = cells.build_cell_list_full(x, system.box, spec.cell_grid,
+                                               spec.cell_capacity)
+    flat = slots.reshape(-1)
+    n = x.shape[0]
+    dtype = x.dtype
+    box = system.box
+    hs = 0.5 * system.sigma.astype(dtype)[:, None]
+    se = 2.0 * jnp.sqrt(system.epsilon.astype(dtype))[:, None]
+
+    def table_only(xx):
+        pos_w = xx - box * jnp.floor(xx / box)
+        table = jnp.concatenate([pos_w, q0[:, None], hs, se,
+                                 jnp.zeros((n, 2), dtype)], axis=1)
+        s = jnp.sum(table)
+        return xx + 1e-12 * s, s
+    print("table_build_only   ", timed(table_only, x, k1=3, k2=33, reps=5))
+
+    def table_gather(xx):
+        pos_w = xx - box * jnp.floor(xx / box)
+        table = jnp.concatenate([pos_w, q0[:, None], hs, se,
+                                 jnp.zeros((n, 2), dtype)], axis=1)
+        table = jnp.concatenate([table, jnp.zeros((1, 8), dtype)], axis=0)
+        g = table[flat]
+        s = jnp.sum(g)
+        return xx + 1e-12 * s, s
+    print("table_plus_gather  ", timed(table_gather, x, k1=3, k2=33, reps=5))
+
+    def unpack(xx):
+        b = cells.blockify(xx, q0, system, slots, inv)
+        s = jnp.sum(b.x) + jnp.sum(b.q)
+        return xx + 1e-12 * s, s
+    print("blockify_full      ", timed(unpack, x, k1=3, k2=33, reps=5))
+
+if __name__ == "__main__" and "blockify" in sys.argv:
+    blockify_parts()
+    sys.exit(0)

@@ -96,25 +96,43 @@ def pme_grid_size(box, alpha: float, tol: float,
     return tuple(out)
 
 
-def bspline(t: jax.Array, order: int) -> jax.Array:
-    """Cardinal B-spline M_p(t), support (0, p), via the stable recursion
-    M_n(t) = [t M_{n-1}(t) + (n - t) M_{n-1}(t - 1)] / (n - 1).
-
-    Piecewise polynomial; autodiff gives the exact derivative a.e. (the
-    kinks land on grid nodes, a measure-zero set).
-    """
-    # M_p(t) needs M_{n-1} at both t and t-1; build bottom-up on a stack of
-    # shifted arguments: level j holds M_n(t - j).
-    base = [jnp.maximum(0.0, 1.0 - jnp.abs(t - 1.0 - j))   # M_2(t - j)
-            for j in range(order - 1)]
-    level = base
+def _bspline_raw(t: jax.Array, order: int, depth: int = 1):
+    """Stack evaluation of the B-spline recursion
+    M_n(t) = [t M_{n-1}(t) + (n - t) M_{n-1}(t - 1)] / (n - 1):
+    level j holds M_n(t - j).  Returns the top ``depth`` levels (depth=2
+    gives [M_p(t), M_p(t-1)] — what the derivative identity needs)."""
+    level = [jnp.maximum(0.0, 1.0 - jnp.abs(t - 1.0 - j))   # M_2(t - j)
+             for j in range(order - 2 + depth)]
     for n in range(3, order + 1):
-        nxt = []
-        for j in range(len(level) - 1):
-            tj = t - j
-            nxt.append((tj * level[j] + (n - tj) * level[j + 1]) / (n - 1))
-        level = nxt
-    return level[0]
+        tj = [t - j for j in range(len(level) - 1)]
+        level = [(tj[j] * level[j] + (n - tj[j]) * level[j + 1]) / (n - 1)
+                 for j in range(len(level) - 1)]
+    return level[:depth]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def bspline(t: jax.Array, order: int) -> jax.Array:
+    """Cardinal B-spline M_p(t), support (0, p).
+
+    custom_vjp with the analytic derivative identity
+    M_p'(t) = M_{p-1}(t) - M_{p-1}(t-1): one extra order-(p-1) evaluation in
+    the backward instead of autodiff differentiating every level of the
+    recursion stack (which saves/replays ~p^2/2 intermediates).  Exact a.e.
+    (the kinks land on grid nodes, a measure-zero set).
+    """
+    return _bspline_raw(t, order)[0]
+
+
+def _bspline_fwd(t, order):
+    return _bspline_raw(t, order)[0], t
+
+
+def _bspline_bwd(order, t, ct):
+    lo = _bspline_raw(t, order - 1, depth=2)
+    return (ct * (lo[0] - lo[1]),)
+
+
+bspline.defvjp(_bspline_fwd, _bspline_bwd)
 
 
 def spread_weights(u: jax.Array, grid_n: int, order: int) -> jax.Array:
@@ -242,6 +260,55 @@ def _fold_axis(parts, origins, grid_n, patch_axis, cell_axis):
     return out
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _spread_patches(qwlx, wly, wlz, prec_name):
+    """Per-cell patch contraction P[c,x,y,z] = sum_a qwlx[c,a,x] wly[c,a,y]
+    wlz[c,a,z] with a hand-written VJP: autodiff of the two-step product +
+    einsum materializes the [C, cap, Wx*Wy] intermediate several times; the
+    hand backward computes the three cotangents with one batched matmul
+    each plus two fused multiply-reduce passes."""
+    return _spread_patches_fwd(qwlx, wly, wlz, prec_name)[0]
+
+
+def _prec(prec_name, dtype):
+    if prec_name == "x3" and dtype == jnp.float32:
+        return jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3
+    return None
+
+
+def _spread_patches_fwd(qwlx, wly, wlz, prec_name):
+    c, cap, wx = qwlx.shape
+    wy = wly.shape[-1]
+    dtype = qwlx.dtype
+    a = (qwlx[..., :, None] * wly[..., None, :]).reshape(c, cap, wx * wy)
+    p = jnp.einsum("caw,caz->cwz", a, wlz, preferred_element_type=dtype,
+                   precision=_prec(prec_name, dtype))
+    return p.reshape(c, wx, wy, wlz.shape[-1]), (qwlx, wly, wlz)
+
+
+def _spread_patches_bwd(prec_name, res, ct):
+    qwlx, wly, wlz = res
+    c, cap, wx = qwlx.shape
+    wy = wly.shape[-1]
+    wz = wlz.shape[-1]
+    dtype = qwlx.dtype
+    prec = _prec(prec_name, dtype)
+    dp = ct.reshape(c, wx * wy, wz)
+    # B[c,a,(x,y)] = sum_z dP wlz — one batched matmul
+    b = jnp.einsum("cwz,caz->caw", dp, wlz, preferred_element_type=dtype,
+                   precision=prec).reshape(c, cap, wx, wy)
+    d_qwlx = jnp.sum(b * wly[..., None, :], axis=-1)
+    d_wly = jnp.sum(b * qwlx[..., :, None], axis=-2)
+    # dwlz needs `a`; recompute it (one cheap product pass)
+    a = (qwlx[..., :, None] * wly[..., None, :]).reshape(c, cap, wx * wy)
+    d_wlz = jnp.einsum("caw,cwz->caz", a, dp, preferred_element_type=dtype,
+                       precision=prec)
+    return d_qwlx, d_wly, d_wlz
+
+
+_spread_patches.defvjp(_spread_patches_fwd, _spread_patches_bwd)
+
+
 def pme_cell_reciprocal_energy(blocks, ids, system) -> jax.Array:
     """SPME reciprocal energy spread from the shared cell-major blocks.
 
@@ -284,14 +351,9 @@ def pme_cell_reciprocal_energy(blocks, ids, system) -> jax.Array:
     wlz, orz, wz = axis_weights(blocks.z, ngz, gz, box[2], 2)
 
     nc = ngx * ngy * ngz
-    if dtype == jnp.float32:
-        prec = jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3
-    else:
-        prec = None
-    a = (qv[..., None] * wlx)[..., :, None] * wly[..., None, :]
-    a = a.reshape(nc, cap, wx * wy)
-    patches = jnp.einsum("caw,caz->cwz", a, wlz.reshape(nc, cap, wz),
-                         preferred_element_type=dtype, precision=prec)
+    qwlx = (qv[..., None] * wlx).reshape(nc, cap, wx)
+    patches = _spread_patches(qwlx, wly.reshape(nc, cap, wy),
+                              wlz.reshape(nc, cap, wz), "x3")
     patches = patches.reshape(ngx, ngy, ngz, wx, wy, wz)
 
     # overlap-add: fold z, then y, then x

@@ -122,7 +122,7 @@ def pme_sub():
     _s.path.insert(0, os.getcwd())
     import jax, numpy as np, jax.numpy as jnp
     rng = np.random.default_rng(0)
-    NC, CAP, W, G = 343, 128, 19, 75
+    NC, CAP, W, G = 343, 128, 18, 50
     wl = jnp.asarray(rng.random((NC, CAP, W)), jnp.float32)
     q = jnp.asarray(rng.random((NC, CAP)), jnp.float32)
     P = jnp.asarray(rng.random((7,7,7,W,W,W)), jnp.float32)
@@ -167,7 +167,7 @@ def pme_sub():
     print("patch_einsum_f+g ", t_of(einsum_grad, jnp.zeros(8)))
 
     from chargeflux_tpu.pme import _fold_axis, _patch_origins
-    orgs = _patch_origins(7, G, 6)
+    orgs = _patch_origins(7, G, 8)
     def fold_case(v):
         b = _fold_axis(P + v[0], orgs, G, patch_axis=5, cell_axis=2)
         b = _fold_axis(b, orgs, G, patch_axis=3, cell_axis=1)
@@ -189,7 +189,7 @@ def pme_sub():
     from chargeflux_tpu.pme import bspline
     def weights_case(v):
         t = (u[..., None] - jnp.arange(W, dtype=jnp.float32)) + v[0]
-        s = jnp.sum(bspline(t, 6)) + jnp.sum(bspline(t, 6)*t) + jnp.sum(bspline(t,6)/ (t+100))
+        s = jnp.sum(bspline(t, 8)) + jnp.sum(bspline(t, 8)*t) + jnp.sum(bspline(t,8)/ (t+100))
         return v + 1e-12*s, s
     print("weights3x_fwd    ", t_of(weights_case, jnp.zeros(8)))
 

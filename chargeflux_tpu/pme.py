@@ -244,19 +244,25 @@ def _patch_width(n_cells: int, grid_n: int, order: int) -> int:
 
 def _fold_axis(parts, origins, grid_n, patch_axis, cell_axis):
     """Overlap-add a cell-indexed patch axis onto the full grid axis:
-    out = sum_c roll(pad(parts[c], to grid_n), origins[c]).  All shapes and
-    shifts are static; the autodiff backward is slice + roll."""
+    out[..., g] = sum_{c, w} parts[..., c, ..., w, ...] [g == (origins[c]+w)
+    mod G].  All placements are static, so the fold is ONE matmul against a
+    0/1 placement tensor — it rides the MXU (~free) instead of 7 pad+roll
+    copies per axis, and the autodiff backward is the transposed matmul."""
     n_cells = parts.shape[cell_axis]
     w = parts.shape[patch_axis]
-    padcfg = [(0, 0)] * (parts.ndim - 1)
-    out = None
+    dtype = parts.dtype
+    t = np.zeros((n_cells, w, grid_n), dtype=np.float64)
     for c in range(n_cells):
-        part = jax.lax.index_in_dim(parts, c, axis=cell_axis, keepdims=False)
-        pa = patch_axis - (1 if cell_axis < patch_axis else 0)
-        cfg = list(padcfg)
-        cfg[pa] = (0, grid_n - w)
-        placed = jnp.roll(jnp.pad(part, cfg), int(origins[c]), axis=pa)
-        out = placed if out is None else out + placed
+        for j in range(w):
+            t[c, j, (int(origins[c]) + j) % grid_n] = 1.0
+    t = jnp.asarray(t, dtype)
+    # contract (cell_axis, patch_axis) against t's (0, 1); placement values
+    # are exactly 0/1 so full f32 precision keeps the fold exact
+    prec = None if dtype == jnp.float64 else jax.lax.Precision.HIGHEST
+    out = jax.lax.dot_general(
+        parts, t,
+        dimension_numbers=(((cell_axis, patch_axis), (0, 1)), ((), ())),
+        preferred_element_type=dtype, precision=prec)
     return out
 
 
@@ -356,10 +362,12 @@ def pme_cell_reciprocal_energy(blocks, ids, system) -> jax.Array:
                               wlz.reshape(nc, cap, wz), "x3")
     patches = patches.reshape(ngx, ngy, ngz, wx, wy, wz)
 
-    # overlap-add: fold z, then y, then x
+    # overlap-add: fold z, then y, then x.  Each fold appends its grid axis
+    # last, so the result lands as [Gz, Gy, Gx] — transpose back (0.5 MB).
     b = _fold_axis(patches, orz, gz, patch_axis=5, cell_axis=2)
     b = _fold_axis(b, ory, gy, patch_axis=3, cell_axis=1)
-    qgrid = _fold_axis(b, orx, gx, patch_axis=1, cell_axis=0)
+    qgrid = jnp.transpose(_fold_axis(b, orx, gx, patch_axis=1, cell_axis=0),
+                          (2, 1, 0))
 
     qhat = jnp.fft.rfftn(qgrid)
     d = influence_function(grid, box, alpha, order, dtype)

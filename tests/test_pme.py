@@ -143,3 +143,39 @@ def test_heuristic_grid_reasonable():
     # finer tolerance -> finer grid
     finer = pme_grid_size(np.array([6.8354] * 3), 3.2427, 1e-6)
     assert all(f > g for f, g in zip(finer, grid))
+
+
+def test_cell_blocked_spread_matches_dense(box4):
+    """The cell-blocked spread (shared blocks, patch matmuls, placement-
+    matrix folds) must agree with the dense-separable spread to f64
+    roundoff."""
+    from chargeflux_tpu import cells
+    from chargeflux_tpu.models import water_box
+    from chargeflux_tpu.pme import pme_cell_reciprocal_energy
+
+    force, pos, _, box = water_box(n_side=7, flux="bond_angle", cutoff=0.65,
+                                   seed=3)
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell")
+    spec = system.spec
+    x = jnp.asarray(pos)
+    from chargeflux_tpu.charges import effective_charges
+
+    def e_cell(xx):
+        qq = effective_charges(xx, system)
+        slots, inv, _ = cells.build_cell_list_full(
+            xx, system.box, spec.cell_grid, spec.cell_capacity)
+        blocks = cells.blockify(xx, qq, system, slots, inv)
+        return pme_cell_reciprocal_energy(
+            blocks, slots.reshape(blocks.x.shape), system)
+
+    def e_dense(xx):
+        qq = effective_charges(xx, system)
+        return pme_reciprocal_energy(xx, qq, system.box, spec.alpha,
+                                     spec.pme_grid, spec.pme_order)
+
+    e1, e2 = float(e_cell(x)), float(e_dense(x))
+    np.testing.assert_allclose(e1, e2, rtol=1e-12)
+    g1 = np.asarray(jax.grad(e_cell)(x))
+    g2 = np.asarray(jax.grad(e_dense)(x))
+    np.testing.assert_allclose(g1, g2, rtol=1e-8, atol=1e-10)

@@ -379,3 +379,34 @@ def blockify_parts():
 if __name__ == "__main__" and "blockify" in sys.argv:
     blockify_parts()
     sys.exit(0)
+
+def vpu_roofline():
+    import numpy as np, jax, jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.random((343, 128, 128)), jnp.float32)  # walk block shape
+
+    def chain(k):
+        def step(x):
+            y = x
+            for i in range(k):
+                y = y * 1.000001 + 0.3
+            s = jnp.sum(y)
+            return x + 1e-12 * s, s
+        return step
+
+    n = a.size
+    for k in (16, 64, 256):
+        ms = timed(chain(k), a, k1=3, k2=13, reps=5)
+        print(f"fma_chain_k={k:3d}  {ms:7.3f} ms  -> {2*k*n/ms/1e9:.2f} TF/s")
+
+    def rsqrt_exp(x):
+        y = jax.lax.rsqrt(x + 1.0)
+        z = jnp.exp(-x * x)
+        s = jnp.sum(y + z)
+        return x + 1e-12 * s, s
+    ms = timed(rsqrt_exp, a, k1=3, k2=13, reps=5)
+    print(f"rsqrt+exp          {ms:7.3f} ms  ({n/1e6:.0f}M elems)")
+
+if __name__ == "__main__" and "roofline" in sys.argv:
+    vpu_roofline()
+    sys.exit(0)

@@ -36,7 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .ops.erfc import erfc_fast
+from .ops.erfc import erf_over_r_eval, erfc_fast
 from .units import ONE_4PI_EPS0
 
 # Half-shell shift set: (0,0,0) self + 13 lexicographically positive shifts.
@@ -202,9 +202,14 @@ def _pair_block_energy(pos_i, ni, q_i, hs_i, se_i, mask_i,
         mask = mask & extra_mask
     r2s = jnp.where(mask, r2, 1.0)
     inv_r = jax.lax.rsqrt(r2s)
-    r = r2s * inv_r
     qq = q_i[:, :, None] * q_j[:, None, :]
-    coul = ONE_4PI_EPS0 * qq * inv_r * erfc_fast(alpha * r)
+    if r2.dtype == jnp.float64:
+        coul = ONE_4PI_EPS0 * qq * inv_r * erfc_fast(alpha * (r2s * inv_r))
+    else:
+        # erfc(ar)/r = 1/r - P(r^2): no exp, no divide (ops/erfc.py)
+        cut2 = cutoff2 if isinstance(cutoff2, float) else float(cutoff2)
+        coul = ONE_4PI_EPS0 * qq * (
+            inv_r - erf_over_r_eval(r2s, float(alpha), math.sqrt(cut2)))
     sig2 = ((hs_i[:, :, None] + hs_j[:, None, :]) * inv_r) ** 2
     sig6 = sig2 * sig2 * sig2
     lj = (se_i[:, :, None] * se_j[:, None, :]) * sig6 * (sig6 - 1.0)
@@ -420,9 +425,11 @@ def _roll_block_energy(blocks: CellBlocks, ids: jax.Array, system) -> jax.Array:
             mask = mask & extra
         r2s = jnp.where(mask, r2, 1.0)
         inv_r = jax.lax.rsqrt(r2s)
-        r = r2s * inv_r
-        coul = (ONE_4PI_EPS0 * (qc[..., :, None] * qj[..., None, :])
-                * inv_r * erfc_fast(alpha * r))
+        if dtype == jnp.float64:
+            kern = inv_r * erfc_fast(alpha * (r2s * inv_r))
+        else:
+            kern = inv_r - erf_over_r_eval(r2s, alpha, spec.cutoff)
+        coul = ONE_4PI_EPS0 * (qc[..., :, None] * qj[..., None, :]) * kern
         sig2 = ((hc[..., :, None] + hj[..., None, :]) * inv_r) ** 2
         sig6 = sig2 * sig2 * sig2
         lj = (sc[..., :, None] * sj[..., None, :]) * sig6 * (sig6 - 1.0)
@@ -463,13 +470,6 @@ def _roll_block_energy(blocks: CellBlocks, ids: jax.Array, system) -> jax.Array:
     return total
 
 
-# Abramowitz & Stegun 7.1.26 constants for the fused-derivative walk
-# (shared with ops/erfc.py; the derivative below differentiates the same
-# polynomial so forces are the exact gradient of the computed energy).
-_P_ERFC = 0.3275911
-_A_ERFC = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
-
-
 def _roll_fused_walk(blocks: CellBlocks, ids: jax.Array, system):
     """One walk over the half-shell slabs computing energy, dE/dx and dE/dq
     together (explicit derivatives — no second/third autodiff walk).
@@ -492,7 +492,6 @@ def _roll_fused_walk(blocks: CellBlocks, ids: jax.Array, system):
 
     alpha = spec.alpha
     cutoff2 = spec.cutoff * spec.cutoff
-    a1, a2, a3, a4, a5 = _A_ERFC
 
     def pair_walk(xj, qj, hj, sj, mj, extra=None):
         """Returns (e_sum, gi [3 x grid4+cap? -> per-i sums], gj, dqi, dqj)
@@ -507,32 +506,38 @@ def _roll_fused_walk(blocks: CellBlocks, ids: jax.Array, system):
             mask = mask & extra
         r2s = jnp.where(mask, r2, 1.0)
         inv_r = jax.lax.rsqrt(r2s)
-        r = r2s * inv_r
-        x = alpha * r
-        exp_x2 = jnp.exp(-x * x)
+        u = inv_r * inv_r
         if dtype == jnp.float64:
             # exact erfc for the f64 parity path; d/dx erfc = -2/sqrt(pi) e^{-x^2}
             from jax.scipy.special import erfc as _erfc_exact
+            r = r2s * inv_r
+            x = alpha * r
             erfc_ar = _erfc_exact(x)
-            derfc = (-2.0 / math.sqrt(math.pi)) * exp_x2
+            derfc = (-2.0 / math.sqrt(math.pi)) * jnp.exp(-x * x)
+            kern = inv_r * erfc_ar                    # erfc(ar)/r
+            qq = (ONE_4PI_EPS0 * qc[..., :, None]) * qj[..., None, :]
+            coul = qq * kern
+            dcoul_over_r = (qq * derfc * alpha - coul) * u
         else:
-            t = 1.0 / (1.0 + _P_ERFC * x)
-            erfc_ar = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5)))) * exp_x2
-            polyp = a1 + t * (2 * a2 + t * (3 * a3 + t * (4 * a4 + t * 5 * a5)))
-            derfc = -_P_ERFC * t * t * polyp * exp_x2 - 2.0 * x * erfc_ar
-        qq = (ONE_4PI_EPS0 * qc[..., :, None]) * qj[..., None, :]
-        coul = qq * inv_r * erfc_ar
+            # erfc(ar)/r = 1/r - P(r^2) with dP/d(r^2) from the same
+            # coefficients (dual Horner) — no exp/divide on the VPU path;
+            # forces stay the exact gradient of the computed energy.
+            p, dpds = erf_over_r_eval(r2s, alpha, spec.cutoff,
+                                      with_derivative=True)
+            kern = inv_r - p
+            qq = (ONE_4PI_EPS0 * qc[..., :, None]) * qj[..., None, :]
+            coul = qq * kern
+            dcoul_over_r = -qq * (u * inv_r + 2.0 * dpds)
         sig2 = ((hc[..., :, None] + hj[..., None, :]) * inv_r) ** 2
         sig6 = sig2 * sig2 * sig2
         epr = sc[..., :, None] * sj[..., None, :]
         lj = epr * sig6 * (sig6 - 1.0)
         e = jnp.sum(jnp.where(mask, coul + lj, 0.0))
-        dcoul_dr = (qq * derfc * alpha - coul) * inv_r
-        dlj_dr = -epr * sig6 * (12.0 * sig6 - 6.0) * inv_r
-        dEdr_over_r = jnp.where(mask, (dcoul_dr + dlj_dr) * inv_r, 0.0)
+        dlj_over_r = -epr * sig6 * (12.0 * sig6 - 6.0) * u
+        dEdr_over_r = jnp.where(mask, dcoul_over_r + dlj_over_r, 0.0)
         gi = [jnp.sum(dEdr_over_r * d, axis=-1) for d in (dx, dy, dz)]
         gj = [-jnp.sum(dEdr_over_r * d, axis=-2) for d in (dx, dy, dz)]
-        ec = jnp.where(mask, inv_r * erfc_ar, 0.0) * ONE_4PI_EPS0
+        ec = jnp.where(mask, kern, 0.0) * ONE_4PI_EPS0
         dqi = jnp.sum(ec * qj[..., None, :], axis=-1)
         dqj = jnp.sum(ec * qc[..., :, None], axis=-2)
         return e, gi, gj, dqi, dqj

@@ -32,7 +32,7 @@ from . import cells
 from .charges import apply_chain_rule, effective_charges
 from .utils.profiling import phase_scope
 from .ewald import reciprocal_energy, self_energy
-from .ops.erfc import erfc_fast
+from .ops.erfc import erf_over_r_eval, erfc_fast
 from .pairs import displacement, pair_matrix_mask
 from .system import ChargeFluxSystem
 from .units import ONE_4PI_EPS0
@@ -79,11 +79,16 @@ def _dense_pair_energy(positions, q, system: ChargeFluxSystem):
         mask = mask & (r2 < spec.cutoff * spec.cutoff)
     r2_safe = jnp.where(mask, r2, 1.0)
     inv_r = jax.lax.rsqrt(r2_safe)
-    r = r2_safe * inv_r
 
     qq = q[:, None] * q[None, :]
     if spec.pbc:
-        coul = ONE_4PI_EPS0 * qq * inv_r * erfc_fast(spec.alpha * r)
+        if positions.dtype == jnp.float64:
+            coul = ONE_4PI_EPS0 * qq * inv_r * erfc_fast(
+                spec.alpha * (r2_safe * inv_r))
+        else:
+            # erfc(ar)/r = 1/r - P(r^2): exp/divide-free (ops/erfc.py)
+            coul = ONE_4PI_EPS0 * qq * (
+                inv_r - erf_over_r_eval(r2_safe, spec.alpha, spec.cutoff))
     else:
         coul = ONE_4PI_EPS0 * qq * inv_r
 

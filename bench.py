@@ -113,7 +113,9 @@ def measure_phases(x, system):
     from chargeflux_tpu import cells
     from chargeflux_tpu.charges import effective_charges
     from chargeflux_tpu.energy import _energy
-    from chargeflux_tpu.pme import pme_cell_reciprocal_energy
+    from chargeflux_tpu.pme import (_pallas_spread_ok,
+                                    pme_cell_pallas_reciprocal_energy,
+                                    pme_cell_reciprocal_energy)
 
     spec = system.spec
     q0 = effective_charges(x, system)
@@ -148,12 +150,15 @@ def measure_phases(x, system):
         out["direct"] = round(grad_loop(
             lambda xx: cells.cell_list_direct_energy(xx, q0, system)), 3)
 
+        recip_fn = (pme_cell_pallas_reciprocal_energy
+                    if _pallas_spread_ok(spec, x.dtype)
+                    else pme_cell_reciprocal_energy)
+
         def recip(xx):
             slots, inv, _ = cells.build_cell_list_full(
                 xx, system.box, spec.cell_grid, spec.cell_capacity)
             blocks = cells.blockify(xx, q0, system, slots, inv)
-            return pme_cell_reciprocal_energy(
-                blocks, slots.reshape(blocks.x.shape), system)
+            return recip_fn(blocks, slots.reshape(blocks.x.shape), system)
 
         out["recip_pme_standalone"] = round(grad_loop(recip), 3)
         out["full_fwd_grad"] = round(grad_loop(

@@ -232,11 +232,18 @@ def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
             recip_method = "xla"
     with phase_scope("cf_reciprocal"):
         if recip_method == "pme":
-            from .pme import pme_cell_reciprocal_energy, pme_reciprocal_energy
+            from .pme import (_pallas_spread_ok,
+                              pme_cell_pallas_reciprocal_energy,
+                              pme_cell_reciprocal_energy,
+                              pme_reciprocal_energy)
 
             if blocks is not None:
-                comps["reciprocal"] = pme_cell_reciprocal_energy(blocks, ids,
-                                                                 system)
+                if _pallas_spread_ok(spec, positions.dtype):
+                    comps["reciprocal"] = pme_cell_pallas_reciprocal_energy(
+                        blocks, ids, system)
+                else:
+                    comps["reciprocal"] = pme_cell_reciprocal_energy(
+                        blocks, ids, system)
             else:
                 comps["reciprocal"] = pme_reciprocal_energy(
                     positions, q, system.box, spec.alpha, spec.pme_grid,

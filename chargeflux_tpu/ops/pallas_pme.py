@@ -1,0 +1,181 @@
+"""Pallas TPU kernel for the cell-blocked SPME spread — VMEM-resident grid.
+
+The XLA cell-blocked spread (pme.pme_cell_reciprocal_energy) is correct and
+scatter-free, but it materializes the [n_cells, cap, Wx*Wy] patch tensor in
+HBM (57 MB at the 30k shape) on both the forward and backward passes, and
+folds patches onto the mesh with three placement matmuls (another ~60 MB of
+HBM round trips).  Replaces the reference's per-k-vector reciprocal kernels
+(PBCForce.cu:841-950) at the same contract.
+
+This kernel keeps everything on-chip:
+
+* one program per **cell column** (cx, cy): its z-cells' atoms form a
+  [rows = n_cz * cap] axis kept LAST so it is the (128-aligned) lane
+  dimension of every operand — Mosaic reshapes then only merge/split
+  leading/sublane dims, which is layout-preserving;
+* z-spline weights are **dense over the z mesh** with the periodic wrap
+  folded into the spline argument ((u - g) mod Gz), so the patch->grid
+  placement along z is performed *by the MXU contraction itself*;
+* the patch P[(x,y), gz] = A[(x,y), row] @ Wz[row, gz] is one MXU matmul
+  per column (A = qwlx (x) wly built in VMEM, never touching HBM); the Wy
+  axis is padded to a sublane multiple (8) with zero weight rows so the
+  (Wx, Wyp) -> Wx*Wyp flatten is tile-aligned;
+* P accumulates into an x/y-padded mesh held in VMEM across the whole
+  sequential program grid (output block revisiting); the two remaining
+  ghost-edge folds are static slice-adds in XLA (fold_padded_axis).
+
+The backward pass is a second kernel with the transposed matmuls (d_Wz =
+A^T dP, d_A = dP Wz^T) and VPU reductions for the x/y weight cotangents.
+Forces stay the exact gradient of the computed energy: both kernels
+contract the same weight tensors the XLA path uses.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _fwd_kernel(off_ref, qwlxt_ref, wlyt_ref, wzd_ref, out_ref, *, gz):
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    qwlxt = qwlxt_ref[0]                          # [Wx, rows]
+    wlyt = wlyt_ref[0]                            # [Wyp, rows] (zero-padded)
+    wzd = wzd_ref[0]                              # [rows, Gz]
+    wx, rows = qwlxt.shape
+    wyp = wlyt.shape[0]
+    a2 = (qwlxt[:, None, :] * wlyt[None, :, :]).reshape(wx * wyp, rows)
+    # P[(x,y), gz] — contraction over the row axis rides the MXU.
+    p = jax.lax.dot_general(a2, wzd, (((1,), (0,)), ((), ())),
+                            precision=_HIGHEST,
+                            preferred_element_type=jnp.float32)
+    ox = off_ref[0, pid]
+    oy = off_ref[1, pid]
+    cur = out_ref[pl.ds(ox, wx), pl.ds(oy, wyp), :]
+    out_ref[pl.ds(ox, wx), pl.ds(oy, wyp), :] = cur + p.reshape(wx, wyp, gz)
+
+
+def _bwd_kernel(off_ref, qwlxt_ref, wlyt_ref, wzd_ref, ct_ref,
+                d_qwlxt_ref, d_wlyt_ref, d_wzd_ref, *, gz):
+    pid = pl.program_id(0)
+    qwlxt = qwlxt_ref[0]                          # [Wx, rows]
+    wlyt = wlyt_ref[0]                            # [Wyp, rows]
+    wzd = wzd_ref[0]                              # [rows, Gz]
+    wx, rows = qwlxt.shape
+    wyp = wlyt.shape[0]
+    ox = off_ref[0, pid]
+    oy = off_ref[1, pid]
+    dp = ct_ref[pl.ds(ox, wx), pl.ds(oy, wyp), :].reshape(wx * wyp, gz)
+    # d_Wz[row, gz] = sum_xy A[(x,y), row] dP[(x,y), gz]
+    a2 = (qwlxt[:, None, :] * wlyt[None, :, :]).reshape(wx * wyp, rows)
+    d_wzd_ref[0] = jax.lax.dot_general(
+        a2, dp, (((0,), (0,)), ((), ())), precision=_HIGHEST,
+        preferred_element_type=jnp.float32)
+    # d_A[(x,y), row] = sum_gz dP[(x,y), gz] Wz[row, gz]
+    d_a2 = jax.lax.dot_general(
+        dp, wzd, (((1,), (1,)), ((), ())), precision=_HIGHEST,
+        preferred_element_type=jnp.float32).reshape(wx, wyp, rows)
+    d_qwlxt_ref[0] = jnp.sum(d_a2 * wlyt[None, :, :], axis=1)
+    d_wlyt_ref[0] = jnp.sum(d_a2 * qwlxt[:, None, :], axis=0)
+
+
+def _col_block(a):
+    """Per-program [1, *rest] block of a per-column input.  Index maps
+    receive the scalar-prefetch ref as a trailing argument."""
+    return pl.BlockSpec((1,) + a.shape[1:], lambda i, off: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _grid_block(shape):
+    return pl.BlockSpec(shape, lambda i, off: (0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def spread_columns(qwlxt, wlyt, wzd, offsets, pad_xy):
+    """Spread per-column patches onto an x/y-padded mesh.
+
+    qwlxt/wlyt: [n_col, Wx|Wyp, rows] transposed compact x/y spline weights
+    (qwlxt carries the charges; wlyt zero-padded to a sublane multiple);
+    wzd: [n_col, rows, Gz] dense mod-wrapped z weights; offsets: static
+    ((ox...), (oy...)) per column into the padded mesh; pad_xy: (Px, Py).
+    Returns Qpad [Px, Py, Gz].
+    """
+    return _spread_fwd(qwlxt, wlyt, wzd, offsets, pad_xy)[0]
+
+
+def _spread_fwd(qwlxt, wlyt, wzd, offsets, pad_xy):
+    n_col = qwlxt.shape[0]
+    gz = wzd.shape[-1]
+    px, py = pad_xy
+    off = jnp.asarray(np.asarray(offsets), jnp.int32)      # [2, n_col]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_col,),
+        in_specs=[_col_block(qwlxt), _col_block(wlyt), _col_block(wzd)],
+        out_specs=_grid_block((px, py, gz)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, gz=gz),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((px, py, gz), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(off, qwlxt, wlyt, wzd)
+    return out, (qwlxt, wlyt, wzd)
+
+
+def _spread_bwd(offsets, pad_xy, res, ct):
+    qwlxt, wlyt, wzd = res
+    n_col = qwlxt.shape[0]
+    gz = wzd.shape[-1]
+    off = jnp.asarray(np.asarray(offsets), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_col,),
+        in_specs=[_col_block(qwlxt), _col_block(wlyt), _col_block(wzd),
+                  _grid_block(pad_xy + (gz,))],
+        out_specs=[_col_block(qwlxt), _col_block(wlyt), _col_block(wzd)],
+    )
+    d_qwlxt, d_wlyt, d_wzd = pl.pallas_call(
+        functools.partial(_bwd_kernel, gz=gz),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(qwlxt.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(wlyt.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(wzd.shape, jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
+    )(off, qwlxt, wlyt, wzd, ct)
+    return d_qwlxt, d_wlyt, d_wzd
+
+
+spread_columns.defvjp(_spread_fwd, _spread_bwd)
+
+
+def fold_padded_axis(qpad, grid_n: int, order: int, axis: int):
+    """Wrap-fold one padded axis back onto the mesh: padded index p maps to
+    mesh index (p - order) mod grid_n.  Static slice-adds (the pad extents
+    are < grid_n by construction)."""
+    pn = qpad.shape[axis]
+    sl = lambda a, b: jax.lax.slice_in_dim(qpad, a, b, axis=axis)
+    core = sl(order, order + grid_n)
+    lo = sl(0, order)                                    # p < order -> tail
+    pre = [0] * core.ndim
+    pre[axis] = grid_n - order
+    core = core + jnp.pad(lo, [(pre[d], core.shape[d] - pre[d]
+                                - lo.shape[d]) for d in range(core.ndim)])
+    if pn > order + grid_n:                              # head wrap
+        hi = sl(order + grid_n, pn)
+        core = core + jnp.pad(hi, [
+            (0, core.shape[d] - hi.shape[d]) for d in range(core.ndim)])
+    return core

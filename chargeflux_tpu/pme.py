@@ -315,6 +315,81 @@ def _spread_patches_bwd(prec_name, res, ct):
 _spread_patches.defvjp(_spread_patches_fwd, _spread_patches_bwd)
 
 
+def _pallas_spread_ok(spec, dtype) -> bool:
+    """The Pallas column-spread kernel applies on the TPU f32 path when the
+    patch windows are strictly narrower than the mesh (always true for
+    production boxes; tiny test grids fall back to the XLA fold path)."""
+    if dtype != jnp.float32 or jax.default_backend() != "tpu":
+        return False
+    gx, gy, gz = spec.pme_grid
+    ngx, ngy, ngz = spec.cell_grid
+    wx = _patch_width(ngx, gx, spec.pme_order)
+    wy = _patch_width(ngy, gy, spec.pme_order)
+    return wx < gx and wy < gy and spec.pme_order < gz
+
+
+def pme_cell_pallas_reciprocal_energy(blocks, ids, system) -> jax.Array:
+    """SPME reciprocal energy via the Pallas column-spread kernel
+    (ops/pallas_pme.py): per-cell-column patch contraction on the MXU with
+    the mesh resident in VMEM; z placed by mod-wrapped dense weights, x/y
+    ghost edges folded with two static slice-adds.  Energy-identical to
+    :func:`pme_cell_reciprocal_energy` (same weights, same influence
+    function) without its HBM patch intermediates and placement matmuls."""
+    from .ops.pallas_pme import fold_padded_axis, spread_columns
+
+    spec = system.spec
+    dtype = blocks.x.dtype
+    box = system.box
+    grid = spec.pme_grid
+    order = spec.pme_order
+    ngx, ngy, ngz = spec.cell_grid
+    cap = blocks.x.shape[-1]
+    gx, gy, gz = grid
+    n = system.n_atoms
+    qv = jnp.where(ids < n, blocks.q, 0.0)
+
+    def compact_weights_t(coord, n_cells, grid_n, length, cell_axis):
+        """Compact per-cell weights in TRANSPOSED layout [ngx, ngy, W, ngz,
+        cap] — the row axis lands last so the Pallas kernel sees it as the
+        lane dimension without any XLA transpose."""
+        u = coord * (grid_n / length)                 # [ngx, ngy, ngz, cap]
+        org = _patch_origins(n_cells, grid_n, order)
+        w = _patch_width(n_cells, grid_n, order)
+        shape = [1, 1, 1, 1, 1]
+        shape[cell_axis] = n_cells                    # cell_axis in {0, 1}
+        base = jnp.asarray(org, dtype).reshape(shape)
+        j = jnp.arange(w, dtype=dtype).reshape(1, 1, w, 1, 1)
+        t = u[:, :, None, :, :] - (base + j)
+        return bspline(t, order), org + order, w
+
+    wlxt, opx, wx = compact_weights_t(blocks.x, ngx, gx, box[0], 0)
+    wlyt5, opy, wy = compact_weights_t(blocks.y, ngy, gy, box[1], 1)
+
+    # dense mod-wrapped z weights: placement along z rides the contraction
+    uz = blocks.z * (gz / box[2])
+    tz = uz[..., None] - jnp.arange(gz, dtype=dtype)
+    tz = tz - gz * jnp.floor(tz / gz)
+    wzd = bspline(tz, order)                       # [ngx,ngy,ngz,cap,Gz]
+
+    n_col = ngx * ngy
+    rows = ngz * cap
+    wyp = -(-wy // 8) * 8          # sublane-pad Wy with zero weight rows
+    qwlxt = (qv[:, :, None] * wlxt).reshape(n_col, wx, rows)
+    wlyt = wlyt5.reshape(n_col, wy, rows)
+    wlyt = jnp.pad(wlyt, ((0, 0), (0, wyp - wy), (0, 0)))
+    offsets = (tuple(int(opx[c // ngy]) for c in range(n_col)),
+               tuple(int(opy[c % ngy]) for c in range(n_col)))
+    pad_xy = (int(opx.max()) + wx, int(opy.max()) + wyp)
+    qpad = spread_columns(qwlxt, wlyt, wzd.reshape(n_col, rows, gz),
+                          offsets, pad_xy)
+    qgrid = fold_padded_axis(
+        fold_padded_axis(qpad, gx, order, 0), gy, order, 1)
+
+    qhat = jnp.fft.rfftn(qgrid)
+    d = influence_function(grid, box, spec.alpha, order, dtype)
+    return jnp.sum(d * (qhat.real * qhat.real + qhat.imag * qhat.imag))
+
+
 def pme_cell_reciprocal_energy(blocks, ids, system) -> jax.Array:
     """SPME reciprocal energy spread from the shared cell-major blocks.
 

@@ -602,7 +602,12 @@ def direct_energy_on_blocks(blocks: CellBlocks, ids: jax.Array,
         return _roll_block_energy(blocks, ids, system)
 
     def _fwd(blocks):
-        e, g_acc, dq_acc = _roll_fused_walk(blocks, ids, system)
+        from .ops.pallas_walk import mosaic_fused_walk, mosaic_walk_applicable
+
+        if mosaic_walk_applicable(system.spec, blocks.x.dtype):
+            e, g_acc, dq_acc = mosaic_fused_walk(blocks, ids, system)
+        else:
+            e, g_acc, dq_acc = _roll_fused_walk(blocks, ids, system)
         return e, (g_acc, dq_acc)
 
     def _bwd(res, g_out):

@@ -138,7 +138,10 @@ def _local_energy_builder(system, axis_name: str, ndev: int):
     row_chunk = n_pad // ndev
     e_chunk = _ceil_to(max(system.n_exclusions, 1), ndev) // ndev
 
-    use_cells = spec.pbc and spec.direct_method == "cell"
+    # any cell-based single-chip method carries the cell metadata this
+    # route needs; matching "cell" exactly would silently send a
+    # cell_pallas system down the O(N^2/D) dense-row fallback
+    use_cells = spec.pbc and spec.direct_method.startswith("cell")
     if use_cells:
         gx, gy, gz = spec.cell_grid
         n_cells = gx * gy * gz

@@ -180,15 +180,7 @@ def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
 
     # -- direct space (builds the shared cell blocks when applicable) -------
     blocks = ids = None
-    if spec.direct_method == "cell_pallas":
-        from .ops.pallas_direct import make_pallas_direct
-
-        with phase_scope("cf_direct"):
-            comps["direct"] = make_pallas_direct(system)(positions, q)
-        with phase_scope("cf_exclusion"):
-            comps["exclusion"] = _exclusion_correction(
-                positions, q, system, subtract_direct=True)
-    elif spec.direct_method == "cell":
+    if spec.direct_method == "cell":
         with phase_scope("cf_binning"):
             if nb is None:
                 slots, inv_slot, overflow = cells.build_cell_list_full(

@@ -208,7 +208,14 @@ _COLS = ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
 def mosaic_fused_walk(blocks, ids, system):
     """Direct-space energy + dE/dx + dE/dq over cell blocks via the Mosaic
     kernel.  Same return contract as cells._roll_fused_walk:
-    (energy, [gx, gy, gz] block gradients, dq block gradient)."""
+    (energy, [gx, gy, gz] block gradients, dq block gradient).
+
+    Rejected variant (measured, see BASELINE.md): staging all 14 shift
+    tiles into one [8, 14*cap] VMEM panel and collapsing the 28 small
+    per-shift dots into 4 wide ones ran 1.4x SLOWER (3.07 vs 2.20 ms at
+    30k) — the [3*IS, 14*cap] scratch read-modify-write traffic costs more
+    than the small dots it removes; the per-shift [IS, cap] working set
+    pipelines better."""
     spec = system.spec
     gx, gy, gz = spec.cell_grid
     cap = spec.cell_capacity
@@ -251,22 +258,24 @@ def mosaic_fused_walk(blocks, ids, system):
                             lambda p, ns, nd=nd: (p,) + (0,) * nd,
                             memory_space=pltpu.VMEM)
 
+    scratch = [pltpu.VMEM((cap, 8), jnp.float32)]
+    e_shape = (isub, cap)
+    kernel = functools.partial(
+        _walk_kernel, gz=gz, cap=cap, isub=isub, ksub=ksub,
+        alpha=float(spec.alpha), cutoff=float(spec.cutoff), n_atoms=n)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ncol,),
         in_specs=[col_in(dx, dy) for dx, dy in _COLS],
-        out_specs=[out_spec((isub, cap)),
+        out_specs=[out_spec(e_shape),
                    out_spec((gz, cap, 8)),
                    out_spec((5, gz + 2, 8, cap))],
-        scratch_shapes=[pltpu.VMEM((cap, 8), jnp.float32)],
+        scratch_shapes=scratch,
     )
-    kernel = functools.partial(
-        _walk_kernel, gz=gz, cap=cap, isub=isub, ksub=ksub,
-        alpha=float(spec.alpha), cutoff=float(spec.cutoff), n_atoms=n)
     e_parts, gi, gj = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((ncol, isub, cap), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((ncol,) + e_shape, jnp.float32),
                    jax.ShapeDtypeStruct((ncol, gz, cap, 8), jnp.float32),
                    jax.ShapeDtypeStruct((ncol, 5, gz + 2, 8, cap),
                                         jnp.float32)],

@@ -139,8 +139,7 @@ def _local_energy_builder(system, axis_name: str, ndev: int):
     e_chunk = _ceil_to(max(system.n_exclusions, 1), ndev) // ndev
 
     # any cell-based single-chip method carries the cell metadata this
-    # route needs; matching "cell" exactly would silently send a
-    # cell_pallas system down the O(N^2/D) dense-row fallback
+    # route needs (the dense-row fallback below is O(N^2/D))
     use_cells = spec.pbc and spec.direct_method.startswith("cell")
     if use_cells:
         gx, gy, gz = spec.cell_grid

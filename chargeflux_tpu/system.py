@@ -371,7 +371,7 @@ class CoulForce:
             cell_ok = all(c >= 3 for c in ncells)
             if method == "auto":
                 method = "cell" if (cell_ok and n > 2048) else "dense"
-            if method in ("cell", "cell_pallas"):
+            if method == "cell":
                 if not cell_ok:
                     raise ValueError(
                         f"box {tuple(box_arr)} too small for a cell list at "

@@ -636,12 +636,13 @@ def direct_energy_on_blocks(blocks: CellBlocks, ids: jax.Array,
         return _roll_block_energy(blocks, ids, system)
 
     def _fwd(blocks):
-        from .ops.pallas_walk import mosaic_fused_walk, mosaic_walk_applicable
-
-        if mosaic_walk_applicable(system.spec, blocks.x.dtype):
-            e, g_acc, dq_acc = mosaic_fused_walk(blocks, ids, system)
-        else:
-            e, g_acc, dq_acc = _roll_fused_walk(blocks, ids, system)
+        # The XLA roll walk is the measured winner on TPU: a hand Mosaic
+        # fused-walk kernel (VMEM j-tiles, MXU accumulation dots, i-subtile
+        # occupancy skipping) lost 2.2 vs 1.65 ms standalone and 3.76 vs
+        # 3.65 ms in the full 30k MD step (50-step-difference A/B; see
+        # BASELINE.md rejected experiments) — XLA's fusion of the VPU pair
+        # chain already runs near peak.
+        e, g_acc, dq_acc = _roll_fused_walk(blocks, ids, system)
         return e, (g_acc, dq_acc)
 
     def _bwd(res, g_out):

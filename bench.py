@@ -58,18 +58,23 @@ def build(config: str):
 
 
 def _timed_scan(run, x0, k1, k2, reps=7):
+    # compile + warm the device to steady state (clocks/tunnel ramp over
+    # the first few dispatches; unwarmed runs read ~10% slow)
     float(run(x0, k1))
-    float(run(x0, k2))
+    for _ in range(3):
+        float(run(x0, k2))
 
     def t(k):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(run(x0, k))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+        t0 = time.perf_counter()
+        float(run(x0, k))
+        return time.perf_counter() - t0
 
-    return (t(k2) - t(k1)) / (k2 - k1) * 1e3
+    # per-rep paired (k1, k2) differences: slow drift (thermal, tunnel
+    # load) cancels within a pair instead of biasing block-wise medians
+    diffs = []
+    for _ in range(reps):
+        diffs.append(t(k2) - t(k1))
+    return float(np.median(diffs)) / (k2 - k1) * 1e3
 
 
 def measure_md_step(x, system, masses):

@@ -113,61 +113,77 @@ def measure_md_step(x, system, masses):
 
 
 def measure_phases(x, system):
-    """Compact per-phase fwd+grad timings (binning / direct / reciprocal /
-    charges+exclusions) for the breakdown field."""
+    """Per-phase fwd+grad timings for the breakdown field.
+
+    ``direct``/``recip`` are *in-context marginal* costs: t(base+phase) -
+    t(base), with the binning frozen outside the step (matching how the MD
+    loop amortizes it).  Composites measured this way are additive (the
+    sum matches the full step); per-phase scan loops that only vary one
+    input under-measure because XLA hoists the invariant work.
+    """
     from chargeflux_tpu import cells
     from chargeflux_tpu.charges import effective_charges
-    from chargeflux_tpu.energy import _energy
+    from chargeflux_tpu.energy import _energy, _exclusion_correction
+    from chargeflux_tpu.ewald import self_energy
+    from chargeflux_tpu.neighbors import build_neighbor_state
     from chargeflux_tpu.pme import (_pallas_spread_ok,
                                     pme_cell_pallas_reciprocal_energy,
                                     pme_cell_reciprocal_energy)
 
     spec = system.spec
-    q0 = effective_charges(x, system)
     out = {}
+    if spec.direct_method != "cell":
+        return out
+    nb = build_neighbor_state(x, system)
+    ids = nb.slots.reshape(spec.cell_grid + (spec.cell_capacity,))
+    recip_fn = (pme_cell_pallas_reciprocal_energy
+                if _pallas_spread_ok(spec, x.dtype)
+                else pme_cell_reciprocal_energy)
 
-    def grad_loop(f, k1=3, k2=23):
-        def step(x):
-            e, g = jax.value_and_grad(f)(x)
-            return x - 1e-9 * g, e
-
+    def grad_loop(f, k1=2, k2=52):
         @partial(jax.jit, static_argnums=(1,))
         def run(x0, k):
-            xk, es = jax.lax.scan(lambda xx, _: step(xx), x0, None, length=k)
+            def step(xx, _):
+                e, g = jax.value_and_grad(f)(xx)
+                return xx - 1e-12 * g, e
+            xk, es = jax.lax.scan(step, x0, None, length=k)
             return es[-1] + 0.0 * jnp.sum(xk)
 
         return _timed_scan(run, x, k1, k2, reps=5)
 
-    if spec.direct_method == "cell":
-        def binning(x):
-            slots, _, ov = cells.build_cell_list_full(
-                x, system.box, spec.cell_grid, spec.cell_capacity)
-            return x + 0.0 * jnp.sum(slots % 7).astype(x.dtype), \
-                ov.astype(x.dtype)
+    def make_e(with_walk, with_recip):
+        def f(xx):
+            q = effective_charges(xx, system)
+            b = cells.blockify(xx, q, system, nb.slots, nb.inv_slot,
+                               wrap=nb.wrap)
+            e = (jnp.sum(b.x) * 1e-20 + self_energy(q, spec.alpha)
+                 + _exclusion_correction(xx, q, system, True))
+            if with_walk:
+                e = e + cells.direct_energy_on_blocks(b, ids, system)
+            if with_recip:
+                e = e + recip_fn(b, ids, system)
+            return e
+        return f
 
-        @partial(jax.jit, static_argnums=(1,))
-        def run_b(x0, k):
-            xk, es = jax.lax.scan(lambda xx, _: binning(xx), x0, None,
-                                  length=k)
-            return es[-1] + 0.0 * jnp.sum(xk)
+    t_base = grad_loop(make_e(False, False))
+    out["base_charges_blockify_excl"] = round(t_base, 3)
+    out["direct_in_context"] = round(grad_loop(make_e(True, False)) - t_base, 3)
+    out["recip_in_context"] = round(grad_loop(make_e(False, True)) - t_base, 3)
 
-        out["binning"] = round(_timed_scan(run_b, x, 3, 23, reps=5), 3)
-        out["direct"] = round(grad_loop(
-            lambda xx: cells.cell_list_direct_energy(xx, q0, system)), 3)
+    def binning(xx, _):
+        slots, _i, ov = cells.build_cell_list_full(
+            xx, system.box, spec.cell_grid, spec.cell_capacity)
+        return xx + 0.0 * jnp.sum(slots % 7).astype(xx.dtype), \
+            ov.astype(xx.dtype)
 
-        recip_fn = (pme_cell_pallas_reciprocal_energy
-                    if _pallas_spread_ok(spec, x.dtype)
-                    else pme_cell_reciprocal_energy)
+    @partial(jax.jit, static_argnums=(1,))
+    def run_b(x0, k):
+        xk, es = jax.lax.scan(binning, x0, None, length=k)
+        return es[-1] + 0.0 * jnp.sum(xk)
 
-        def recip(xx):
-            slots, inv, _ = cells.build_cell_list_full(
-                xx, system.box, spec.cell_grid, spec.cell_capacity)
-            blocks = cells.blockify(xx, q0, system, slots, inv)
-            return recip_fn(blocks, slots.reshape(blocks.x.shape), system)
-
-        out["recip_pme_standalone"] = round(grad_loop(recip), 3)
-        out["full_fwd_grad"] = round(grad_loop(
-            lambda xx: _energy(xx, system)), 3)
+    out["binning_standalone"] = round(_timed_scan(run_b, x, 2, 52, reps=5), 3)
+    out["full_fwd_grad_incl_binning"] = round(grad_loop(
+        lambda xx: _energy(xx, system)), 3)
     return out
 
 

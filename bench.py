@@ -58,10 +58,12 @@ def build(config: str):
 
 
 def _timed_scan(run, x0, k1, k2, reps=7):
-    # compile + warm the device to steady state (clocks/tunnel ramp over
-    # the first few dispatches; unwarmed runs read ~10% slow)
+    # compile + warm the device to steady state: clocks ramp with
+    # *sustained* load over ~10 s of stepping, not a fixed dispatch count
+    # (a fresh process reads ~10% slow vs a long-running one — measured)
     float(run(x0, k1))
-    for _ in range(3):
+    t_end = time.perf_counter() + 10.0
+    while time.perf_counter() < t_end:
         float(run(x0, k2))
 
     def t(k):

@@ -193,9 +193,11 @@ def bench_replicas(n_replicas: int = 64):
     """64-replica vmap ensemble on a 216-water box (BASELINE.md config)."""
     from chargeflux_tpu.energy import _energy
     from chargeflux_tpu.models import water_box
+    from chargeflux_tpu.parallel.replicas import vmap_friendly_system
 
     force, pos, _, box = water_box(n_side=6, flux="bond_angle")
-    system = force.create_system(box=box, dtype=jnp.float32)
+    system = vmap_friendly_system(
+        force.create_system(box=box, dtype=jnp.float32))
     rng = np.random.default_rng(0)
     batch = jnp.asarray(np.stack(
         [pos + 0.01 * rng.standard_normal(pos.shape)

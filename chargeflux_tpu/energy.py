@@ -215,11 +215,19 @@ def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
     recip_method = spec.recip_method
     if recip_method == "auto":
         # On TPU f32: the cell-blocked PME spread (shares the direct walk's
-        # block gather, no scatters) when the cell route is active, else the
-        # fused classical-Ewald Pallas kernel.  Elsewhere (CPU tests, f64
-        # parity vs the oracle's classical sum) the XLA classical matmuls.
+        # block gather, no scatters) when the cell route is active.  On the
+        # dense route, the fused classical-Ewald Pallas kernel wins only
+        # while the k-space is small (216-water: 0.020 vs 0.055 ms); at a
+        # 4k box's kmax 13^3 the XLA factorized matmuls are ahead (0.93 vs
+        # 1.08) — gate on the half-space k-vector count.  Elsewhere (CPU
+        # tests, f64 parity vs the oracle's classical sum) the XLA path.
         if jax.default_backend() == "tpu" and positions.dtype == jnp.float32:
-            recip_method = "pme" if blocks is not None else "pallas"
+            if blocks is not None:
+                recip_method = "pme"
+            else:
+                kx, ky, kz = spec.kmax
+                n_k = kx * (2 * ky - 1) * (2 * kz - 1)
+                recip_method = "pallas" if n_k < 4000 else "xla"
         else:
             recip_method = "xla"
     with phase_scope("cf_reciprocal"):

@@ -8,6 +8,8 @@ device); this is the SURVEY §2 "vmap replica ensembles" component.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -16,9 +18,25 @@ from ..energy import _energy
 from ..integrate import MDState, nve_step
 
 
+def vmap_friendly_system(system):
+    """Pin recip_method="xla" for vmapped ensembles on the TPU dense path.
+
+    A vmapped pallas_call lowers to a serial per-replica grid loop, while
+    the XLA classical-Ewald structure factors batch into one MXU matmul
+    over all replicas — measured 1.9 vs 2.6 ms/step for 64 x 216-water
+    (the single-system auto pick is pallas at that size and stands)."""
+    spec = system.spec
+    if (spec.pbc and spec.direct_method == "dense"
+            and spec.recip_method in ("auto", "pallas")):
+        return dataclasses.replace(
+            system, spec=dataclasses.replace(spec, recip_method="xla"))
+    return system
+
+
 @jax.jit
 def replica_energy_and_forces(positions_batch, system):
     """[R, N, 3] -> ([R], [R, N, 3]) batched energies/forces."""
+    system = vmap_friendly_system(system)
 
     def ef(x):
         e, g = jax.value_and_grad(_energy)(x, system)

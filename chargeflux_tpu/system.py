@@ -386,12 +386,14 @@ class CoulForce:
                     # is detectable via cells.validate_cell_list.
                     capacity = int(np.ceil(max(avg + 4 * math.sqrt(max(avg, 1.0)) + 4, 8.0)))
                     capacity = ((capacity + 7) // 8) * 8
-                    # Snap to a lane-width multiple when close: [cap, cap]
-                    # pair blocks tile the 128-wide VPU exactly, and the
-                    # snapped value still keeps >=3-sigma headroom.
-                    snapped = round(capacity / 128) * 128
-                    if snapped > 0 and abs(snapped - capacity) <= 16 and \
-                            snapped >= avg + 3 * math.sqrt(max(avg, 1.0)):
+                    # Snap UP to a lane-width multiple when close ([cap,
+                    # cap] pair blocks then tile the 128-wide VPU exactly).
+                    # Never snap DOWN: a 30k NVE run with the default
+                    # capacity snapped 136 -> 128 (3.6 sigma) overflowed
+                    # mid-trajectory and NaN-poisoned — 4-sigma headroom
+                    # is the floor, not a target.
+                    snapped = -(-capacity // 128) * 128
+                    if snapped - capacity <= 16:
                         capacity = snapped
                 else:
                     capacity = int(cell_capacity)

@@ -34,6 +34,14 @@ def main():
     force, pos, masses, box = water_box(n_side=n_side, flux="bond_angle")
     n_w = n_side ** 3
     system = force.create_system(box=box, dtype=jnp.float32)
+    if system.spec.direct_method == "cell":
+        # lattice starts alias against the cell grid; size the capacity
+        # from the actual configuration with margin (cells.suggest_capacity)
+        from chargeflux_tpu.cells import suggest_capacity
+        cap = suggest_capacity(pos, box, system.spec.cell_grid, margin=1.25)
+        if cap > system.spec.cell_capacity:
+            system = force.create_system(box=box, dtype=jnp.float32,
+                                         cell_capacity=cap)
     bonded = water_bonded_params(n_w, box=box, dtype=jnp.float32)
     e_fn = make_energy_fn(system, bonded)
 

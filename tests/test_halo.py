@@ -87,3 +87,31 @@ def test_halo_100k_cell_path_equality():
     e_fn = make_halo_energy_fn(system, _mesh(8))
     e = float(e_fn(x))
     np.testing.assert_allclose(e, e_ref, rtol=1e-10)
+
+
+def test_halo_collective_structure():
+    """The compiled halo program must communicate by boundary-plane
+    ppermutes + psum assembly ONLY: any all-gather/all-to-all means the
+    sharding silently degraded to replication (the round-1 pathology the
+    halo design replaces).  Counts from the 4-device compile: 3
+    collective-permutes (x-boundary planes + force transpose), 4
+    all-reduces (energy/S(k)/force psums) — pinned with slack."""
+    import re
+
+    force, pos, _, box = water_box(n_side=4, flux="bond_angle", cutoff=0.147)
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell")
+    mesh = _mesh(4)
+    assert halo_compatible(system, 4)
+    fn = make_sharded_energy_fn(system, mesh, axis_name="space")
+    x = jnp.asarray(pos)
+    txt = jax.jit(jax.value_and_grad(fn)).lower(x).compile().as_text()
+
+    def count(op):
+        return len(re.findall(rf"{op}\(", txt)) + \
+            len(re.findall(rf"{op}-start\(", txt))
+
+    assert 1 <= count("collective-permute") <= 6
+    assert 1 <= count("all-reduce") <= 8
+    assert count("all-gather") == 0
+    assert count("all-to-all") == 0

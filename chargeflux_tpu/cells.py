@@ -155,7 +155,10 @@ def build_cell_list_full(positions: jax.Array, box: jax.Array, grid,
                                                     mode="drop")
         # counts atoms dropped at either stage; nonzero iff some cell
         # genuinely exceeds capacity (a column can only overflow gz*cap
-        # when at least one of its cells overflows cap)
+        # when at least one of its cells overflows cap).  Under heavy
+        # overflow the *retained subset* may differ from pure per-cell
+        # ranking (stage A drops by column rank) — irrelevant because the
+        # energy path NaN-poisons whenever this count is nonzero.
         overflow = (jnp.sum(~ok_a)
                     + jnp.sum(valid & (rank_b >= capacity))).astype(jnp.int32)
     else:

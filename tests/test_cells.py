@@ -112,3 +112,66 @@ def test_overflow_poisons_energy_in_jit():
         system, spec=dataclasses.replace(system.spec, cell_capacity=8))
     e1, _ = _energy_and_forces(x, tiny)
     assert np.isnan(float(e1))
+
+
+def test_binning_matches_numpy_reference_randomized():
+    """Property test for the two-stage hierarchical binning: slots,
+    inv_slot and overflow must match a direct NumPy ranking (rank = count
+    of same-cell atoms with smaller atom id) across random shapes, grids
+    and capacities — including forced-overflow cases, where every
+    *retained* slot assignment must still be exact and overflow > 0."""
+    rng = np.random.default_rng(123)
+    cases = [
+        (257, (3, 3, 3), 40),      # plenty of headroom
+        (1000, (4, 3, 5), 24),     # odd mixed grid
+        (500, (3, 4, 3), 8),       # guaranteed overflow
+        (64, (5, 5, 5), 8),        # sparse: most cells empty
+    ]
+    for n, grid, cap in cases:
+        box = jnp.asarray(rng.uniform(1.5, 3.0, 3))
+        x = jnp.asarray(rng.uniform(-2.0, 4.0, (n, 3)))  # outside-box wraps
+        from chargeflux_tpu.cells import build_cell_list_full
+        slots, inv, ov = build_cell_list_full(x, box, grid, cap)
+        slots, inv, ov = map(np.asarray, (slots, inv, ov))
+
+        # NumPy reference ranking
+        gx, gy, gz = grid
+        # JAX computes the cell index in the array dtype; reproduce it
+        fracj = np.asarray(x / box - jnp.floor(x / box))
+        cij = np.clip((fracj * np.array(grid)).astype(np.int64), 0,
+                      np.array(grid) - 1)
+        cid = (cij[:, 0] * gy + cij[:, 1]) * gz + cij[:, 2]
+        n_cells = gx * gy * gz
+        ref_slots = np.full((n_cells, cap), n, np.int64)
+        ref_inv = np.full(n, n_cells * cap, np.int64)
+        counts = np.zeros(n_cells, np.int64)
+        n_over = 0
+        for i in range(n):
+            c = cid[i]
+            if counts[c] < cap:
+                ref_slots[c, counts[c]] = i
+                ref_inv[i] = c * cap + counts[c]
+            else:
+                n_over += 1
+            counts[c] += 1
+
+        assert int(ov) > 0 if n_over > 0 else int(ov) == 0, (n, grid, cap)
+        if n_over == 0:
+            np.testing.assert_array_equal(slots, ref_slots)
+            np.testing.assert_array_equal(inv, ref_inv)
+        else:
+            # Overflowing builds are poisoned by the energy path, so the
+            # retained SUBSET may differ from pure per-cell ranking (stage
+            # A drops by column rank) — but the count must not understate
+            # (>= the per-cell drop count) and the retained layout must
+            # keep its invariants: right cell, rank-contiguous from slot
+            # 0 in increasing atom order, inv consistent with slots.
+            assert int(ov) >= n_over
+            for c in range(n_cells):
+                row = slots[c]
+                real = row[row < n]
+                assert np.all(row[len(real):] == n)        # contiguity
+                assert np.all(np.diff(real) > 0)           # atom order
+                assert np.all(cid[real] == c)              # right cell
+                for r, a in enumerate(real):
+                    assert inv[a] == c * cap + r

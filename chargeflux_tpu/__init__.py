@@ -20,12 +20,17 @@ from .energy import (
 )
 from .bonded import BondedParams, bonded_energy
 from .integrate import (
+    init_state,
+    init_state_nb,
     langevin_step,
     langevin_trajectory,
     make_energy_fn,
+    make_nb_energy_fn,
     minimize_fire,
     nve_step,
+    nve_step_nb,
     nve_trajectory,
+    nve_trajectory_nb,
 )
 from .units import ONE_4PI_EPS0, BOLTZ
 
@@ -38,7 +43,8 @@ __all__ = [
     "energy", "energy_and_forces", "energy_components", "energy_fixed_charges",
     "forces", "forces_manual",
     "BondedParams", "bonded_energy",
-    "make_energy_fn", "nve_step", "nve_trajectory",
+    "make_energy_fn", "nve_step", "nve_trajectory", "init_state",
+    "make_nb_energy_fn", "nve_step_nb", "nve_trajectory_nb", "init_state_nb",
     "langevin_step", "langevin_trajectory", "minimize_fire",
     "ONE_4PI_EPS0", "BOLTZ",
 ]

@@ -107,7 +107,15 @@ def build_cell_list_full(positions: jax.Array, box: jax.Array, grid,
 
     ncol = gx * gy
     sentinel = n_cells * capacity
-    if n * ncol <= 256_000_000:
+    kz = 1 << max(int(gz - 1).bit_length(), 1)
+    # Gate ALL the two-stage intermediates, not just the stage-A one-hot:
+    # stage B allocates [ncol, gz*cap, gz] (elongated needle boxes blow
+    # this up while n*ncol stays small), and the packed (atom id, cz)
+    # staging needs n*kz to fit int32.
+    two_stage_ok = (n * ncol <= 256_000_000
+                    and n_cells * capacity * gz <= 256_000_000
+                    and n * kz < 2 ** 31)
+    if two_stage_ok:
         # Two-stage hierarchical one-hot ranking (rank = count of same-cell
         # atoms before you, computed without sorts or rank gathers):
         #   A) rank atoms within their (cx, cy) COLUMN via a [N, gx*gy]
@@ -130,7 +138,6 @@ def build_cell_list_full(positions: jax.Array, box: jax.Array, grid,
 
         # stage (atom id, cz) packed into one int32 — unpacking is
         # elementwise, where a separate cz fetch would be a scalar gather
-        kz = 1 << max(int(gz - 1).bit_length(), 1)
         packed = jnp.arange(n, dtype=jnp.int32) * kz + cz
         staged = jnp.full((ncol * scap,), n * kz, jnp.int32)
         staged = staged.at[colslot].set(packed, mode="drop")

@@ -24,10 +24,13 @@ def vmap_friendly_system(system):
     A vmapped pallas_call lowers to a serial per-replica grid loop, while
     the XLA classical-Ewald structure factors batch into one MXU matmul
     over all replicas — measured 1.9 vs 2.6 ms/step for 64 x 216-water
-    (the single-system auto pick is pallas at that size and stands)."""
+    (the single-system auto pick is pallas at that size and stands).
+    Only "auto" is rewritten: an explicitly requested method is the
+    user's to keep (e.g. A/B-ing the Pallas kernel on the replica
+    path)."""
     spec = system.spec
     if (spec.pbc and spec.direct_method == "dense"
-            and spec.recip_method in ("auto", "pallas")):
+            and spec.recip_method == "auto"):
         return dataclasses.replace(
             system, spec=dataclasses.replace(spec, recip_method="xla"))
     return system

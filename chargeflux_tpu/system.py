@@ -337,6 +337,15 @@ class CoulForce:
         n = len(self._charges)
         if n == 0:
             raise ValueError("system has no particles")
+        if direct_method not in ("auto", "dense", "cell"):
+            raise ValueError(
+                f"unknown direct_method {direct_method!r}: expected 'auto', "
+                f"'dense' or 'cell' ('cell_pallas' was removed — the XLA "
+                f"roll walk measurably beats the hand kernels, BASELINE.md)")
+        if recip_method not in ("auto", "xla", "pallas", "pme"):
+            raise ValueError(
+                f"unknown recip_method {recip_method!r}: expected 'auto', "
+                f"'xla', 'pallas' or 'pme'")
         if self._pbc:
             if box is None:
                 raise ValueError("PBC system requires a box")

@@ -79,3 +79,19 @@ def test_pallas_recip_rejects_f64():
     with pytest.raises(ValueError, match="f32"):
         structure_factors(x, q, jnp.ones(3, jnp.float64), (3, 3, 3),
                           method="pallas")
+
+
+def test_create_system_rejects_unknown_methods():
+    """Unknown direct/recip methods must fail loudly at build time — the
+    removed 'cell_pallas' used to fall through to the dense O(N^2) path
+    silently and crash the sharded builder later."""
+    import pytest
+
+    from chargeflux_tpu.models import water_box
+
+    force, _, _, box = water_box(n_side=4, flux="bond_angle", cutoff=0.62,
+                                 density_spacing=0.62)
+    with pytest.raises(ValueError, match="direct_method"):
+        force.create_system(box=box, direct_method="cell_pallas")
+    with pytest.raises(ValueError, match="recip_method"):
+        force.create_system(box=box, recip_method="bogus")

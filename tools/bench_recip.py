@@ -40,34 +40,44 @@ def main():
           f"pme={spec.pme_grid} order={spec.pme_order}", file=sys.stderr)
 
     def timed(fn, label, grad=False):
+        # feed back into EVERY field the op consumes: a loop that updates
+        # only x lets XLA hoist all y/z/q-dependent work out of the scan
+        # and under-measure (see BASELINE.md methodology caveat)
         if grad:
             g = jax.value_and_grad(fn)
 
             def step(b):
                 e, gb = g(b)
-                return b._replace(x=b.x + 1e-12 * gb.x), e
+                return b._replace(x=b.x + 1e-12 * gb.x,
+                                  y=b.y + 1e-12 * gb.y,
+                                  z=b.z + 1e-12 * gb.z,
+                                  q=b.q + 1e-15 * gb.q), e
         else:
             def step(b):
                 e = fn(b)
-                return b._replace(x=b.x + 1e-12 * e), e
+                t = 1e-15 * e
+                return b._replace(x=b.x + t, y=b.y + t, z=b.z + t,
+                                  q=b.q + t), e
 
         @partial(jax.jit, static_argnums=(1,))
         def run(b, k):
             bk, es = jax.lax.scan(lambda bb, _: step(bb), b, None, length=k)
             return es[-1] + 0.0 * jnp.sum(bk.x)
 
+        # warm to steady state, then per-rep paired differences (block-wise
+        # medians drift-bias the result — same recipe as bench._timed_scan)
         float(run(blocks, 2))
-        float(run(blocks, 12))
+        t_end = time.perf_counter() + 10.0
+        while time.perf_counter() < t_end:
+            float(run(blocks, 52))
 
         def t(k):
-            ts = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                float(run(blocks, k))
-                ts.append(time.perf_counter() - t0)
-            return float(np.median(ts))
+            t0 = time.perf_counter()
+            float(run(blocks, k))
+            return time.perf_counter() - t0
 
-        ms = (t(12) - t(2)) / 10 * 1e3
+        ds = [t(52) - t(2) for _ in range(5)]
+        ms = float(np.median(ds)) / 50 * 1e3
         print(f"{label}: {ms:.3f} ms")
         return ms
 

@@ -639,31 +639,33 @@ def direct_energy_on_blocks(blocks: CellBlocks, ids: jax.Array,
     forward pass computes energy + dE/dx + dE/dq in ONE slab walk
     (:func:`_roll_fused_walk`); backward is a scale.  Cotangents flow into
     the block arrays — :func:`blockify`'s VJP performs the single scatter
-    back to atom order, shared with every other block consumer."""
+    back to atom order, shared with every other block consumer.
+
+    ``ids`` is an explicit custom_vjp argument with a float0 cotangent
+    (NOT a closure): fwd/bwd closing over forward-trace *index* tracers
+    breaks under the shard_map transpose (repo rule; see gather_rows).
+    The XLA roll walk is the measured winner on TPU: a hand Mosaic
+    fused-walk kernel lost 2.2 vs 1.65 ms standalone and 3.76 vs 3.65 ms
+    in the full 30k MD step (BASELINE.md rejected experiments)."""
 
     @jax.custom_vjp
-    def direct_energy(blocks):
+    def direct_energy(blocks, ids):
         return _roll_block_energy(blocks, ids, system)
 
-    def _fwd(blocks):
-        # The XLA roll walk is the measured winner on TPU: a hand Mosaic
-        # fused-walk kernel (VMEM j-tiles, MXU accumulation dots, i-subtile
-        # occupancy skipping) lost 2.2 vs 1.65 ms standalone and 3.76 vs
-        # 3.65 ms in the full 30k MD step (50-step-difference A/B; see
-        # BASELINE.md rejected experiments) — XLA's fusion of the VPU pair
-        # chain already runs near peak.
+    def _fwd(blocks, ids):
         e, g_acc, dq_acc = _roll_fused_walk(blocks, ids, system)
-        return e, (g_acc, dq_acc)
+        return e, (g_acc, dq_acc, ids.shape)
 
     def _bwd(res, g_out):
-        g_acc, dq_acc = res
+        g_acc, dq_acc, ids_shape = res
         zero = jnp.zeros_like(dq_acc)
-        return (CellBlocks(x=g_out * g_acc[0], y=g_out * g_acc[1],
-                           z=g_out * g_acc[2], q=g_out * dq_acc,
-                           hs=zero, se=zero),)
+        blocks_ct = CellBlocks(x=g_out * g_acc[0], y=g_out * g_acc[1],
+                               z=g_out * g_acc[2], q=g_out * dq_acc,
+                               hs=zero, se=zero)
+        return blocks_ct, np.zeros(ids_shape, dtype=jax.dtypes.float0)
 
     direct_energy.defvjp(_fwd, _bwd)
-    return direct_energy(blocks)
+    return direct_energy(blocks, ids)
 
 
 def cell_roll_direct_energy(positions: jax.Array, q: jax.Array,

@@ -198,8 +198,13 @@ def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
         # In-jit overflow safety: a cell past capacity silently drops pair
         # interactions, so poison the energy — a density fluctuation mid-
         # trajectory becomes a visible NaN, not a quietly wrong force.
-        e_dir = jnp.where(overflow > 0,
-                          jnp.asarray(jnp.nan, e_dir.dtype), e_dir)
+        # The poison term touches EVERY position so the gradient of every
+        # atom (including the dropped ones, which get no direct-term
+        # cotangent at all) is NaN too — a where() on the energy alone
+        # leaves force-only consumers quietly wrong.
+        poison = jnp.where(overflow > 0,
+                           jnp.asarray(jnp.nan, e_dir.dtype), 0.0)
+        e_dir = e_dir + poison * jnp.sum(positions)
         comps["direct"] = e_dir
         with phase_scope("cf_exclusion"):
             comps["exclusion"] = _exclusion_correction(

@@ -88,8 +88,12 @@ def make_nb_energy_fn(system, bonded=None, guard: bool = True):
 
         e, g = jax.value_and_grad(e_of)(x)
         if guard and nb is not None:
-            e = jnp.where(neighbor_state_fresh(nb, x, system), e,
-                          jnp.asarray(jnp.nan, e.dtype))
+            # poison energy AND forces (a stale neighbor state makes the
+            # forces quietly wrong; force-only consumers must see it too)
+            bad = jnp.where(neighbor_state_fresh(nb, x, system), 1.0,
+                            jnp.asarray(jnp.nan, e.dtype))
+            e = e * bad
+            g = g * bad
         return e, -g, nb
 
     return e_fn, init_nb
@@ -131,6 +135,8 @@ def nve_trajectory_nb(state: MDStateNB, e_fn, init_nb, masses, dt: float,
         return jax.lax.scan(inner, s, None, length=rebuild_every)
 
     n_outer, rem = divmod(n_steps, rebuild_every)
+    if n_steps == 0:
+        return state, jnp.zeros((0,), state.positions.dtype)
     es = []
     if n_outer:
         state, e_chunks = jax.lax.scan(outer, state, None, length=n_outer)

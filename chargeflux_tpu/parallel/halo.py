@@ -8,8 +8,10 @@ Each device
   binning work; the full-grid rebuild of the work-sharding path is gone),
 * gathers its local cell blocks (row-wise, inverse-permutation backward —
   same trick as cells.blockify),
-* exchanges ONE boundary plane of blocks with each ring neighbor via
-  ``jax.lax.ppermute`` over ICI (the j-side of the ±x half-shell shifts),
+* receives ONE boundary plane of blocks from its +x ring neighbor via
+  ``jax.lax.ppermute`` over ICI (the half-shell's dx is in {0, 1}, so
+  only the high halo is consumed; -x cross-boundary pairs are the lower
+  device's dx=+1 shift),
 * runs the roll walk on the extended [gxl+2, gy, gz, cap] slab, slicing
   along x instead of rolling (y/z keep the static-offset rolls).
 
@@ -125,19 +127,18 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
         table = jnp.concatenate([table, jnp.zeros((1, 8), dtype)], axis=0)
         g8 = gather_rows(table, flat, slot_of).reshape(gxl, gy, gz, cap, 8)
 
-        # -- halo exchange: one boundary plane each way over the ring -------
-        ring_fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+        # -- halo exchange: ONE boundary plane from the +x ring neighbor ----
+        # The half-shell has dx in {0, 1} only, so only the HIGH halo is
+        # ever consumed: my plane 0 becomes the left neighbor's high halo.
+        # Cross-boundary pairs with the -x neighbor are that neighbor's
+        # dx=+1 shift (counted once there); a low halo would be dead
+        # traffic (one wasted ppermute per step, found by HLO inspection).
         ring_bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
-        # my plane gxl-1 becomes the RIGHT neighbor's low halo, and my plane
-        # 0 becomes the LEFT neighbor's high halo.
-        halo_lo = jax.lax.ppermute(g8[gxl - 1], axis_name, ring_fwd)
         halo_hi = jax.lax.ppermute(g8[0], axis_name, ring_bwd)
-        # crossing the global periodic boundary shifts x by -/+ Lx
-        lo_shift = jnp.where(dev == 0, -box[0], 0.0).astype(dtype)
+        # crossing the global periodic boundary shifts x by +Lx
         hi_shift = jnp.where(dev == ndev - 1, box[0], 0.0).astype(dtype)
-        halo_lo = halo_lo.at[..., 0].add(lo_shift * halo_lo[..., 6])
         halo_hi = halo_hi.at[..., 0].add(hi_shift * halo_hi[..., 6])
-        ext = jnp.concatenate([halo_lo[None], g8, halo_hi[None]], axis=0)
+        ext = jnp.concatenate([g8, halo_hi[None]], axis=0)
 
         ids = slots.reshape(gxl, gy, gz, cap)
         valid_i = ids < n
@@ -169,9 +170,9 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
         yz_ax = (1, 2)
         for (dx_, dy_, dz_) in HALF_SHELL[1:]:
             def shift_e(ext, dxs=dx_, dys=dy_, dzs=dz_):
-                # x via ext slicing (halo covers +-1); y/z via rolls with
+                # x via ext slicing (dx in {0, 1}); y/z via rolls with
                 # static boundary image offsets (same as the 1-device walk)
-                sl = jax.lax.slice_in_dim(ext, 1 + dxs, 1 + dxs + gxl, axis=0)
+                sl = jax.lax.slice_in_dim(ext, dxs, dxs + gxl, axis=0)
                 sl = jnp.roll(sl, (-dys, -dzs), yz_ax)
 
                 def off(axis_len, d, bk, shape):
@@ -188,10 +189,11 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
 
             e_dir = e_dir + shift_e(ext)
 
-        # overflow safety: same NaN poison as the single-device route
+        # overflow safety: the NaN poison term touches every position so
+        # every atom's force is poisoned too (same as the 1-device route)
         overflow_tot = jax.lax.psum(overflow, axis_name)
-        e_dir = jnp.where(overflow_tot > 0,
-                          jnp.asarray(jnp.nan, dtype), e_dir)
+        e_dir = e_dir + jnp.sum(positions) * jnp.where(
+            overflow_tot > 0, jnp.asarray(jnp.nan, dtype), 0.0)
 
         # -- exclusions: index-chunked (subtract route) ----------------------
         e_excl = _excl_chunk_energy(positions, q, system, dev * e_chunk,

@@ -229,17 +229,24 @@ def _spread_grid(wx, wy, wz, q, dtype):
     return blocks.reshape(gx, wy.shape[1], wz.shape[1])
 
 
-def _patch_origins(n_cells: int, grid_n: int, order: int) -> np.ndarray:
+def _patch_origins(n_cells: int, grid_n: int, order: int,
+                   extra: int = 0) -> np.ndarray:
     """Static grid origin of each cell's spread patch (may be negative;
-    wrap handled by jnp.roll at placement)."""
+    wrap handled by jnp.roll at placement).  ``extra`` extends the patch
+    for neighbor-state reuse drift (spec.pme_slack)."""
     c = np.arange(n_cells)
-    return (np.floor(c * grid_n / n_cells)).astype(np.int64) - order
+    return (np.floor(c * grid_n / n_cells)).astype(np.int64) - order - extra
 
 
-def _patch_width(n_cells: int, grid_n: int, order: int) -> int:
+def _patch_width(n_cells: int, grid_n: int, order: int,
+                 extra: int = 0) -> int:
     """Patch extent covering every support point of every atom in a cell,
-    with one point of slack on each side for binning/scaling rounding."""
-    return int(math.ceil(grid_n / n_cells)) + order + 2
+    with one point of slack per side for binning/scaling rounding plus
+    ``extra`` points per side for reuse drift: with frozen neighbor state
+    an atom may sit up to skin/2 past its rebuild-time cell before the
+    freshness guard fires, and a too-narrow patch would silently truncate
+    its spline support (quietly wrong reciprocal forces, no NaN)."""
+    return int(math.ceil(grid_n / n_cells)) + order + 2 + 2 * extra
 
 
 def _fold_axis(parts, origins, grid_n, patch_axis, cell_axis):
@@ -323,8 +330,9 @@ def _pallas_spread_ok(spec, dtype) -> bool:
         return False
     gx, gy, gz = spec.pme_grid
     ngx, ngy, ngz = spec.cell_grid
-    wx = _patch_width(ngx, gx, spec.pme_order)
-    wy = _patch_width(ngy, gy, spec.pme_order)
+    sx, sy, _ = spec.pme_slack
+    wx = _patch_width(ngx, gx, spec.pme_order, sx)
+    wy = _patch_width(ngy, gy, spec.pme_order, sy)
     return wx < gx and wy < gy and spec.pme_order < gz
 
 
@@ -352,15 +360,16 @@ def pme_cell_pallas_reciprocal_energy(blocks, ids, system) -> jax.Array:
         """Compact per-cell weights in TRANSPOSED layout [ngx, ngy, W, ngz,
         cap] — the row axis lands last so the Pallas kernel sees it as the
         lane dimension without any XLA transpose."""
+        extra = spec.pme_slack[cell_axis]
         u = coord * (grid_n / length)                 # [ngx, ngy, ngz, cap]
-        org = _patch_origins(n_cells, grid_n, order)
-        w = _patch_width(n_cells, grid_n, order)
+        org = _patch_origins(n_cells, grid_n, order, extra)
+        w = _patch_width(n_cells, grid_n, order, extra)
         shape = [1, 1, 1, 1, 1]
         shape[cell_axis] = n_cells                    # cell_axis in {0, 1}
         base = jnp.asarray(org, dtype).reshape(shape)
         j = jnp.arange(w, dtype=dtype).reshape(1, 1, w, 1, 1)
         t = u[:, :, None, :, :] - (base + j)
-        return bspline(t, order), org + order, w
+        return bspline(t, order), org + order + extra, w
 
     wlxt, opx, wx = compact_weights_t(blocks.x, ngx, gx, box[0], 0)
     wlyt5, opy, wy = compact_weights_t(blocks.y, ngy, gy, box[1], 1)
@@ -383,7 +392,8 @@ def pme_cell_pallas_reciprocal_energy(blocks, ids, system) -> jax.Array:
     qpad = spread_columns(qwlxt, wlyt, wzd.reshape(n_col, rows, gz),
                           offsets, pad_xy)
     qgrid = fold_padded_axis(
-        fold_padded_axis(qpad, gx, order, 0), gy, order, 1)
+        fold_padded_axis(qpad, gx, order + spec.pme_slack[0], 0),
+        gy, order + spec.pme_slack[1], 1)
 
     qhat = jnp.fft.rfftn(qgrid)
     d = influence_function(grid, box, spec.alpha, order, dtype)
@@ -417,9 +427,10 @@ def pme_cell_reciprocal_energy(blocks, ids, system) -> jax.Array:
     qv = jnp.where(ids < n, blocks.q, 0.0)
 
     def axis_weights(coord, n_cells, grid_n, length, cell_axis):
+        extra = spec.pme_slack[cell_axis]
         u = coord * (grid_n / length)                     # [ngx,ngy,ngz,cap]
-        org = _patch_origins(n_cells, grid_n, order)
-        w = _patch_width(n_cells, grid_n, order)
+        org = _patch_origins(n_cells, grid_n, order, extra)
+        w = _patch_width(n_cells, grid_n, order, extra)
         shape = [1, 1, 1, 1, 1]
         shape[cell_axis] = n_cells
         base = jnp.asarray(org, dtype).reshape(shape)

@@ -105,6 +105,12 @@ class StaticSpec:
     # ewald_tol) at build time.  None when pbc is False.
     pme_grid: Optional[Tuple[int, int, int]] = None
     pme_order: int = 6
+    # Extra per-axis mesh points each cell-blocked PME patch must extend so
+    # that atoms drifting up to skin/2 past their rebuild-time cell (the
+    # bound the neighbor-state freshness guard enforces) keep full B-spline
+    # support: ceil((skin/2) / mesh_spacing) per side.  (0, 0, 0) when the
+    # cell route is off.
+    pme_slack: Tuple[int, int, int] = (0, 0, 0)
     # Detected repeating molecular structure (topology.py); enables the
     # gather/scatter-free template paths for flux charges and exclusions.
     # None when the system's term indices don't form a repeating pattern.
@@ -459,6 +465,14 @@ class CoulForce:
             excl_template, perms = det
             excl = [excl[i] for i in perms["exclusions"]]
 
+        pme_slack = (0, 0, 0)
+        if self._pbc and grid is not None and pme_grid is not None:
+            skin = max(float(min(box_arr[a] / grid[a] for a in range(3)))
+                       - self._cutoff, 0.0)
+            pme_slack = tuple(
+                int(math.ceil(0.5 * skin / (box_arr[a] / pme_grid[a])))
+                for a in range(3))
+
         spec = StaticSpec(
             pbc=self._pbc,
             cutoff=self._cutoff,
@@ -471,6 +485,7 @@ class CoulForce:
             recip_method=recip_method,
             pme_grid=pme_grid,
             pme_order=pme_order,
+            pme_slack=pme_slack,
             flux_template=flux_template,
             excl_template=excl_template,
         )

@@ -107,11 +107,14 @@ def test_overflow_poisons_energy_in_jit():
     e0, _ = _energy_and_forces(x, system)
     assert np.isfinite(float(e0))
 
-    # shrink capacity below the densest cell -> overflow -> NaN energy
+    # shrink capacity below the densest cell -> overflow -> NaN energy AND
+    # NaN forces (multiplicative poison: a force-only consumer must see
+    # the failure too, not integrate quietly wrong gradients)
     tiny = dataclasses.replace(
         system, spec=dataclasses.replace(system.spec, cell_capacity=8))
-    e1, _ = _energy_and_forces(x, tiny)
+    e1, f1 = _energy_and_forces(x, tiny)
     assert np.isnan(float(e1))
+    assert np.all(np.isnan(np.asarray(f1)))
 
 
 def test_binning_matches_numpy_reference_randomized():

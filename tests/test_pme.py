@@ -211,3 +211,53 @@ def test_pallas_column_spread_matches_xla_cell_path():
     for f in ("x", "y", "z", "q"):
         a, b = np.asarray(getattr(g_ref, f)), np.asarray(getattr(g_pal, f))
         assert np.abs(a - b).max() <= 2e-5 * (np.abs(a).max() + 1e-30), f
+
+
+def test_cell_spread_exact_under_reuse_drift():
+    """Neighbor-state reuse lets atoms drift up to skin/2 past their
+    rebuild-time cell before the freshness guard fires; the cell-blocked
+    spread's patches must keep full B-spline support for that whole range
+    (spec.pme_slack).  This config (large floor() leftover -> skin/2 =
+    0.178 nm; tight Ewald tol -> mesh spacing 0.063 nm) measures a silent
+    8e-7 relative energy error when the slack is forced to zero — wrong
+    reciprocal forces with no NaN.  The drift is axis-aligned at 98% of
+    the guard bound: the patch edge is where truncation bites."""
+    from chargeflux_tpu import cells as cmod
+    from chargeflux_tpu.charges import effective_charges
+    from chargeflux_tpu.neighbors import (build_neighbor_state,
+                                          neighbor_state_fresh, skin_radius)
+    from chargeflux_tpu.pme import pme_cell_reciprocal_energy
+
+    force, pos, _, box = water_box(n_side=12, flux="bond_angle", cutoff=0.9,
+                                   density_spacing=0.314, seed=21)
+    force.setEwaldErrorTolerance(1e-6)
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell")
+    spec = system.spec
+    h = float(np.max(np.asarray(box) / np.asarray(spec.pme_grid)))
+    half_skin = float(skin_radius(system)) * 0.5
+    assert half_skin > 2 * h      # the config actually exercises the bug
+    assert min(spec.pme_slack) >= 2
+
+    x0 = jnp.asarray(pos, jnp.float64)
+    nb = build_neighbor_state(x0, system)
+    rng = np.random.default_rng(3)
+    sgn = np.where(rng.random(len(pos)) < 0.5, -1.0, 1.0)
+    d = np.zeros_like(np.asarray(pos))
+    d[:, 0] = sgn * 0.98 * half_skin
+    x1 = x0 + jnp.asarray(d)
+    assert bool(neighbor_state_fresh(nb, x1, system))   # guard passes
+
+    q1 = effective_charges(x1, system)
+    ids = nb.slots.reshape(spec.cell_grid + (spec.cell_capacity,))
+    b_frozen = cmod.blockify(x1, q1, system, nb.slots, nb.inv_slot,
+                             wrap=nb.wrap)
+    e_frozen = float(pme_cell_reciprocal_energy(b_frozen, ids, system))
+
+    slots2, inv2, ov2 = cmod.build_cell_list_full(
+        x1, system.box, spec.cell_grid, spec.cell_capacity)
+    assert int(ov2) == 0
+    b_fresh = cmod.blockify(x1, q1, system, slots2, inv2)
+    ids2 = slots2.reshape(b_fresh.x.shape)
+    e_fresh = float(pme_cell_reciprocal_energy(b_fresh, ids2, system))
+    assert abs(e_frozen - e_fresh) / abs(e_fresh) < 1e-10

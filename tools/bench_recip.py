@@ -95,9 +95,10 @@ def main():
 
     def weights_only(b):
         def cw(coord, n_cells, grid_n, length, cell_axis):
+            extra = spec.pme_slack[cell_axis]
             u = coord * (grid_n / length)
-            org = pme._patch_origins(n_cells, grid_n, order)
-            w = pme._patch_width(n_cells, grid_n, order)
+            org = pme._patch_origins(n_cells, grid_n, order, extra)
+            w = pme._patch_width(n_cells, grid_n, order, extra)
             shape = [1, 1, 1, 1, 1]
             shape[cell_axis] = n_cells
             base = jnp.asarray(org, jnp.float32).reshape(shape)

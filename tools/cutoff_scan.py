@@ -1,0 +1,61 @@
+"""A/B scan of the Ewald direct-space cutoff at the 30k bench config.
+
+The total Ewald Coulomb interaction is cutoff-independent up to the error
+tolerance: shrinking the real-space cutoff raises alpha and pushes work
+from the O(N*cap^2) direct walk onto the O(N log N) PME mesh (whose spread
+cost is ~cutoff-independent and whose FFT is nearly free on TPU).  The
+direct walk's slot count scales ~ cutoff^3 at fixed occupancy margin, so
+there is a TPU-optimal split well below the reference's 0.9-1.0 nm
+defaults.  This tool measures the full MD step at several cutoffs to find
+it (LJ truncation is a model parameter that moves with the cutoff, exactly
+as in the reference, where `cutoff` is one user knob for both terms:
+CoulForce.cpp:44-46).
+
+Usage: python tools/cutoff_scan.py [cutoffs...]   (default scan below)
+"""
+
+import json
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+from bench import measure_md_step  # noqa: E402
+from chargeflux_tpu.cells import suggest_capacity  # noqa: E402
+from chargeflux_tpu.models import water_box  # noqa: E402
+
+
+def build(cutoff: float):
+    force, pos, masses, box = water_box(n_side=22, flux="bond_angle",
+                                        cutoff=cutoff)
+    system = force.create_system(box=box, dtype=jnp.float32,
+                                 direct_method="cell")
+    cap = suggest_capacity(pos, box, system.spec.cell_grid, margin=1.05)
+    if cap != system.spec.cell_capacity:
+        system = force.create_system(box=box, dtype=jnp.float32,
+                                     direct_method="cell", cell_capacity=cap)
+    return (jnp.asarray(pos, jnp.float32), system,
+            jnp.asarray(np.asarray(masses), jnp.float32))
+
+
+def main():
+    cutoffs = [float(a) for a in sys.argv[1:]] or [0.9, 0.7, 0.65, 0.6, 0.55]
+    for rc in cutoffs:
+        x, system, masses = build(rc)
+        spec = system.spec
+        ms, e_check = measure_md_step(x, system, masses)
+        print(json.dumps({
+            "cutoff": rc,
+            "ms_per_md_step": round(ms, 4),
+            "grid": list(spec.cell_grid),
+            "cap": spec.cell_capacity,
+            "pme": list(spec.pme_grid),
+            "alpha": round(float(spec.alpha), 4),
+            "energy": round(float(e_check), 3),
+            "finite": bool(np.isfinite(e_check)),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

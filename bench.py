@@ -57,12 +57,12 @@ def build(config: str):
             jnp.asarray(np.asarray(masses), jnp.float32))
 
 
-def _timed_scan(run, x0, k1, k2, reps=7):
+def _timed_scan(run, x0, k1, k2, reps=7, warm_s=10.0):
     # compile + warm the device to steady state: clocks ramp with
     # *sustained* load over ~10 s of stepping, not a fixed dispatch count
     # (a fresh process reads ~10% slow vs a long-running one — measured)
     float(run(x0, k1))
-    t_end = time.perf_counter() + 10.0
+    t_end = time.perf_counter() + warm_s
     while time.perf_counter() < t_end:
         float(run(x0, k2))
 

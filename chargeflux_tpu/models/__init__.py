@@ -1,3 +1,4 @@
+from .salt import salt_water_box
 from .water import (
     water_bonded_params,
     water_box,
@@ -5,4 +6,5 @@ from .water import (
     WATER_MASSES,
 )
 
-__all__ = ["water_bonded_params", "water_box", "water_cluster", "WATER_MASSES"]
+__all__ = ["salt_water_box", "water_bonded_params", "water_box",
+           "water_cluster", "WATER_MASSES"]

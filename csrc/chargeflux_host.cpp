@@ -26,13 +26,6 @@ inline void min_image(double* d, const double* box) {
     for (int k = 0; k < 3; ++k) d[k] -= box[k] * std::floor(d[k] / box[k] + 0.5);
 }
 
-struct Flux {
-    // effective charges + sparse Jacobian accumulation
-    std::vector<double> q;
-    // dense dq/dx is too big at scale; accumulate chain-rule forces directly
-    // from dedq at the end instead (two-pass: compute q first, later apply).
-};
-
 }  // namespace
 
 extern "C" {

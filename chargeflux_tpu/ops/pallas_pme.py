@@ -13,9 +13,14 @@ This kernel keeps everything on-chip:
   [rows = n_cz * cap] axis kept LAST so it is the (128-aligned) lane
   dimension of every operand — Mosaic reshapes then only merge/split
   leading/sublane dims, which is layout-preserving;
-* z-spline weights are **dense over the z mesh** with the periodic wrap
-  folded into the spline argument ((u - g) mod Gz), so the patch->grid
-  placement along z is performed *by the MXU contraction itself*;
+* z-spline weights arrive as **compact per-row taps** [order, rows] plus an
+  int32 tap origin, and are expanded to the dense-over-Gz form **inside the
+  kernel** (order static selects against a lane iota — VPU-cheap).  The
+  dense [cols, rows, Gz] tensor never exists in HBM (it was 8.9 MB x 4
+  passes at the 30k shape, plus a Gz-dense B-spline evaluation in XLA —
+  measured ~0.2 ms of the reciprocal's 1.05, tools/pme_pieces.py), and the
+  periodic wrap folded into the tap origin means the patch->grid placement
+  along z is still performed *by the MXU contraction itself*;
 * the patch P[(x,y), gz] = A[(x,y), row] @ Wz[row, gz] is one MXU matmul
   per column (A = qwlx (x) wly built in VMEM, never touching HBM); the Wy
   axis is padded to a sublane multiple (8) with zero weight rows so the
@@ -25,9 +30,9 @@ This kernel keeps everything on-chip:
   ghost-edge folds are static slice-adds in XLA (fold_padded_axis).
 
 The backward pass is a second kernel with the transposed matmuls (d_Wz =
-A^T dP, d_A = dP Wz^T) and VPU reductions for the x/y weight cotangents.
-Forces stay the exact gradient of the computed energy: both kernels
-contract the same weight tensors the XLA path uses.
+A^T dP contracted back to the taps, d_A = dP Wz^T) and VPU reductions for
+the x/y weight cotangents.  Forces stay the exact gradient of the computed
+energy: both kernels contract the same weight tensors the XLA path uses.
 """
 
 from __future__ import annotations
@@ -44,7 +49,26 @@ from jax.experimental.pallas import tpu as pltpu
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def _fwd_kernel(off_ref, qwlxt_ref, wlyt_ref, wzd_ref, out_ref, *, gz):
+def _expand_z(wzt, zorg, gz):
+    """Dense z weights [rows, Gz] from compact taps.
+
+    wzt: [order, rows] tap values; zorg: [1, rows] int32 tap-0 mesh index,
+    already reduced mod Gz.  Static unroll over the order; each tap lands
+    at (zorg + k) mod Gz via one compare+select against a lane iota.
+    """
+    order, rows = wzt.shape
+    giota = jax.lax.broadcasted_iota(jnp.int32, (rows, gz), 1)
+    org = zorg[0][:, None]                               # [rows, 1]
+    acc = jnp.zeros((rows, gz), wzt.dtype)
+    for k in range(order):
+        idx = org + k
+        idx = jnp.where(idx >= gz, idx - gz, idx)        # single wrap
+        acc = acc + jnp.where(giota == idx, wzt[k][:, None], 0.0)
+    return acc
+
+
+def _fwd_kernel(off_ref, qwlxt_ref, wlyt_ref, wzt_ref, zorg_ref, out_ref,
+                *, gz):
     pid = pl.program_id(0)
 
     @pl.when(pid == 0)
@@ -53,7 +77,7 @@ def _fwd_kernel(off_ref, qwlxt_ref, wlyt_ref, wzd_ref, out_ref, *, gz):
 
     qwlxt = qwlxt_ref[0]                          # [Wx, rows]
     wlyt = wlyt_ref[0]                            # [Wyp, rows] (zero-padded)
-    wzd = wzd_ref[0]                              # [rows, Gz]
+    wzd = _expand_z(wzt_ref[0], zorg_ref[0], gz)  # [rows, Gz]
     wx, rows = qwlxt.shape
     wyp = wlyt.shape[0]
     a2 = (qwlxt[:, None, :] * wlyt[None, :, :]).reshape(wx * wyp, rows)
@@ -67,22 +91,34 @@ def _fwd_kernel(off_ref, qwlxt_ref, wlyt_ref, wzd_ref, out_ref, *, gz):
     out_ref[pl.ds(ox, wx), pl.ds(oy, wyp), :] = cur + p.reshape(wx, wyp, gz)
 
 
-def _bwd_kernel(off_ref, qwlxt_ref, wlyt_ref, wzd_ref, ct_ref,
-                d_qwlxt_ref, d_wlyt_ref, d_wzd_ref, *, gz):
+def _bwd_kernel(off_ref, qwlxt_ref, wlyt_ref, wzt_ref, zorg_ref, ct_ref,
+                d_qwlxt_ref, d_wlyt_ref, d_wzt_ref, *, gz):
     pid = pl.program_id(0)
     qwlxt = qwlxt_ref[0]                          # [Wx, rows]
     wlyt = wlyt_ref[0]                            # [Wyp, rows]
-    wzd = wzd_ref[0]                              # [rows, Gz]
+    wzt = wzt_ref[0]                              # [order, rows]
+    zorg = zorg_ref[0]                            # [1, rows]
+    wzd = _expand_z(wzt, zorg, gz)                # [rows, Gz]
     wx, rows = qwlxt.shape
     wyp = wlyt.shape[0]
+    order = wzt.shape[0]
     ox = off_ref[0, pid]
     oy = off_ref[1, pid]
     dp = ct_ref[pl.ds(ox, wx), pl.ds(oy, wyp), :].reshape(wx * wyp, gz)
-    # d_Wz[row, gz] = sum_xy A[(x,y), row] dP[(x,y), gz]
+    # d_Wz[row, gz] = sum_xy A[(x,y), row] dP[(x,y), gz], contracted back to
+    # the compact taps: d_taps[k, row] = d_Wz[row, (zorg + k) mod Gz]
     a2 = (qwlxt[:, None, :] * wlyt[None, :, :]).reshape(wx * wyp, rows)
-    d_wzd_ref[0] = jax.lax.dot_general(
+    d_dense = jax.lax.dot_general(
         a2, dp, (((0,), (0,)), ((), ())), precision=_HIGHEST,
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32)              # [rows, Gz]
+    giota = jax.lax.broadcasted_iota(jnp.int32, (rows, gz), 1)
+    org = zorg[0][:, None]
+    taps = []
+    for k in range(order):
+        idx = org + k
+        idx = jnp.where(idx >= gz, idx - gz, idx)
+        taps.append(jnp.sum(jnp.where(giota == idx, d_dense, 0.0), axis=1))
+    d_wzt_ref[0] = jnp.stack(taps, axis=0)
     # d_A[(x,y), row] = sum_gz dP[(x,y), gz] Wz[row, gz]
     d_a2 = jax.lax.dot_general(
         dp, wzd, (((1,), (1,)), ((), ())), precision=_HIGHEST,
@@ -103,28 +139,29 @@ def _grid_block(shape):
                         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def spread_columns(qwlxt, wlyt, wzd, offsets, pad_xy):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def spread_columns(qwlxt, wlyt, wzt, zorg, offsets, pad_xy):
     """Spread per-column patches onto an x/y-padded mesh.
 
     qwlxt/wlyt: [n_col, Wx|Wyp, rows] transposed compact x/y spline weights
     (qwlxt carries the charges; wlyt zero-padded to a sublane multiple);
-    wzd: [n_col, rows, Gz] dense mod-wrapped z weights; offsets: static
-    ((ox...), (oy...)) per column into the padded mesh; pad_xy: (Px, Py).
-    Returns Qpad [Px, Py, Gz].
+    wzt: [n_col, order, rows] compact z taps with zorg [n_col, 1, rows]
+    int32 tap origins (mod Gz; the kernel expands them to dense-over-Gz in
+    VMEM); offsets: static ((ox...), (oy...)) per column into the padded
+    mesh; pad_xy: (Px, Py, Gz).  Returns Qpad [Px, Py, Gz].
     """
-    return _spread_fwd(qwlxt, wlyt, wzd, offsets, pad_xy)[0]
+    return _spread_fwd(qwlxt, wlyt, wzt, zorg, offsets, pad_xy)[0]
 
 
-def _spread_fwd(qwlxt, wlyt, wzd, offsets, pad_xy):
+def _spread_fwd(qwlxt, wlyt, wzt, zorg, offsets, pad_xy):
     n_col = qwlxt.shape[0]
-    gz = wzd.shape[-1]
-    px, py = pad_xy
+    px, py, gz = pad_xy
     off = jnp.asarray(np.asarray(offsets), jnp.int32)      # [2, n_col]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_col,),
-        in_specs=[_col_block(qwlxt), _col_block(wlyt), _col_block(wzd)],
+        in_specs=[_col_block(qwlxt), _col_block(wlyt), _col_block(wzt),
+                  _col_block(zorg)],
         out_specs=_grid_block((px, py, gz)),
     )
     out = pl.pallas_call(
@@ -132,31 +169,32 @@ def _spread_fwd(qwlxt, wlyt, wzd, offsets, pad_xy):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((px, py, gz), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(off, qwlxt, wlyt, wzd)
-    return out, (qwlxt, wlyt, wzd)
+    )(off, qwlxt, wlyt, wzt, zorg)
+    return out, (qwlxt, wlyt, wzt, zorg)
 
 
 def _spread_bwd(offsets, pad_xy, res, ct):
-    qwlxt, wlyt, wzd = res
+    qwlxt, wlyt, wzt, zorg = res
     n_col = qwlxt.shape[0]
-    gz = wzd.shape[-1]
+    gz = pad_xy[2]
     off = jnp.asarray(np.asarray(offsets), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_col,),
-        in_specs=[_col_block(qwlxt), _col_block(wlyt), _col_block(wzd),
-                  _grid_block(pad_xy + (gz,))],
-        out_specs=[_col_block(qwlxt), _col_block(wlyt), _col_block(wzd)],
+        in_specs=[_col_block(qwlxt), _col_block(wlyt), _col_block(wzt),
+                  _col_block(zorg), _grid_block(pad_xy)],
+        out_specs=[_col_block(qwlxt), _col_block(wlyt), _col_block(wzt)],
     )
-    d_qwlxt, d_wlyt, d_wzd = pl.pallas_call(
+    d_qwlxt, d_wlyt, d_wzt = pl.pallas_call(
         functools.partial(_bwd_kernel, gz=gz),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(qwlxt.shape, jnp.float32),
                    jax.ShapeDtypeStruct(wlyt.shape, jnp.float32),
-                   jax.ShapeDtypeStruct(wzd.shape, jnp.float32)],
+                   jax.ShapeDtypeStruct(wzt.shape, jnp.float32)],
         interpret=jax.default_backend() != "tpu",
-    )(off, qwlxt, wlyt, wzd, ct)
-    return d_qwlxt, d_wlyt, d_wzd
+    )(off, qwlxt, wlyt, wzt, zorg, ct)
+    return (d_qwlxt, d_wlyt, d_wzt,
+            np.zeros(zorg.shape, dtype=jax.dtypes.float0))
 
 
 spread_columns.defvjp(_spread_fwd, _spread_bwd)

@@ -374,11 +374,16 @@ def pme_cell_pallas_reciprocal_energy(blocks, ids, system) -> jax.Array:
     wlxt, opx, wx = compact_weights_t(blocks.x, ngx, gx, box[0], 0)
     wlyt5, opy, wy = compact_weights_t(blocks.y, ngy, gy, box[1], 1)
 
-    # dense mod-wrapped z weights: placement along z rides the contraction
-    uz = blocks.z * (gz / box[2])
-    tz = uz[..., None] - jnp.arange(gz, dtype=dtype)
-    tz = tz - gz * jnp.floor(tz / gz)
-    wzd = bspline(tz, order)                       # [ngx,ngy,ngz,cap,Gz]
+    # compact z taps + int origins: each atom's order nonzero z weights,
+    # expanded to the dense mod-wrapped [rows, Gz] form inside the kernel
+    # (the dense tensor in HBM + its Gz-dense B-spline eval measured ~0.2 ms
+    # of the 1.05 ms reciprocal at 30k — tools/pme_pieces.py)
+    uz = blocks.z * (gz / box[2])                 # [ngx, ngy, ngz, cap]
+    org_f = jax.lax.stop_gradient(jnp.floor(uz)) - (order - 1)
+    tzk = (uz - org_f)[:, :, None, :, :] - jnp.arange(
+        order, dtype=dtype).reshape(1, 1, order, 1, 1)
+    wzt5 = bspline(tzk, order)                    # [ngx, ngy, order, ngz, cap]
+    zorg = jnp.mod(org_f, gz).astype(jnp.int32)   # in [0, Gz)
 
     n_col = ngx * ngy
     rows = ngz * cap
@@ -388,9 +393,9 @@ def pme_cell_pallas_reciprocal_energy(blocks, ids, system) -> jax.Array:
     wlyt = jnp.pad(wlyt, ((0, 0), (0, wyp - wy), (0, 0)))
     offsets = (tuple(int(opx[c // ngy]) for c in range(n_col)),
                tuple(int(opy[c % ngy]) for c in range(n_col)))
-    pad_xy = (int(opx.max()) + wx, int(opy.max()) + wyp)
-    qpad = spread_columns(qwlxt, wlyt, wzd.reshape(n_col, rows, gz),
-                          offsets, pad_xy)
+    pad_xy = (int(opx.max()) + wx, int(opy.max()) + wyp, gz)
+    qpad = spread_columns(qwlxt, wlyt, wzt5.reshape(n_col, order, rows),
+                          zorg.reshape(n_col, 1, rows), offsets, pad_xy)
     qgrid = fold_padded_axis(
         fold_padded_axis(qpad, gx, order + spec.pme_slack[0], 0),
         gy, order + spec.pme_slack[1], 1)

@@ -633,6 +633,145 @@ def _roll_fused_walk(blocks: CellBlocks, ids: jax.Array, system):
     return e_total, g_acc, dq_acc
 
 
+def _concat_slabs(blocks: CellBlocks, ids: jax.Array, system):
+    """Concatenate the 14 half-shell j-side slabs along the slot axis.
+
+    Returns (xj [3 arrays of [gx,gy,gz,14*cap]], qj, hj, sj, idsj).  Slab 0
+    is the (unrolled) self cell; slabs 1..13 are ``jnp.roll`` of the block
+    arrays by the half-shell shifts, with the static boundary image offsets
+    added to the coordinates.  The point of ``walk_layout="concat"``: the
+    pair tile's j axis pads to the 128 vector lanes, so 14 separate
+    [cap, cap] tiles pay 14 * (128 - cap) lanes of padding when cap < 128,
+    while one [cap, 14*cap] tile pays it once (BASELINE.md cutoff-scan
+    postmortem — this is what un-deadens the finer-cutoff configs)."""
+    spec = system.spec
+    gx, gy, gz = spec.cell_grid
+    dtype = blocks.x.dtype
+    box = system.box
+    ax = (0, 1, 2)
+
+    def off(axis_len, d, bk):
+        c = np.arange(axis_len)
+        o = np.where(c + d >= axis_len, 1.0,
+                     np.where(c + d < 0, -1.0, 0.0))
+        return jnp.asarray(o, dtype) * bk
+
+    xs, ys, zs, qs, hs_, ss, idss = [], [], [], [], [], [], []
+    for (dx, dy, dz) in HALF_SHELL:
+        sh = (-dx, -dy, -dz)
+        roll = lambda a: jnp.roll(a, sh, ax)
+        xs.append(roll(blocks.x) + off(gx, dx, box[0]).reshape(gx, 1, 1, 1))
+        ys.append(roll(blocks.y) + off(gy, dy, box[1]).reshape(1, gy, 1, 1))
+        zs.append(roll(blocks.z) + off(gz, dz, box[2]).reshape(1, 1, gz, 1))
+        qs.append(roll(blocks.q))
+        hs_.append(roll(blocks.hs))
+        ss.append(roll(blocks.se))
+        idss.append(roll(ids))
+    cat = lambda lst: jnp.concatenate(lst, axis=-1)
+    return ([cat(xs), cat(ys), cat(zs)], cat(qs), cat(hs_), cat(ss),
+            cat(idss))
+
+
+def _concat_pair_core(blocks, ids, system, with_grads):
+    """Shared math of the concat-layout walk: one [cap, 14*cap] pair tile.
+
+    ``with_grads=False`` returns the scalar energy (plain-autodiff primal);
+    ``with_grads=True`` returns (e, gi [3 x grid4], gj [3 x [.., 14cap]],
+    dqi [grid4], dqj [.., 14cap]) with the j-side sums still in slab-rolled
+    coordinates (caller rolls them back per slab)."""
+    spec = system.spec
+    cap = spec.cell_capacity
+    n = system.n_atoms
+    dtype = blocks.x.dtype
+
+    xj, qj, hj, sj, idsj = _concat_slabs(blocks, ids, system)
+    comp = [blocks.x, blocks.y, blocks.z]
+    qc, hc, sc = blocks.q, blocks.hs, blocks.se
+    valid = ids < n
+    mj = idsj < n
+
+    alpha = spec.alpha
+    cutoff2 = spec.cutoff * spec.cutoff
+
+    dx = comp[0][..., :, None] - xj[0][..., None, :]
+    dy = comp[1][..., :, None] - xj[1][..., None, :]
+    dz = comp[2][..., :, None] - xj[2][..., None, :]
+    r2 = dx * dx + dy * dy + dz * dz
+    # Self slab (first cap columns): ordered pairs i<j by global atom id;
+    # the 13 rolled slabs take every in-range pair.  Computed inline so the
+    # bool tensor stays inside the fused elementwise chain.
+    ordered = ((jnp.arange(14 * cap, dtype=jnp.int32) >= cap)
+               | (ids[..., :, None] < idsj[..., None, :]))
+    mask = valid[..., :, None] & mj[..., None, :] & (r2 < cutoff2) & ordered
+    r2s = jnp.where(mask, r2, 1.0)
+    inv_r = jax.lax.rsqrt(r2s)
+    qq = (ONE_4PI_EPS0 * qc[..., :, None]) * qj[..., None, :]
+    if dtype == jnp.float64:
+        from jax.scipy.special import erfc as _erfc_exact
+        r = r2s * inv_r
+        x = alpha * r
+        kern = inv_r * _erfc_exact(x)
+        coul = qq * kern
+        if with_grads:
+            derfc = (-2.0 / math.sqrt(math.pi)) * jnp.exp(-x * x)
+            dcoul_over_r = (qq * derfc * alpha - coul) * (inv_r * inv_r)
+    else:
+        if with_grads:
+            p, dpds = erf_over_r_eval(r2s, alpha, spec.cutoff,
+                                      with_derivative=True)
+        else:
+            p = erf_over_r_eval(r2s, alpha, spec.cutoff)
+        kern = inv_r - p
+        coul = qq * kern
+        if with_grads:
+            u = inv_r * inv_r
+            dcoul_over_r = -qq * (u * inv_r + 2.0 * dpds)
+    sig2 = ((hc[..., :, None] + hj[..., None, :]) * inv_r) ** 2
+    sig6 = sig2 * sig2 * sig2
+    epr = sc[..., :, None] * sj[..., None, :]
+    lj = epr * sig6 * (sig6 - 1.0)
+    e = jnp.sum(jnp.where(mask, coul + lj, 0.0))
+    if not with_grads:
+        return e
+    dlj_over_r = -epr * sig6 * (12.0 * sig6 - 6.0) * (inv_r * inv_r)
+    dEdr_over_r = jnp.where(mask, dcoul_over_r + dlj_over_r, 0.0)
+    gi = [jnp.sum(dEdr_over_r * d, axis=-1) for d in (dx, dy, dz)]
+    gj = [-jnp.sum(dEdr_over_r * d, axis=-2) for d in (dx, dy, dz)]
+    ec = jnp.where(mask, kern, 0.0) * ONE_4PI_EPS0
+    dqi = jnp.sum(ec * qj[..., None, :], axis=-1)
+    dqj = jnp.sum(ec * qc[..., :, None], axis=-2)
+    return e, gi, gj, dqi, dqj
+
+
+def _concat_block_energy(blocks: CellBlocks, ids: jax.Array,
+                         system) -> jax.Array:
+    """Concat-layout direct-space energy (plain-autodiff / primal path)."""
+    return jax.checkpoint(
+        lambda b: _concat_pair_core(b, ids, system, with_grads=False))(blocks)
+
+
+def _concat_fused_walk(blocks: CellBlocks, ids: jax.Array, system):
+    """Concat-layout fused walk: energy, dE/dx and dE/dq in one pair tile.
+
+    Same contract as :func:`_roll_fused_walk`; the j-side accumulations come
+    back as [.., 14*cap] slabs in rolled coordinates and are rolled back and
+    summed per half-shell shift here."""
+    spec = system.spec
+    cap = spec.cell_capacity
+    ax = (0, 1, 2)
+    e, gi, gj, dqi, dqj = _concat_pair_core(blocks, ids, system,
+                                            with_grads=True)
+    g_acc = list(gi)
+    dq_acc = dqi
+    for s, (dx_, dy_, dz_) in enumerate(HALF_SHELL):
+        back = (dx_, dy_, dz_)
+        sl = slice(s * cap, (s + 1) * cap)
+        for k in range(3):
+            g_acc[k] = g_acc[k] + jnp.roll(gj[k][..., sl], back, ax)
+        dq_acc = dq_acc + jnp.roll(dqj[..., sl], back, ax)
+    return e, g_acc, dq_acc
+
+
 def direct_energy_on_blocks(blocks: CellBlocks, ids: jax.Array,
                             system) -> jax.Array:
     """Direct-space energy over cell blocks with a hand-written VJP: the
@@ -648,12 +787,17 @@ def direct_energy_on_blocks(blocks: CellBlocks, ids: jax.Array,
     fused-walk kernel lost 2.2 vs 1.65 ms standalone and 3.76 vs 3.65 ms
     in the full 30k MD step (BASELINE.md rejected experiments)."""
 
+    concat = getattr(system.spec, "walk_layout", "shift") == "concat"
+
     @jax.custom_vjp
     def direct_energy(blocks, ids):
+        if concat:
+            return _concat_block_energy(blocks, ids, system)
         return _roll_block_energy(blocks, ids, system)
 
     def _fwd(blocks, ids):
-        e, g_acc, dq_acc = _roll_fused_walk(blocks, ids, system)
+        walk = _concat_fused_walk if concat else _roll_fused_walk
+        e, g_acc, dq_acc = walk(blocks, ids, system)
         return e, (g_acc, dq_acc, ids.shape)
 
     def _bwd(res, g_out):

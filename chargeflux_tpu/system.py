@@ -97,6 +97,14 @@ class StaticSpec:
     direct_method: str = "dense"
     cell_grid: Optional[Tuple[int, int, int]] = None
     cell_capacity: Optional[int] = None
+    # Cell-walk pair-tile layout: "shift" = 14 per-shift [cap, cap] tiles
+    # (each j axis padded to the 128 vector lanes); "concat" = one
+    # [cap, 14*cap] tile with the half-shell j-slabs concatenated along the
+    # lane axis, so lane padding is paid once.  Measured winner everywhere
+    # (3.62 vs 3.96 ms at the 30k bench even at cap=128, and it un-deadens
+    # every sub-128-cap cutoff config — BASELINE.md cutoff-scan): concat is
+    # the create_system default ("auto" resolves to it).
+    walk_layout: str = "concat"
     # Reciprocal-space route: "auto" (PME on TPU f32, else xla), "xla"
     # (classical Ewald, factorized matmuls), "pallas" (classical, fused tile
     # kernel) or "pme" (smooth particle-mesh Ewald, pme.py).
@@ -326,6 +334,7 @@ class CoulForce:
         cell_capacity: Optional[int] = None,
         recip_method: str = "auto",
         skin_frac: float = 0.05,
+        walk_layout: str = "auto",
     ) -> ChargeFluxSystem:
         """Compile the builder into an immutable pytree system.
 
@@ -352,6 +361,12 @@ class CoulForce:
             raise ValueError(
                 f"unknown recip_method {recip_method!r}: expected 'auto', "
                 f"'xla', 'pallas' or 'pme'")
+        if walk_layout not in ("auto", "shift", "concat"):
+            raise ValueError(
+                f"unknown walk_layout {walk_layout!r}: expected 'auto', "
+                f"'shift' or 'concat'")
+        if walk_layout == "auto":
+            walk_layout = "concat"
         if self._pbc:
             if box is None:
                 raise ValueError("PBC system requires a box")
@@ -482,6 +497,7 @@ class CoulForce:
             direct_method=method,
             cell_grid=grid,
             cell_capacity=capacity,
+            walk_layout=walk_layout,
             recip_method=recip_method,
             pme_grid=pme_grid,
             pme_order=pme_order,

@@ -11,7 +11,11 @@ it (LJ truncation is a model parameter that moves with the cutoff, exactly
 as in the reference, where `cutoff` is one user knob for both terms:
 CoulForce.cpp:44-46).
 
-Usage: python tools/cutoff_scan.py [cutoffs...]   (default scan below)
+Usage: python tools/cutoff_scan.py [rc | rc:layout ...]   (default below)
+Each entry is a cutoff in nm, optionally suffixed with the pair-tile
+layout, e.g. ``0.7:concat`` (default layout "shift"; see
+StaticSpec.walk_layout — "concat" amortizes the 128-lane j padding and is
+what makes sub-0.9 cutoffs competitive).
 """
 
 import json
@@ -26,27 +30,31 @@ from chargeflux_tpu.cells import suggest_capacity  # noqa: E402
 from chargeflux_tpu.models import water_box  # noqa: E402
 
 
-def build(cutoff: float):
+def build(cutoff: float, layout: str = "shift"):
     force, pos, masses, box = water_box(n_side=22, flux="bond_angle",
                                         cutoff=cutoff)
     system = force.create_system(box=box, dtype=jnp.float32,
-                                 direct_method="cell")
+                                 direct_method="cell", walk_layout=layout)
     cap = suggest_capacity(pos, box, system.spec.cell_grid, margin=1.05)
     if cap != system.spec.cell_capacity:
         system = force.create_system(box=box, dtype=jnp.float32,
-                                     direct_method="cell", cell_capacity=cap)
+                                     direct_method="cell", cell_capacity=cap,
+                                     walk_layout=layout)
     return (jnp.asarray(pos, jnp.float32), system,
             jnp.asarray(np.asarray(masses), jnp.float32))
 
 
 def main():
-    cutoffs = [float(a) for a in sys.argv[1:]] or [0.9, 0.7, 0.65, 0.6, 0.55]
-    for rc in cutoffs:
-        x, system, masses = build(rc)
+    entries = sys.argv[1:] or ["0.9", "0.7", "0.65", "0.6", "0.55"]
+    for ent in entries:
+        rc_s, _, layout = ent.partition(":")
+        rc, layout = float(rc_s), layout or "shift"
+        x, system, masses = build(rc, layout)
         spec = system.spec
         ms, e_check = measure_md_step(x, system, masses)
         print(json.dumps({
             "cutoff": rc,
+            "layout": layout,
             "ms_per_md_step": round(ms, 4),
             "grid": list(spec.cell_grid),
             "cap": spec.cell_capacity,

@@ -48,6 +48,7 @@ HALF_SHELL = [(0, 0, 0)] + [
 assert len(HALF_SHELL) == 14
 
 
+
 def neighbor_cell_table(grid) -> np.ndarray:
     """Static [n_cells, 27] table of wrapped neighbor cell ids (full shell;
     used by tests and diagnostics)."""
@@ -633,7 +634,8 @@ def _roll_fused_walk(blocks: CellBlocks, ids: jax.Array, system):
     return e_total, g_acc, dq_acc
 
 
-def _concat_slabs(blocks: CellBlocks, ids: jax.Array, system):
+def _concat_slabs(blocks: CellBlocks, ids: jax.Array, system,
+                  shifts=None):
     """Concatenate the 14 half-shell j-side slabs along the slot axis.
 
     Returns (xj [3 arrays of [gx,gy,gz,14*cap]], qj, hj, sj, idsj).  Slab 0
@@ -657,7 +659,7 @@ def _concat_slabs(blocks: CellBlocks, ids: jax.Array, system):
         return jnp.asarray(o, dtype) * bk
 
     xs, ys, zs, qs, hs_, ss, idss = [], [], [], [], [], [], []
-    for (dx, dy, dz) in HALF_SHELL:
+    for (dx, dy, dz) in (HALF_SHELL if shifts is None else shifts):
         sh = (-dx, -dy, -dz)
         roll = lambda a: jnp.roll(a, sh, ax)
         xs.append(roll(blocks.x) + off(gx, dx, box[0]).reshape(gx, 1, 1, 1))
@@ -672,21 +674,19 @@ def _concat_slabs(blocks: CellBlocks, ids: jax.Array, system):
             cat(idss))
 
 
-def _concat_pair_core(blocks, ids, system, with_grads):
-    """Shared math of the concat-layout walk: one [cap, 14*cap] pair tile.
+def _concat_tile(comp, qc, hc, sc, ids, xj, qj, hj, sj, idsj, system,
+                 with_grads):
+    """Pair-tile math of the concat-layout walk on prebuilt slab arrays.
 
+    i-side arrays are [..., cap], j-side [..., 14*cap]; any leading shape.
     ``with_grads=False`` returns the scalar energy (plain-autodiff primal);
-    ``with_grads=True`` returns (e, gi [3 x grid4], gj [3 x [.., 14cap]],
-    dqi [grid4], dqj [.., 14cap]) with the j-side sums still in slab-rolled
+    ``with_grads=True`` returns (e, gi [3 x [..., cap]], gj
+    [3 x [..., 14cap]], dqi, dqj) with the j-side sums still in slab-rolled
     coordinates (caller rolls them back per slab)."""
     spec = system.spec
     cap = spec.cell_capacity
     n = system.n_atoms
-    dtype = blocks.x.dtype
-
-    xj, qj, hj, sj, idsj = _concat_slabs(blocks, ids, system)
-    comp = [blocks.x, blocks.y, blocks.z]
-    qc, hc, sc = blocks.q, blocks.hs, blocks.se
+    dtype = comp[0].dtype
     valid = ids < n
     mj = idsj < n
 
@@ -743,6 +743,47 @@ def _concat_pair_core(blocks, ids, system, with_grads):
     return e, gi, gj, dqi, dqj
 
 
+def _concat_pair_core(blocks, ids, system, with_grads):
+    """Concat-layout walk: build slabs once, then one pair tile — chunked
+    over the leading (x) cell axis when ``spec.walk_chunks > 1``.
+
+    The per-chunk gj/dqj slabs are indexed by i-cell rows, so chunks stack
+    straight back to the full grid and the per-slab roll-backs happen once
+    after the scan (in :func:`_concat_fused_walk`).  Chunking bounds the
+    live pair-tile memory to tile_bytes / walk_chunks — the unchunked tile
+    OOMed the 100k config on a 16 GB chip."""
+    spec = system.spec
+    gx = spec.cell_grid[0]
+    xj, qj, hj, sj, idsj = _concat_slabs(blocks, ids, system)
+    comp = [blocks.x, blocks.y, blocks.z]
+    qc, hc, sc = blocks.q, blocks.hs, blocks.se
+    chunks = getattr(spec, "walk_chunks", 1)
+    if chunks <= 1 or gx % chunks != 0:
+        return _concat_tile(comp, qc, hc, sc, ids, xj, qj, hj, sj, idsj,
+                            system, with_grads)
+    bx = gx // chunks
+
+    def body(carry, c):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * bx, bx, axis=0)
+        res = _concat_tile([sl(a) for a in comp], sl(qc), sl(hc), sl(sc),
+                           sl(ids), [sl(a) for a in xj], sl(qj), sl(hj),
+                           sl(sj), sl(idsj), system, with_grads)
+        if not with_grads:
+            return carry, res
+        e, gi, gj, dqi, dqj = res
+        return carry, (e, gi[0], gi[1], gi[2], gj[0], gj[1], gj[2],
+                       dqi, dqj)
+
+    _, out = jax.lax.scan(body, None, jnp.arange(chunks, dtype=jnp.int32))
+    unstack = lambda a: a.reshape((gx,) + a.shape[2:])
+    if not with_grads:
+        return jnp.sum(out)
+    es, g0, g1, g2, j0, j1, j2, dqi, dqj = out
+    return (jnp.sum(es), [unstack(g0), unstack(g1), unstack(g2)],
+            [unstack(j0), unstack(j1), unstack(j2)],
+            unstack(dqi), unstack(dqj))
+
+
 def _concat_block_energy(blocks: CellBlocks, ids: jax.Array,
                          system) -> jax.Array:
     """Concat-layout direct-space energy (plain-autodiff / primal path)."""
@@ -787,17 +828,17 @@ def direct_energy_on_blocks(blocks: CellBlocks, ids: jax.Array,
     fused-walk kernel lost 2.2 vs 1.65 ms standalone and 3.76 vs 3.65 ms
     in the full 30k MD step (BASELINE.md rejected experiments)."""
 
-    concat = getattr(system.spec, "walk_layout", "shift") == "concat"
+    layout = getattr(system.spec, "walk_layout", "shift")
+    concat = layout == "concat"
+    primal = _concat_block_energy if concat else _roll_block_energy
+    fused = _concat_fused_walk if concat else _roll_fused_walk
 
     @jax.custom_vjp
     def direct_energy(blocks, ids):
-        if concat:
-            return _concat_block_energy(blocks, ids, system)
-        return _roll_block_energy(blocks, ids, system)
+        return primal(blocks, ids, system)
 
     def _fwd(blocks, ids):
-        walk = _concat_fused_walk if concat else _roll_fused_walk
-        e, g_acc, dq_acc = walk(blocks, ids, system)
+        e, g_acc, dq_acc = fused(blocks, ids, system)
         return e, (g_acc, dq_acc, ids.shape)
 
     def _bwd(res, g_out):

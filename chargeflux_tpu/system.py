@@ -105,6 +105,11 @@ class StaticSpec:
     # every sub-128-cap cutoff config — BASELINE.md cutoff-scan): concat is
     # the create_system default ("auto" resolves to it).
     walk_layout: str = "concat"
+    # Number of slices of the leading (x) cell axis the concat/ifull walk
+    # scans over (1 = one unchunked tile).  Bounds live pair-tile memory to
+    # tile_bytes / walk_chunks; create_system sizes it so the tile stays
+    # under ~320 MB (the unchunked 100k concat tile OOMed a 16 GB chip).
+    walk_chunks: int = 1
     # Reciprocal-space route: "auto" (PME on TPU f32, else xla), "xla"
     # (classical Ewald, factorized matmuls), "pallas" (classical, fused tile
     # kernel) or "pme" (smooth particle-mesh Ewald, pme.py).
@@ -364,7 +369,8 @@ class CoulForce:
         if walk_layout not in ("auto", "shift", "concat"):
             raise ValueError(
                 f"unknown walk_layout {walk_layout!r}: expected 'auto', "
-                f"'shift' or 'concat'")
+                f"'shift' or 'concat' ('ifull' — a full-shell i-centered "
+                f"tile — was measured 45% slower and removed, BASELINE.md)")
         if walk_layout == "auto":
             walk_layout = "concat"
         if self._pbc:
@@ -427,6 +433,23 @@ class CoulForce:
                         capacity = snapped
                 else:
                     capacity = int(cell_capacity)
+
+        # Chunk the concat/ifull walk so one pair tile stays under the
+        # memory budget (lane width rounds S*cap up to the 128 lanes).
+        walk_chunks = 1
+        if method == "cell" and walk_layout in ("concat", "ifull"):
+            s_width = 14 if walk_layout == "concat" else 27
+            lane_w = -(-s_width * capacity // 128) * 128
+            itemsize = jnp.dtype(dtype).itemsize
+            tile_bytes = (grid[0] * grid[1] * grid[2] * capacity
+                          * lane_w * itemsize)
+            budget = 320 * 2 ** 20
+            for d in range(1, grid[0] + 1):
+                if grid[0] % d == 0 and tile_bytes // d <= budget:
+                    walk_chunks = d
+                    break
+            else:
+                walk_chunks = grid[0]
 
         if self._pbc and self._cutoff > float(np.min(box_arr)) / 2 and \
                 method == "dense":
@@ -498,6 +521,7 @@ class CoulForce:
             cell_grid=grid,
             cell_capacity=capacity,
             walk_layout=walk_layout,
+            walk_chunks=walk_chunks,
             recip_method=recip_method,
             pme_grid=pme_grid,
             pme_order=pme_order,

@@ -178,3 +178,33 @@ def test_binning_matches_numpy_reference_randomized():
                 assert np.all(cid[real] == c)              # right cell
                 for r, a in enumerate(real):
                     assert inv[a] == c * cap + r
+
+
+def test_walk_layouts_agree():
+    """shift (14 per-shift tiles) and concat (one j-super-slab tile) are
+    the same sum in a different order; both must match, with and without
+    the leading-axis chunking (spec.walk_chunks)."""
+    import dataclasses
+
+    sys_cat, x = _box_system("cell")   # create_system default = concat
+    force, pos, _, box = water_box(n_side=4, flux="bond_angle",
+                                   cutoff=0.62, seed=13,
+                                   density_spacing=0.62)
+    sys_shift = force.create_system(box=box, dtype=jnp.float64,
+                                    direct_method="cell",
+                                    walk_layout="shift")
+    assert sys_cat.spec.walk_layout == "concat"
+    gx = sys_cat.spec.cell_grid[0]
+    sys_chunked = dataclasses.replace(
+        sys_cat, spec=dataclasses.replace(sys_cat.spec, walk_chunks=gx))
+
+    e0, f0 = cf.energy_and_forces(x, sys_shift)
+    scale = float(jnp.max(jnp.abs(f0)))
+    for s in (sys_cat, sys_chunked):
+        e, f = cf.energy_and_forces(x, s)
+        assert abs(float(e - e0)) <= 1e-10 * abs(float(e0))
+        np.testing.assert_allclose(np.asarray(f) / scale,
+                                   np.asarray(f0) / scale, atol=1e-12)
+        # energy-only exercises the primal (non-fused) path
+        assert abs(float(cf.energy(x, s) - cf.energy(x, sys_shift))) \
+            <= 1e-10 * abs(float(e0))

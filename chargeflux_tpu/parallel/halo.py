@@ -163,31 +163,38 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
             lj = (si[..., :, None] * sj[..., None, :]) * sig6 * (sig6 - 1.0)
             return jnp.sum(jnp.where(mask, coul + lj, 0.0))
 
-        # self cell: ordered pairs by global atom id
-        same = ids[..., :, None] < ids[..., None, :]
-        e_dir = pair_e(xi, qi, hi_, si, valid_i, extra=same)
-
+        # Concat walk layout, as in the single-chip route (cells.py): the
+        # 14 half-shell j slabs — x via ext slicing (dx in {0, 1}), y/z
+        # via rolls with static boundary image offsets — are concatenated
+        # along the slot axis into ONE [cap, 14*cap] pair tile so the
+        # 128-lane padding is paid once.
         yz_ax = (1, 2)
-        for (dx_, dy_, dz_) in HALF_SHELL[1:]:
-            def shift_e(ext, dxs=dx_, dys=dy_, dzs=dz_):
-                # x via ext slicing (dx in {0, 1}); y/z via rolls with
-                # static boundary image offsets (same as the 1-device walk)
-                sl = jax.lax.slice_in_dim(ext, dxs, dxs + gxl, axis=0)
-                sl = jnp.roll(sl, (-dys, -dzs), yz_ax)
 
-                def off(axis_len, d, bk, shape):
-                    c = np.arange(axis_len)
-                    o = np.where(c + d >= axis_len, 1.0,
-                                 np.where(c + d < 0, -1.0, 0.0))
-                    return jnp.asarray(o, dtype).reshape(shape) * bk
+        def off(axis_len, d, bk, shape):
+            c = np.arange(axis_len)
+            o = np.where(c + d >= axis_len, 1.0,
+                         np.where(c + d < 0, -1.0, 0.0))
+            return jnp.asarray(o, dtype).reshape(shape) * bk
 
-                oy = off(gy, dys, box[1], (1, gy, 1, 1))
-                oz = off(gz, dzs, box[2], (1, 1, gz, 1))
-                xj = [sl[..., 0], sl[..., 1] + oy, sl[..., 2] + oz]
-                return pair_e(xj, sl[..., 3], sl[..., 4], sl[..., 5],
-                              sl[..., 6] > 0.5)
-
-            e_dir = e_dir + shift_e(ext)
+        slabs = []
+        for (dx_, dy_, dz_) in HALF_SHELL:
+            sl = jax.lax.slice_in_dim(ext, dx_, dx_ + gxl, axis=0)
+            sl = jnp.roll(sl, (-dy_, -dz_), yz_ax)
+            oy = off(gy, dy_, box[1], (1, gy, 1, 1))
+            oz = off(gz, dz_, box[2], (1, 1, gz, 1))
+            slabs.append((sl[..., 0], sl[..., 1] + oy, sl[..., 2] + oz,
+                          sl[..., 3], sl[..., 4], sl[..., 5],
+                          sl[..., 6] > 0.5))
+        cat = lambda k: jnp.concatenate([s[k] for s in slabs], axis=-1)
+        xj = [cat(0), cat(1), cat(2)]
+        # self slab (first cap columns): ordered pairs by global atom id;
+        # the other 13 slabs take every in-range pair once
+        idsj = jnp.concatenate(
+            [ids, jnp.zeros(ids.shape[:-1] + (13 * cap,), ids.dtype)],
+            axis=-1)
+        ordered = ((jnp.arange(14 * cap, dtype=jnp.int32) >= cap)
+                   | (ids[..., :, None] < idsj[..., None, :]))
+        e_dir = pair_e(xj, cat(3), cat(4), cat(5), cat(6), extra=ordered)
 
         # overflow safety: the NaN poison term touches every position so
         # every atom's force is poisoned too (same as the 1-device route)

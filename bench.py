@@ -38,7 +38,10 @@ def build(config: str, cutoff: float = None):
     n_side = {"216": 6, "4k": 11, "30k": 22, "100k": 32}.get(config)
     if n_side is None:
         raise SystemExit(f"unknown config {config!r}")
-    method = "cell" if config in ("30k", "100k") else "dense"
+    # 216 stays dense (box too small for >=3 cells/axis); every larger
+    # config uses the cell+PME route — with the concat walk it beats dense
+    # from 4k up (0.43 vs 0.87 ms at 4k, measured round 2)
+    method = "dense" if config == "216" else "cell"
     # Work-balanced model cutoff for the cell+PME configs: rc = 0.8 nm is
     # the measured TPU optimum (BASELINE.md cutoff scan; Ewald accuracy is
     # pinned by the tolerance at any rc, and rc is a user model knob in the

@@ -93,8 +93,9 @@ def _timed_scan(run, x0, k1, k2, reps=7, warm_s=10.0):
 
 def measure_md_step(x, system, masses):
     """ms per NVE velocity-Verlet step with neighbor-state reuse."""
-    from chargeflux_tpu.integrate import (init_state_nb, make_nb_energy_fn,
-                                          nve_step_nb)
+    from chargeflux_tpu.integrate import (init_state_nb,
+                                          make_nb_energy_fn,
+                                          make_packed_nve_chunk)
     from chargeflux_tpu.models import water_bonded_params
 
     bonded = water_bonded_params(system.n_atoms // 3, box=np.asarray(
@@ -102,28 +103,27 @@ def measure_md_step(x, system, masses):
     e_fn, init_nb = make_nb_energy_fn(system, bonded=bonded)
     s0 = init_state_nb(x, jnp.zeros_like(x), e_fn, init_nb)
 
-    @partial(jax.jit, static_argnums=(1,))
-    def run(s, k):
-        def body(st, _):
-            st = nve_step_nb(st, e_fn, masses, DT_PS)
-            return st, st.potential
-
-        def outer(st, _):
-            st = st._replace(nb=init_nb(st.positions))
-            return jax.lax.scan(body, st, None, length=rebuild_every)
-
-        s_k, es = jax.lax.scan(outer, s, None, length=k)
-        return es[-1, -1] + 0.0 * jnp.sum(s_k.positions)
-
     # k counts rebuild_every-step chunks
     from chargeflux_tpu.neighbors import suggest_rebuild_interval
     if system.spec.direct_method == "cell":
         rebuild_every = suggest_rebuild_interval(system, DT_PS, cap=10)
     else:
         rebuild_every = 10
+
+    # packed [N, 9] x|v|f carry: three separate [N, 3] carries cost ~0.3
+    # ms/step of per-carry layout overhead at 30k (tools/step_pieces.py)
+    pack, _unpack, outer = make_packed_nve_chunk(
+        e_fn, init_nb, masses, DT_PS, rebuild_every)
+    p0 = pack(s0)
+
+    @partial(jax.jit, static_argnums=(1,))
+    def run(p, k):
+        p_k, es = jax.lax.scan(outer, p, None, length=k)
+        return es[-1, -1] + 0.0 * jnp.sum(p_k)
+
     k1 = max(1, 10 // rebuild_every)
-    ms_chunk = _timed_scan(run, s0, k1, 6 * k1, reps=7)
-    return ms_chunk / rebuild_every, float(run(s0, 1))
+    ms_chunk = _timed_scan(run, p0, k1, 6 * k1, reps=7)
+    return ms_chunk / rebuild_every, float(run(p0, 1))
 
 
 def measure_phases(x, system):

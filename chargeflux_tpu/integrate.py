@@ -115,6 +115,50 @@ def nve_step_nb(state: MDStateNB, e_fn, masses, dt: float) -> MDStateNB:
     return MDStateNB(x_new, v_new, f_new, e, nb)
 
 
+def make_packed_nve_chunk(e_fn, init_nb, masses, dt: float,
+                          rebuild_every: int):
+    """Packed-carry NVE building block: returns (pack, unpack, outer) where
+    ``outer(p, _)`` rebuilds the neighbor state and advances
+    ``rebuild_every`` velocity-Verlet steps on a single ``[N, 9]`` carry
+    array holding x|v|f side by side.
+
+    Why packed: carrying positions/velocities/forces as three separate
+    ``[N, 3]`` scan carries measures ~0.3 ms/step of overhead at 30k on TPU
+    (tools/step_pieces.py) — XLA assigns each narrow carry its own padded
+    layout and relayouts at the loop boundary every iteration.  One packed
+    array makes that a single buffer: the packed full Verlet step measures
+    *faster* than even a forces-only gradient loop with a lone [N, 3]
+    carry.  The per-step scan output is total energy (potential +
+    kinetic).  The neighbor state is closed over by the inner scan, not
+    carried (it is constant between rebuilds)."""
+    inv_m_v = 0.5 * dt / jnp.asarray(masses)
+
+    def pack(state: MDStateNB):
+        return jnp.concatenate(
+            [state.positions, state.velocities, state.forces], axis=1)
+
+    def unpack(p, potential, nb):
+        return MDStateNB(p[:, 0:3], p[:, 3:6], p[:, 6:9], potential, nb)
+
+    def make_inner(nb):
+        def inner(p, _):
+            x, v, f = p[:, 0:3], p[:, 3:6], p[:, 6:9]
+            inv_m = inv_m_v[:, None]
+            v_half = v + f * inv_m
+            x_new = x + dt * v_half
+            e, f_new, _ = e_fn(x_new, nb)
+            v_new = v_half + f_new * inv_m
+            p_new = jnp.concatenate([x_new, v_new, f_new], axis=1)
+            return p_new, e + kinetic_energy(v_new, masses)
+        return inner
+
+    def outer(p, _):
+        nb = init_nb(p[:, 0:3])
+        return jax.lax.scan(make_inner(nb), p, None, length=rebuild_every)
+
+    return pack, unpack, outer
+
+
 def nve_trajectory_nb(state: MDStateNB, e_fn, init_nb, masses, dt: float,
                       n_steps: int, rebuild_every: int = 10):
     """n_steps of NVE with the cell list rebuilt every ``rebuild_every``
@@ -123,28 +167,28 @@ def nve_trajectory_nb(state: MDStateNB, e_fn, init_nb, masses, dt: float,
 
     Pick ``rebuild_every`` so the fastest atoms move < skin/2 between
     rebuilds (neighbors.skin_radius); the guard in e_fn NaN-poisons the
-    energy if the interval was too long.
-    """
-
-    def inner(s, _):
-        s = nve_step_nb(s, e_fn, masses, dt)
-        return s, s.potential + kinetic_energy(s.velocities, masses)
-
-    def outer(s, _):
-        s = s._replace(nb=init_nb(s.positions))
-        return jax.lax.scan(inner, s, None, length=rebuild_every)
-
-    n_outer, rem = divmod(n_steps, rebuild_every)
+    energy if the interval was too long.  The scans run on a packed
+    ``[N, 9]`` carry (see :func:`make_packed_nve_chunk`)."""
     if n_steps == 0:
         return state, jnp.zeros((0,), state.positions.dtype)
+
+    n_outer, rem = divmod(n_steps, rebuild_every)
+    pack, unpack, outer = make_packed_nve_chunk(
+        e_fn, init_nb, masses, dt, rebuild_every)
+    p = pack(state)
     es = []
     if n_outer:
-        state, e_chunks = jax.lax.scan(outer, state, None, length=n_outer)
+        p, e_chunks = jax.lax.scan(outer, p, None, length=n_outer)
         es.append(e_chunks.reshape(-1))
     if rem:
-        state = state._replace(nb=init_nb(state.positions))
-        state, e_tail = jax.lax.scan(inner, state, None, length=rem)
-        es.append(e_tail)
+        _, _, outer_rem = make_packed_nve_chunk(
+            e_fn, init_nb, masses, dt, rem)
+        p, e_tail = jax.lax.scan(outer_rem, p, None, length=1)
+        es.append(e_tail.reshape(-1))
+    # final consistent state: fresh neighbor state + potential at x_final
+    nb = init_nb(p[:, 0:3])
+    e_pot, _f, nb = e_fn(p[:, 0:3], nb)
+    state = unpack(p, e_pot, nb)
     return state, jnp.concatenate(es) if len(es) != 1 else es[0]
 
 
@@ -164,14 +208,25 @@ def kinetic_energy(velocities, masses) -> jax.Array:
 
 
 def nve_trajectory(state: MDState, energy_fn, masses, dt: float, n_steps: int):
-    """Run n_steps of NVE; returns (final_state, per-step total energies)."""
+    """Run n_steps of NVE; returns (final_state, per-step total energies).
 
-    def body(s, _):
+    Scans on a packed ``[N, 9]`` x|v|f carry plus the potential — separate
+    narrow ``[N, 3]`` carries cost ~0.3 ms/step of per-carry layout
+    overhead at 30k on TPU (tools/step_pieces.py)."""
+
+    def body(carry, _):
+        p, pot = carry
+        s = MDState(p[:, 0:3], p[:, 3:6], p[:, 6:9], pot)
         s = nve_step(s, energy_fn, masses, dt)
         e_tot = s.potential + kinetic_energy(s.velocities, masses)
-        return s, e_tot
+        p = jnp.concatenate([s.positions, s.velocities, s.forces], axis=1)
+        return (p, s.potential), e_tot
 
-    return jax.lax.scan(body, state, None, length=n_steps)
+    p0 = jnp.concatenate(
+        [state.positions, state.velocities, state.forces], axis=1)
+    (p, pot), es = jax.lax.scan(body, (p0, state.potential), None,
+                                length=n_steps)
+    return MDState(p[:, 0:3], p[:, 3:6], p[:, 6:9], pot), es
 
 
 # ---------------------------------------------------------------------------
@@ -207,15 +262,26 @@ def langevin_step(state: MDState, energy_fn, masses, dt: float,
 def langevin_trajectory(state: MDState, energy_fn, masses, dt: float,
                         temperature: float, friction: float, key,
                         n_steps: int):
-    """n_steps of BAOAB Langevin; returns (final_state, kinetic energies)."""
+    """n_steps of BAOAB Langevin; returns (final_state, kinetic energies).
+
+    Runs the scan on a packed ``[N, 9]`` x|v|f carry — separate narrow
+    ``[N, 3]`` carries cost ~0.3 ms/step of per-carry layout overhead at
+    30k on TPU (tools/step_pieces.py; same fix as nve_trajectory_nb)."""
 
     def body(carry, _):
-        s, k = carry
+        p, k = carry
         k, sub = jax.random.split(k)
-        s = langevin_step(s, energy_fn, masses, dt, temperature, friction, sub)
-        return (s, k), kinetic_energy(s.velocities, masses)
+        s = MDState(p[:, 0:3], p[:, 3:6], p[:, 6:9], 0.0)
+        s = langevin_step(s, energy_fn, masses, dt, temperature, friction,
+                          sub)
+        p = jnp.concatenate([s.positions, s.velocities, s.forces], axis=1)
+        return (p, k), kinetic_energy(s.velocities, masses)
 
-    (final, _), kes = jax.lax.scan(body, (state, key), None, length=n_steps)
+    p0 = jnp.concatenate(
+        [state.positions, state.velocities, state.forces], axis=1)
+    (p, _), kes = jax.lax.scan(body, (p0, key), None, length=n_steps)
+    x = p[:, 0:3]
+    final = MDState(x, p[:, 3:6], p[:, 6:9], energy_fn(x))
     return final, kes
 
 

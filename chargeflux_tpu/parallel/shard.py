@@ -21,6 +21,13 @@ Design choices (scaling-book style):
 * exclusions use the subtract route everywhere (compute all pairs, subtract
   excluded — the CUDA platform's contract, PBCForce.cu:753-815), which
   avoids data-dependent masks in the sharded hot loop.
+
+Performance note: the spatial **halo** decomposition (halo.py, roll-based
+walk, no gathers) is tried first and is the production scale-out path.
+This module's cell-row fallback uses gather-based
+``cell_rows_direct_energy`` whose backward lowers to scatter-adds — the
+pattern the single-chip roll walk exists to avoid — so it is a
+correctness/coverage path (odd grids, tiny meshes), not a fast path.
 """
 
 from __future__ import annotations

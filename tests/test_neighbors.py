@@ -78,3 +78,36 @@ def test_nb_trajectory_matches_per_step_rebuild():
                                    rebuild_every=10)
     np.testing.assert_allclose(np.asarray(etot_nb), np.asarray(etot_plain),
                                rtol=1e-10)
+
+
+def test_packed_trajectory_matches_stepwise_api():
+    """nve_trajectory_nb's packed [N, 9] scan carry (the perf fix for the
+    ~0.3 ms/step narrow-carry overhead, tools/step_pieces.py) must be a pure
+    layout change: identical physics to driving nve_step_nb by hand."""
+    from chargeflux_tpu.integrate import kinetic_energy, nve_step_nb
+
+    system, x, masses = _system()
+    e_nb, init_nb = make_nb_energy_fn(system)
+    dt = 5e-5
+    v0 = jnp.zeros_like(x)
+    s = init_state_nb(x, v0, e_nb, init_nb)
+    etots = []
+    for i in range(7):
+        if i % 3 == 0:
+            s = s._replace(nb=init_nb(s.positions))
+        s = nve_step_nb(s, e_nb, masses, dt)
+        etots.append(float(s.potential
+                           + kinetic_energy(s.velocities, masses)))
+
+    s0 = init_state_nb(x, v0, e_nb, init_nb)
+    final, etot_traj = nve_trajectory_nb(s0, e_nb, init_nb, masses, dt, 7,
+                                         rebuild_every=3)
+    # jit(scan) vs eager stepwise reassociates fp sums; ~1e-12 rel wiggle
+    np.testing.assert_allclose(np.asarray(etot_traj), np.asarray(etots),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(final.positions),
+                               np.asarray(s.positions), rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(final.velocities),
+                               np.asarray(s.velocities), rtol=1e-10,
+                               atol=1e-12)

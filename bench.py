@@ -215,10 +215,15 @@ def bench_replicas(n_replicas: int = 64):
         [pos + 0.01 * rng.standard_normal(pos.shape)
          for _ in range(n_replicas)]), jnp.float32)
 
+    n = batch.shape[1]
+
+    # flat [R, N*3] scan carry: the [R, N, 3] layout pays ~0.13 ms/step of
+    # minor-dim-3 loop-boundary relayout tax (tools/replica_carry.py)
     def step(xb, _):
-        def one(xc):
+        def one(xf):
+            xc = xf.reshape(n, 3)
             e, g = jax.value_and_grad(_energy)(xc, system)
-            return xc - 1e-9 * g, e
+            return (xc - 1e-9 * g).reshape(-1), e
         xb, es = jax.vmap(one)(xb)
         return xb, jnp.sum(es)
 
@@ -227,7 +232,7 @@ def bench_replicas(n_replicas: int = 64):
         xk, es = jax.lax.scan(step, x0, None, length=k)
         return es[-1] + 0.0 * jnp.sum(xk)
 
-    ms = _timed_scan(run, batch, 3, 13, reps=5)
+    ms = _timed_scan(run, batch.reshape(n_replicas, -1), 3, 13, reps=5)
     print(json.dumps({
         "metric": f"ms_per_step_{n_replicas}x216_replica_ensemble",
         "value": round(ms, 4),

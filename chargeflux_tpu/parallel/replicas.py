@@ -58,3 +58,41 @@ def replica_nve_step(states: MDState, energy_fn, masses, dt: float) -> MDState:
     """One NVE step vmapped over a leading replica axis of every MDState
     leaf.  Jit + sharded inputs => each device integrates its replicas."""
     return jax.vmap(lambda s: nve_step(s, energy_fn, masses, dt))(states)
+
+
+def replica_nve_trajectory(states: MDState, energy_fn, masses, dt: float,
+                           n_steps: int):
+    """n_steps of NVE vmapped over a leading replica axis; returns
+    (final MDState batch, [n_steps, R] per-step total energies).
+
+    The scan carries ONE flat ``[R, N*9]`` array (x|v|f packed per replica,
+    then flattened): a ``[R, N, 3]``-shaped carry pays the same narrow-
+    minor-dim layout tax at the loop boundary as the single-system
+    integrators' separate [N, 3] carries — measured 2.10 vs 1.97 ms/step
+    for the 64 x 216-water ensemble (tools/replica_carry.py)."""
+    from ..integrate import kinetic_energy
+
+    r, n, _ = states.positions.shape
+
+    def body(carry, _):
+        p, pot = carry
+
+        def one(pf, e0):
+            s = MDState(pf[:, 0:3], pf[:, 3:6], pf[:, 6:9], e0)
+            s = nve_step(s, energy_fn, masses, dt)
+            e_tot = s.potential + kinetic_energy(s.velocities, masses)
+            return jnp.concatenate(
+                [s.positions, s.velocities, s.forces], axis=1), \
+                s.potential, e_tot
+
+        p, pot, e_tot = jax.vmap(
+            lambda pf, e0: one(pf.reshape(n, 9), e0))(p, pot)
+        return (p.reshape(r, n * 9), pot), e_tot
+
+    p0 = jnp.concatenate(
+        [states.positions, states.velocities, states.forces],
+        axis=2).reshape(r, n * 9)
+    (p, pot), es = jax.lax.scan(body, (p0, states.potential), None,
+                                length=n_steps)
+    p = p.reshape(r, n, 9)
+    return MDState(p[:, :, 0:3], p[:, :, 3:6], p[:, :, 6:9], pot), es

@@ -108,3 +108,40 @@ def test_replica_ensemble_matches_loop():
         assert float(es[r]) == pytest.approx(float(e_ref), rel=1e-12)
         np.testing.assert_allclose(np.asarray(fs[r]), np.asarray(f_ref),
                                    rtol=1e-10, atol=1e-10)
+
+
+def test_replica_nve_trajectory_matches_stepwise():
+    """The flat [R, N*9]-carry ensemble trajectory (the perf layout,
+    tools/replica_carry.py) must be a pure layout change: identical physics
+    to vmapped stepwise replica_nve_step."""
+    from chargeflux_tpu.integrate import init_state, make_energy_fn
+    from chargeflux_tpu.parallel.replicas import (
+        replica_nve_step,
+        replica_nve_trajectory,
+    )
+
+    force, pos, masses = water_cluster(n_side=2, flux="bond_angle", seed=36)
+    system = force.create_system(dtype=jnp.float64)
+    e_fn = make_energy_fn(system)
+    rng = np.random.default_rng(2)
+    batch = jnp.asarray(np.stack(
+        [pos + 0.01 * rng.standard_normal(pos.shape) for _ in range(4)]))
+    masses = jnp.asarray(masses)
+    v0 = jnp.zeros_like(batch)
+    dt = 5e-5
+
+    states = jax.vmap(lambda x, v: init_state(x, v, e_fn))(batch, v0)
+    s_ref = states
+    for _ in range(5):
+        s_ref = replica_nve_step(s_ref, e_fn, masses, dt)
+
+    final, es = replica_nve_trajectory(states, e_fn, masses, dt, 5)
+    assert es.shape == (5, 4)
+    np.testing.assert_allclose(np.asarray(final.positions),
+                               np.asarray(s_ref.positions), rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(final.velocities),
+                               np.asarray(s_ref.velocities), rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(final.potential),
+                               np.asarray(s_ref.potential), rtol=1e-10)

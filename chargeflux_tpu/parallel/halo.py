@@ -106,6 +106,16 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
     e_chunk = _ceil_to(max(system.n_exclusions, 1), ndev) // ndev
     alpha = spec.alpha
     cutoff2 = spec.cutoff * spec.cutoff
+    # Reciprocal route: distributed SPME (per-device spread of its slab's
+    # cells onto the mesh + ONE psum of the ~2-4 MB charge grid + replicated
+    # FFT/influence) when the spec asks for PME or resolves to it on the TPU
+    # f32 production path — same selection as the single-chip engine
+    # (energy.py).  Otherwise the classical chunked structure-factor sum.
+    use_pme = spec.pme_grid is not None and (
+        spec.recip_method == "pme"
+        or (spec.recip_method == "auto"
+            and jax.default_backend() == "tpu"
+            and system.sigma.dtype == jnp.float32))
 
     def local_energy(positions):
         dev = jax.lax.axis_index(axis_name)
@@ -206,17 +216,35 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
         e_excl = _excl_chunk_energy(positions, q, system, dev * e_chunk,
                                     e_chunk)
 
-        # -- reciprocal + self: atom-index-chunked structure factors --------
-        x_pad = jnp.concatenate(
-            [positions, jnp.zeros((n_pad - n, 3), dtype)], axis=0)
+        # -- self: atom-index-chunked ---------------------------------------
         q_pad = jnp.concatenate([q, jnp.zeros(n_pad - n, q.dtype)])
-        xs = jax.lax.dynamic_slice_in_dim(x_pad, dev * row_chunk, row_chunk, 0)
         qs = jax.lax.dynamic_slice_in_dim(q_pad, dev * row_chunk, row_chunk, 0)
-        sc_part, ss_part = structure_factors(xs, qs, box, spec.kmax)
-        sc = jax.lax.psum(sc_part, axis_name)
-        ss = jax.lax.psum(ss_part, axis_name)
-        e_rec = reciprocal_energy_from_sf(sc, ss, box, alpha, spec.kmax)
         e_self = self_energy(qs, alpha)
+
+        # -- reciprocal -----------------------------------------------------
+        if use_pme:
+            from ..pme import (influence_function, pme_halo_local_mesh,
+                               pme_halo_mesh)
+
+            mesh_grid = pme_halo_mesh(spec)
+            q_mesh = jax.lax.psum(
+                pme_halo_local_mesh(g8, ids, system, dev, mesh_grid),
+                axis_name)
+            qhat = jnp.fft.rfftn(q_mesh)
+            d = influence_function(mesh_grid, box, alpha, spec.pme_order,
+                                   dtype)
+            e_rec = jnp.sum(d * (qhat.real * qhat.real
+                                 + qhat.imag * qhat.imag))
+        else:
+            # classical chunked structure factors (f64 parity/fallback)
+            x_pad = jnp.concatenate(
+                [positions, jnp.zeros((n_pad - n, 3), dtype)], axis=0)
+            xs = jax.lax.dynamic_slice_in_dim(x_pad, dev * row_chunk,
+                                              row_chunk, 0)
+            sc_part, ss_part = structure_factors(xs, qs, box, spec.kmax)
+            sc = jax.lax.psum(sc_part, axis_name)
+            ss = jax.lax.psum(ss_part, axis_name)
+            e_rec = reciprocal_energy_from_sf(sc, ss, box, alpha, spec.kmax)
         return e_rec + jax.lax.psum(e_dir + e_excl + e_self, axis_name)
 
     return local_energy

@@ -465,6 +465,99 @@ def pme_cell_reciprocal_energy(blocks, ids, system) -> jax.Array:
     return jnp.sum(d * (qhat.real * qhat.real + qhat.imag * qhat.imag))
 
 
+def pme_halo_mesh(spec) -> Tuple[int, int, int]:
+    """SPME mesh for the halo-sharded route (parallel/halo.py).
+
+    The x extent is padded up to a multiple of cell_grid[0] so the per-cell
+    patch origins along x become a uniform static pattern (c * stride) plus
+    ONE dynamic per-device slab offset — each device can then spread its
+    local cells with static shapes and rotate its partial mesh into place
+    with a single jnp.roll.  y/z keep the single-chip mesh (their fold
+    placements are global statics, identical on every device).  A non-
+    5-smooth padded x size costs only FFT speed on a ~2 MB grid (never
+    accuracy: a finer mesh only reduces PME error).
+    """
+    ngx = spec.cell_grid[0]
+    gmx = -(-spec.pme_grid[0] // ngx) * ngx
+    return (gmx, spec.pme_grid[1], spec.pme_grid[2])
+
+
+def pme_halo_local_mesh(g8, ids, system, dev,
+                        mesh_grid: Tuple[int, int, int]) -> jax.Array:
+    """Partial SPME charge mesh Q_dev [Gx, Gy, Gz] from ONE device's slab
+    blocks (the halo route's g8 layout: x|y|z|q|hs|se|valid|0 with wrapped
+    coordinates).  ``jax.lax.psum`` over the mesh axis gives the full
+    charge grid — the distributed spread is one 2-4 MB collective, after
+    which every device evaluates the (cheap, replicated) FFT + influence
+    contraction.  Replaces the halo route's classical O(N*K) structure-
+    factor sum with the same O(N + G^3 log G) algorithm the single-chip
+    production path uses (reference equivalent: the brute-force reciprocal
+    loops, PBCForce.cu:841-950, which are not distributed at all).
+
+    Requires ``mesh_grid`` from :func:`pme_halo_mesh` (x divisible by the
+    cell grid).  Spread weights, patch contraction and fold placements are
+    shared with :func:`pme_cell_reciprocal_energy`, so on a matching mesh
+    the two routes agree to reduction-order rounding.
+    """
+    spec = system.spec
+    dtype = g8.dtype
+    box = system.box
+    order = spec.pme_order
+    gxl, ngy, ngz, cap, _ = g8.shape
+    gmx, gmy, gmz = mesh_grid
+    ngx = spec.cell_grid[0]
+    stride = gmx // ngx
+    if stride * ngx != gmx:
+        raise ValueError(f"mesh x {gmx} not divisible by cell grid {ngx}")
+    n = system.n_atoms
+    qv = jnp.where(ids < n, g8[..., 3], 0.0)
+    ex, ey, ez = spec.pme_slack
+
+    # x: uniform local origins (c * stride - order - ex) + one dynamic slab
+    # offset folded into the spline argument
+    wx = stride + order + 2 + 2 * ex
+    ux = g8[..., 0] * (gmx / box[0])
+    base = (dev * (gxl * stride)).astype(dtype)
+    orgx = np.arange(gxl) * stride - order - ex
+    tx = ux[..., None] - (base
+                          + jnp.asarray(orgx, dtype).reshape(gxl, 1, 1, 1, 1)
+                          + jnp.arange(wx, dtype=dtype))
+    wlx = bspline(tx, order)
+
+    def yz_weights(coord, n_cells, grid_n, length, extra, cell_axis):
+        u = coord * (grid_n / length)
+        org = _patch_origins(n_cells, grid_n, order, extra)
+        w = _patch_width(n_cells, grid_n, order, extra)
+        shape = [1, 1, 1, 1, 1]
+        shape[cell_axis] = n_cells
+        baseo = jnp.asarray(org, dtype).reshape(shape)
+        j = jnp.arange(w, dtype=dtype).reshape(1, 1, 1, 1, w)
+        return bspline(u[..., None] - (baseo + j), order), org, w
+
+    wly, orgy, wy = yz_weights(g8[..., 1], ngy, gmy, box[1], ey, 1)
+    wlz, orgz, wz = yz_weights(g8[..., 2], ngz, gmz, box[2], ez, 2)
+
+    nc = gxl * ngy * ngz
+    qwlx = (qv[..., None] * wlx).reshape(nc, cap, wx)
+    patches = _spread_patches(qwlx, wly.reshape(nc, cap, wy),
+                              wlz.reshape(nc, cap, wz), "x3")
+    patches = patches.reshape(gxl, ngy, ngz, wx, wy, wz)
+
+    b = _fold_axis(patches, orgz, gmz, patch_axis=5, cell_axis=2)
+    b = _fold_axis(b, orgy, gmy, patch_axis=3, cell_axis=1)
+    # x fold onto a LOCAL extent with relative origins (c * stride >= 0,
+    # never wraps), then wrap-fold onto the mesh and rotate into place
+    px = (gxl - 1) * stride + wx
+    rel = np.arange(gxl) * stride
+    loc = jnp.transpose(_fold_axis(b, rel, px, patch_axis=1, cell_axis=0),
+                        (2, 1, 0))                       # [Px, Gy, Gz]
+    out = jnp.zeros((gmx, gmy, gmz), dtype)
+    for k0 in range(0, px, gmx):
+        seg = jax.lax.slice_in_dim(loc, k0, min(k0 + gmx, px), axis=0)
+        out = out + jnp.pad(seg, ((0, gmx - seg.shape[0]), (0, 0), (0, 0)))
+    return jnp.roll(out, dev * (gxl * stride) - (order + ex), axis=0)
+
+
 def pme_reciprocal_energy(positions: jax.Array, q: jax.Array, box: jax.Array,
                           alpha: float, grid: Tuple[int, int, int],
                           order: int = DEFAULT_ORDER) -> jax.Array:

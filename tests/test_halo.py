@@ -115,3 +115,23 @@ def test_halo_collective_structure():
     assert 1 <= count("all-reduce") <= 8
     assert count("all-gather") == 0
     assert count("all-to-all") == 0
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_halo_pme_recip_matches_single_device(ndev):
+    """Distributed SPME on the halo route (per-device slab spread + one
+    psum of the charge mesh) must match the single-chip cell-blocked PME
+    on the same mesh to reduction-order rounding, energy AND forces."""
+    from chargeflux_tpu.pme import pme_halo_mesh
+
+    system, x = _small_system()
+    mesh_grid = pme_halo_mesh(system.spec)
+    sys_pme = dataclasses.replace(
+        system, spec=dataclasses.replace(system.spec, recip_method="pme",
+                                         pme_grid=mesh_grid))
+    e_ref, f_ref = _energy_and_forces(x, sys_pme)
+    e_fn = make_halo_energy_fn(sys_pme, _mesh(ndev))
+    np.testing.assert_allclose(float(e_fn(x)), float(e_ref), rtol=1e-12)
+    f = -jax.grad(e_fn)(x)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
+                               rtol=1e-9, atol=1e-11)

@@ -68,69 +68,73 @@ def _expand_z(wzt, zorg, gz):
 
 
 def _fwd_kernel(off_ref, qwlxt_ref, wlyt_ref, wzt_ref, zorg_ref, out_ref,
-                *, gz):
+                *, gz, cb):
     pid = pl.program_id(0)
 
     @pl.when(pid == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    qwlxt = qwlxt_ref[0]                          # [Wx, rows]
-    wlyt = wlyt_ref[0]                            # [Wyp, rows] (zero-padded)
-    wzd = _expand_z(wzt_ref[0], zorg_ref[0], gz)  # [rows, Gz]
-    wx, rows = qwlxt.shape
-    wyp = wlyt.shape[0]
-    a2 = (qwlxt[:, None, :] * wlyt[None, :, :]).reshape(wx * wyp, rows)
-    # P[(x,y), gz] — contraction over the row axis rides the MXU.
-    p = jax.lax.dot_general(a2, wzd, (((1,), (0,)), ((), ())),
-                            precision=_HIGHEST,
-                            preferred_element_type=jnp.float32)
-    ox = off_ref[0, pid]
-    oy = off_ref[1, pid]
-    cur = out_ref[pl.ds(ox, wx), pl.ds(oy, wyp), :]
-    out_ref[pl.ds(ox, wx), pl.ds(oy, wyp), :] = cur + p.reshape(wx, wyp, gz)
+    for k in range(cb):
+        qwlxt = qwlxt_ref[k]                      # [Wx, rows]
+        wlyt = wlyt_ref[k]                        # [Wyp, rows] (zero-padded)
+        wzd = _expand_z(wzt_ref[k], zorg_ref[k], gz)   # [rows, Gz]
+        wx, rows = qwlxt.shape
+        wyp = wlyt.shape[0]
+        a2 = (qwlxt[:, None, :] * wlyt[None, :, :]).reshape(wx * wyp, rows)
+        # P[(x,y), gz] — contraction over the row axis rides the MXU.
+        p = jax.lax.dot_general(a2, wzd, (((1,), (0,)), ((), ())),
+                                precision=_HIGHEST,
+                                preferred_element_type=jnp.float32)
+        ox = off_ref[0, pid * cb + k]
+        oy = off_ref[1, pid * cb + k]
+        cur = out_ref[pl.ds(ox, wx), pl.ds(oy, wyp), :]
+        out_ref[pl.ds(ox, wx), pl.ds(oy, wyp), :] = \
+            cur + p.reshape(wx, wyp, gz)
 
 
 def _bwd_kernel(off_ref, qwlxt_ref, wlyt_ref, wzt_ref, zorg_ref, ct_ref,
-                d_qwlxt_ref, d_wlyt_ref, d_wzt_ref, *, gz):
+                d_qwlxt_ref, d_wlyt_ref, d_wzt_ref, *, gz, cb):
     pid = pl.program_id(0)
-    qwlxt = qwlxt_ref[0]                          # [Wx, rows]
-    wlyt = wlyt_ref[0]                            # [Wyp, rows]
-    wzt = wzt_ref[0]                              # [order, rows]
-    zorg = zorg_ref[0]                            # [1, rows]
-    wzd = _expand_z(wzt, zorg, gz)                # [rows, Gz]
-    wx, rows = qwlxt.shape
-    wyp = wlyt.shape[0]
-    order = wzt.shape[0]
-    ox = off_ref[0, pid]
-    oy = off_ref[1, pid]
-    dp = ct_ref[pl.ds(ox, wx), pl.ds(oy, wyp), :].reshape(wx * wyp, gz)
-    # d_Wz[row, gz] = sum_xy A[(x,y), row] dP[(x,y), gz], contracted back to
-    # the compact taps: d_taps[k, row] = d_Wz[row, (zorg + k) mod Gz]
-    a2 = (qwlxt[:, None, :] * wlyt[None, :, :]).reshape(wx * wyp, rows)
-    d_dense = jax.lax.dot_general(
-        a2, dp, (((0,), (0,)), ((), ())), precision=_HIGHEST,
-        preferred_element_type=jnp.float32)              # [rows, Gz]
-    giota = jax.lax.broadcasted_iota(jnp.int32, (rows, gz), 1)
-    org = zorg[0][:, None]
-    taps = []
-    for k in range(order):
-        idx = org + k
-        idx = jnp.where(idx >= gz, idx - gz, idx)
-        taps.append(jnp.sum(jnp.where(giota == idx, d_dense, 0.0), axis=1))
-    d_wzt_ref[0] = jnp.stack(taps, axis=0)
-    # d_A[(x,y), row] = sum_gz dP[(x,y), gz] Wz[row, gz]
-    d_a2 = jax.lax.dot_general(
-        dp, wzd, (((1,), (1,)), ((), ())), precision=_HIGHEST,
-        preferred_element_type=jnp.float32).reshape(wx, wyp, rows)
-    d_qwlxt_ref[0] = jnp.sum(d_a2 * wlyt[None, :, :], axis=1)
-    d_wlyt_ref[0] = jnp.sum(d_a2 * qwlxt[:, None, :], axis=0)
+    for k in range(cb):
+        qwlxt = qwlxt_ref[k]                      # [Wx, rows]
+        wlyt = wlyt_ref[k]                        # [Wyp, rows]
+        wzt = wzt_ref[k]                          # [order, rows]
+        zorg = zorg_ref[k]                        # [1, rows]
+        wzd = _expand_z(wzt, zorg, gz)            # [rows, Gz]
+        wx, rows = qwlxt.shape
+        wyp = wlyt.shape[0]
+        order = wzt.shape[0]
+        ox = off_ref[0, pid * cb + k]
+        oy = off_ref[1, pid * cb + k]
+        dp = ct_ref[pl.ds(ox, wx), pl.ds(oy, wyp), :].reshape(wx * wyp, gz)
+        # d_Wz[row, gz] = sum_xy A[(x,y), row] dP[(x,y), gz], contracted back
+        # to the compact taps: d_taps[j, row] = d_Wz[row, (zorg + j) mod Gz]
+        a2 = (qwlxt[:, None, :] * wlyt[None, :, :]).reshape(wx * wyp, rows)
+        d_dense = jax.lax.dot_general(
+            a2, dp, (((0,), (0,)), ((), ())), precision=_HIGHEST,
+            preferred_element_type=jnp.float32)          # [rows, Gz]
+        giota = jax.lax.broadcasted_iota(jnp.int32, (rows, gz), 1)
+        org = zorg[0][:, None]
+        taps = []
+        for j in range(order):
+            idx = org + j
+            idx = jnp.where(idx >= gz, idx - gz, idx)
+            taps.append(jnp.sum(jnp.where(giota == idx, d_dense, 0.0),
+                                axis=1))
+        d_wzt_ref[k] = jnp.stack(taps, axis=0)
+        # d_A[(x,y), row] = sum_gz dP[(x,y), gz] Wz[row, gz]
+        d_a2 = jax.lax.dot_general(
+            dp, wzd, (((1,), (1,)), ((), ())), precision=_HIGHEST,
+            preferred_element_type=jnp.float32).reshape(wx, wyp, rows)
+        d_qwlxt_ref[k] = jnp.sum(d_a2 * wlyt[None, :, :], axis=1)
+        d_wlyt_ref[k] = jnp.sum(d_a2 * qwlxt[:, None, :], axis=0)
 
 
-def _col_block(a):
-    """Per-program [1, *rest] block of a per-column input.  Index maps
+def _col_block(a, cb=1):
+    """Per-program [cb, *rest] block of a per-column input.  Index maps
     receive the scalar-prefetch ref as a trailing argument."""
-    return pl.BlockSpec((1,) + a.shape[1:], lambda i, off: (i, 0, 0),
+    return pl.BlockSpec((cb,) + a.shape[1:], lambda i, off: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -139,8 +143,8 @@ def _grid_block(shape):
                         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def spread_columns(qwlxt, wlyt, wzt, zorg, offsets, pad_xy):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def spread_columns(qwlxt, wlyt, wzt, zorg, offsets, pad_xy, col_batch=1):
     """Spread per-column patches onto an x/y-padded mesh.
 
     qwlxt/wlyt: [n_col, Wx|Wyp, rows] transposed compact x/y spline weights
@@ -148,24 +152,27 @@ def spread_columns(qwlxt, wlyt, wzt, zorg, offsets, pad_xy):
     wzt: [n_col, order, rows] compact z taps with zorg [n_col, 1, rows]
     int32 tap origins (mod Gz; the kernel expands them to dense-over-Gz in
     VMEM); offsets: static ((ox...), (oy...)) per column into the padded
-    mesh; pad_xy: (Px, Py, Gz).  Returns Qpad [Px, Py, Gz].
+    mesh; pad_xy: (Px, Py, Gz).  ``col_batch`` columns are processed per
+    program (must divide n_col) to amortize per-program pipeline costs.
+    Returns Qpad [Px, Py, Gz].
     """
-    return _spread_fwd(qwlxt, wlyt, wzt, zorg, offsets, pad_xy)[0]
+    return _spread_fwd(qwlxt, wlyt, wzt, zorg, offsets, pad_xy, col_batch)[0]
 
 
-def _spread_fwd(qwlxt, wlyt, wzt, zorg, offsets, pad_xy):
+def _spread_fwd(qwlxt, wlyt, wzt, zorg, offsets, pad_xy, cb):
     n_col = qwlxt.shape[0]
+    assert n_col % cb == 0, (n_col, cb)
     px, py, gz = pad_xy
     off = jnp.asarray(np.asarray(offsets), jnp.int32)      # [2, n_col]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_col,),
-        in_specs=[_col_block(qwlxt), _col_block(wlyt), _col_block(wzt),
-                  _col_block(zorg)],
+        grid=(n_col // cb,),
+        in_specs=[_col_block(qwlxt, cb), _col_block(wlyt, cb),
+                  _col_block(wzt, cb), _col_block(zorg, cb)],
         out_specs=_grid_block((px, py, gz)),
     )
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, gz=gz),
+        functools.partial(_fwd_kernel, gz=gz, cb=cb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((px, py, gz), jnp.float32),
         interpret=jax.default_backend() != "tpu",
@@ -173,20 +180,22 @@ def _spread_fwd(qwlxt, wlyt, wzt, zorg, offsets, pad_xy):
     return out, (qwlxt, wlyt, wzt, zorg)
 
 
-def _spread_bwd(offsets, pad_xy, res, ct):
+def _spread_bwd(offsets, pad_xy, cb, res, ct):
     qwlxt, wlyt, wzt, zorg = res
     n_col = qwlxt.shape[0]
     gz = pad_xy[2]
     off = jnp.asarray(np.asarray(offsets), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_col,),
-        in_specs=[_col_block(qwlxt), _col_block(wlyt), _col_block(wzt),
-                  _col_block(zorg), _grid_block(pad_xy)],
-        out_specs=[_col_block(qwlxt), _col_block(wlyt), _col_block(wzt)],
+        grid=(n_col // cb,),
+        in_specs=[_col_block(qwlxt, cb), _col_block(wlyt, cb),
+                  _col_block(wzt, cb), _col_block(zorg, cb),
+                  _grid_block(pad_xy)],
+        out_specs=[_col_block(qwlxt, cb), _col_block(wlyt, cb),
+                   _col_block(wzt, cb)],
     )
     d_qwlxt, d_wlyt, d_wzt = pl.pallas_call(
-        functools.partial(_bwd_kernel, gz=gz),
+        functools.partial(_bwd_kernel, gz=gz, cb=cb),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(qwlxt.shape, jnp.float32),
                    jax.ShapeDtypeStruct(wlyt.shape, jnp.float32),

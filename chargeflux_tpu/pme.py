@@ -322,6 +322,22 @@ def _spread_patches_bwd(prec_name, res, ct):
 _spread_patches.defvjp(_spread_patches_fwd, _spread_patches_bwd)
 
 
+def _spread_col_batch(n_col: int, wx: int, wyp: int, rows: int) -> int:
+    """Per-program column batch for the Pallas spread kernel.
+
+    Batching amortizes per-program pipeline overheads: at the 30k shapes
+    (64 columns) cb=4 measures 0.62 vs 0.67 ms fwd+bwd for cb=1; cb=8
+    regresses to 0.71 (VMEM pressure) and cb=16 OOMs scoped VMEM — the
+    backward's a2/d_a2 transients (2*Wx*Wyp*rows f32 per unrolled column)
+    are the budget (tools/pme_colbatch.py).  Largest of {4, 2} that
+    divides the column count and keeps those transients ~<= 11 MB.
+    """
+    for cb in (4, 2):
+        if n_col % cb == 0 and cb * 2 * wx * wyp * rows * 4 <= 11 * 2 ** 20:
+            return cb
+    return 1
+
+
 def _pallas_spread_ok(spec, dtype) -> bool:
     """The Pallas column-spread kernel applies on the TPU f32 path when the
     patch windows are strictly narrower than the mesh (always true for
@@ -395,7 +411,8 @@ def pme_cell_pallas_reciprocal_energy(blocks, ids, system) -> jax.Array:
                tuple(int(opy[c % ngy]) for c in range(n_col)))
     pad_xy = (int(opx.max()) + wx, int(opy.max()) + wyp, gz)
     qpad = spread_columns(qwlxt, wlyt, wzt5.reshape(n_col, order, rows),
-                          zorg.reshape(n_col, 1, rows), offsets, pad_xy)
+                          zorg.reshape(n_col, 1, rows), offsets, pad_xy,
+                          _spread_col_batch(n_col, wx, wyp, rows))
     qgrid = fold_padded_axis(
         fold_padded_axis(qpad, gx, order + spec.pme_slack[0], 0),
         gy, order + spec.pme_slack[1], 1)

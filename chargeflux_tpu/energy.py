@@ -202,8 +202,12 @@ def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
         # atom (including the dropped ones, which get no direct-term
         # cotangent at all) is NaN too — a where() on the energy alone
         # leaves force-only consumers quietly wrong.
-        poison = jnp.where(overflow > 0,
-                           jnp.asarray(jnp.nan, e_dir.dtype), 0.0)
+        # Traced-box (barostat, system.with_box) safety: the static grid
+        # was sized for the creation-time box; if the box shrinks until a
+        # cell edge is below the cutoff, the half-shell walk misses pairs.
+        edge = system.box / jnp.asarray(spec.cell_grid, positions.dtype)
+        bad = (overflow > 0) | jnp.any(edge < spec.cutoff)
+        poison = jnp.where(bad, jnp.asarray(jnp.nan, e_dir.dtype), 0.0)
         e_dir = e_dir + poison * jnp.sum(positions)
         comps["direct"] = e_dir
         with phase_scope("cf_exclusion"):

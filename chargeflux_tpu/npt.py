@@ -1,0 +1,216 @@
+"""Constant-pressure (NPT) support: molecule-scaled Monte Carlo barostat.
+
+The reference plugin computes only charge-flux electrostatics and leaves
+ensemble control to OpenMM's host framework (SURVEY §1 L0): its users run
+NPT by attaching OpenMM's ``MonteCarloBarostat`` to the Context.  A
+standalone engine must supply the equivalent, so this module implements the
+same algorithm TPU-style — isotropic volume moves that scale molecule
+*centroids* (intramolecular geometry untouched), Metropolis acceptance with
+the NPT weight ``W = dE + P dV - N_mol kT ln(V'/V)``, and a Langevin
+(BAOAB) driver that interleaves attempts with MD chunks.  The whole
+trajectory is one lax.scan program; the accept/reject is a ``where``-select
+(a data-dependent ``lax.cond`` costs ~0.8 ms/step of conditional overhead
+on TPU even on the cheap branch — measured, see integrate.make_nb_energy_fn).
+
+The TPU-native part: the box is a *traced leaf* of the system pytree
+(``ChargeFluxSystem.with_box``), so a volume move re-uses the compiled
+energy function — trace-time statics (alpha, kmax, PME grid, cell grid and
+capacity) stay fixed.  They were derived for the creation-time box, so the
+cell route NaN-poisons the energy if the box shrinks below ``grid*cutoff``
+validity (energy.py) rather than silently missing pairs; the ~5%
+Verlet-skin reserve in the grid sizing (system.py) is the shrink budget,
+and the neighbor-freshness guard window tightens automatically as the box
+shrinks (neighbors.skin_radius reads the traced box).
+
+One deliberate deviation from OpenMM's barostat: the proposal width dV is
+adapted *continuously* (x1.03 on accept, /1.03 on reject, clamped) instead
+of in blocks of 10 attempts — a per-attempt update keeps the adaptation
+inside the scan carry with no host round-trips and converges to the same
+~50% acceptance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .bonded import bonded_energy
+from .energy import _energy
+from .integrate import kinetic_energy
+from .pairs import displacement
+from .units import BOLTZ
+
+# 1 bar in kJ/mol/nm^3: 1e5 J/m^3 x 1e-27 m^3/nm^3 x N_A.
+BAR_TO_KJ_MOL_NM3 = 0.0602214076
+
+
+def molecule_index(system, extra_idx: tuple = ()):
+    """Molecule assignment from the system's own connectivity (host-side,
+    static): connected components of the union of the exclusion graph and
+    the flux-term index rows (plus any ``extra_idx`` [*, k] arrays, e.g.
+    bonded indices).  The reference's exclusion list is exactly its bonded
+    connectivity contract (SURVEY §0), so its components are the molecules.
+
+    Returns ``(mol_id [N] int32, first_idx [M] int32, counts [M] f64)``:
+    per-atom molecule id, the first atom of each molecule (the centroid
+    reference for minimum-image unwrapping), and atoms per molecule.
+    """
+    n = system.n_atoms
+    parent = np.arange(n)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    groups = [np.asarray(system.exclusions).reshape(-1, 2),
+              np.asarray(system.bond_idx).reshape(-1, 2),
+              np.asarray(system.angle_idx).reshape(-1, 3),
+              np.asarray(system.water_idx).reshape(-1, 3)]
+    groups += [np.asarray(g).reshape(len(g), -1) for g in extra_idx]
+    for arr in groups:
+        for row in arr:
+            r0 = find(int(row[0]))
+            for a in row[1:]:
+                ra = find(int(a))
+                if ra != r0:
+                    parent[ra] = r0
+    roots = np.fromiter((find(i) for i in range(n)), np.int64, n)
+    _, mol_id, counts = np.unique(roots, return_inverse=True,
+                                  return_counts=True)
+    m = counts.shape[0]
+    first_idx = np.full(m, n, np.int64)
+    np.minimum.at(first_idx, mol_id, np.arange(n))
+    return (mol_id.astype(np.int32), first_idx.astype(np.int32),
+            counts.astype(np.float64))
+
+
+def molecule_centroids(x, box, mol_id, first_idx, counts):
+    """Geometric molecule centers, minimum-imaged around each molecule's
+    first atom so molecules straddling the periodic boundary scale as one
+    unit (positions themselves may be unwrapped; the engine never wraps)."""
+    ref = x[first_idx]                                   # [M, 3]
+    d = displacement(ref[mol_id], x, box, pbc=True)      # x - ref, min-image
+    sums = jax.ops.segment_sum(d, jnp.asarray(mol_id),
+                               num_segments=first_idx.shape[0])
+    return ref + sums / jnp.asarray(counts, x.dtype)[:, None]
+
+
+def npt_langevin_trajectory(positions, velocities, system, masses,
+                            dt: float, temperature: float, friction: float,
+                            pressure_bar: float, key, n_steps: int,
+                            bonded=None, barostat_interval: int = 20,
+                            dv_frac: float = 0.01,
+                            extra_mol_idx: tuple = ()):
+    """NPT via BAOAB Langevin dynamics + an MC barostat attempt every
+    ``barostat_interval`` steps (n_steps must be a multiple of it).
+
+    On the cell route the neighbor state is rebuilt once per chunk and
+    reused inside (the same amortization as nve_trajectory_nb), with the
+    freshness guard poisoning a too-long interval to NaN.  Returns
+    ``(x, v, box, diag)`` with ``diag = {"energies" [n_steps] total E,
+    "boxes" [n_attempts, 3], "accepts" [n_attempts] bool, "dv" scalar}``.
+    """
+    n_outer, rem = divmod(n_steps, barostat_interval)
+    if rem or n_outer == 0:
+        raise ValueError("n_steps must be a positive multiple of "
+                         "barostat_interval")
+    if bonded is not None and extra_mol_idx == ():
+        extra_mol_idx = (np.asarray(bonded.bond_idx).reshape(-1, 2),)
+    mol_id, first_idx, counts = molecule_index(system, extra_mol_idx)
+    n_mol = first_idx.shape[0]
+
+    from .neighbors import build_neighbor_state, neighbor_state_fresh
+
+    has_cells = system.spec.direct_method == "cell"
+    dtype = positions.dtype
+    kt = BOLTZ * temperature
+    p_int = pressure_bar * BAR_TO_KJ_MOL_NM3
+    inv_m = (1.0 / jnp.asarray(masses, dtype))[:, None]
+    c1 = jnp.exp(jnp.asarray(-friction * dt, dtype))
+    c2 = jnp.sqrt((1.0 - c1 * c1) * kt)
+
+    def e_pot(xx, box, nb=None):
+        sb = system.with_box(box)
+        e = _energy(xx, sb, nb=nb)
+        if bonded is not None:
+            e = e + bonded_energy(xx, dataclasses.replace(
+                bonded, box=jnp.asarray(box, bonded.box.dtype)))
+        return e
+
+    def attempt(xx, box, dv, e_old, k):
+        ku, ka = jax.random.split(k)
+        v0 = box[0] * box[1] * box[2]
+        dvol = dv * (2.0 * jax.random.uniform(ku, dtype=dtype) - 1.0)
+        v1 = v0 + dvol
+        s = jnp.cbrt(v1 / v0)
+        c = molecule_centroids(xx, box, mol_id, first_idx, counts)
+        x1 = xx + (s - 1.0) * c[mol_id]
+        box1 = box * s
+        e_new = e_pot(x1, box1)     # fresh binning at the proposed box
+        w = e_new - e_old + p_int * dvol - n_mol * kt * jnp.log(v1 / v0)
+        # NaN w (poisoned e_new: grid validity or overflow) compares False
+        ok = jax.random.uniform(ka, dtype=dtype) < jnp.exp(-w / kt)
+        xx = jnp.where(ok, x1, xx)
+        box = jnp.where(ok, box1, box)
+        e_cur = jnp.where(ok, e_new, e_old)
+        dv = jnp.clip(jnp.where(ok, dv * 1.03, dv / 1.03),
+                      1e-5 * v0, 0.1 * v0)
+        return xx, box, dv, e_cur, ok
+
+    def chunk(xx, vv, box, k):
+        """barostat_interval BAOAB steps at fixed box with one nb build."""
+        sb = system.with_box(box)
+        nb = (jax.lax.stop_gradient(build_neighbor_state(xx, sb))
+              if has_cells else None)
+
+        def e_of(z):
+            return e_pot(z, box, nb=nb)
+
+        # fresh forces at the chunk head (the box may just have moved)
+        _, g0 = jax.value_and_grad(e_of)(xx)
+
+        def body(carry, kk):
+            x, v, f = carry
+            v = v + 0.5 * dt * f * inv_m                            # B
+            x = x + 0.5 * dt * v                                    # A
+            noise = jax.random.normal(kk, v.shape, dtype=dtype)
+            v = c1 * v + c2 * jnp.sqrt(inv_m) * noise               # O
+            x = x + 0.5 * dt * v                                    # A
+            e, g = jax.value_and_grad(e_of)(x)
+            if has_cells:
+                bad = jnp.where(neighbor_state_fresh(nb, x, sb), 1.0,
+                                jnp.asarray(jnp.nan, e.dtype))
+                e = e * bad
+                g = g * bad
+            f = -g
+            v = v + 0.5 * dt * f * inv_m                            # B
+            return (x, v, f), (e, e + kinetic_energy(v, masses))
+
+        keys = jax.random.split(k, barostat_interval)
+        (xx, vv, _f), (es, etot) = jax.lax.scan(body, (xx, vv, -g0), keys)
+        return xx, vv, es[-1], etot
+
+    def outer(carry, _):
+        x, v, box, dv, e_cur, k = carry
+        k, kb, kc = jax.random.split(k, 3)
+        x, box, dv, e_cur, ok = attempt(x, box, dv, e_cur, kb)
+        x, v, e_cur, etot = chunk(x, v, box, kc)
+        return (x, v, box, dv, e_cur, k), (etot, box, ok)
+
+    e0 = e_pot(positions, jnp.asarray(system.box, dtype))
+    carry0 = (jnp.asarray(positions, dtype), jnp.asarray(velocities, dtype),
+              jnp.asarray(system.box, dtype),
+              jnp.asarray(dv_frac, dtype) * jnp.prod(
+                  jnp.asarray(system.box, dtype)),
+              e0, key)
+    (x, v, box, dv, _e, _k), (etot, boxes, accepts) = jax.lax.scan(
+        outer, carry0, None, length=n_outer)
+    diag = {"energies": etot.reshape(-1), "boxes": boxes,
+            "accepts": accepts, "dv": dv}
+    return x, v, box, diag

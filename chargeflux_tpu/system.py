@@ -200,6 +200,24 @@ class ChargeFluxSystem:
 
         return jax.tree.map(cast, self)
 
+    def with_box(self, box) -> "ChargeFluxSystem":
+        """Same system with a new (traced) orthorhombic box.
+
+        The box is a pytree *leaf*, so this works under jit without
+        recompiling — the basis of constant-pressure support (npt.py):
+        a Monte-Carlo volume move is just ``system.with_box(s * box)``
+        inside the compiled step.  The static spec (alpha, kmax, PME grid,
+        cell grid/capacity) was derived from the creation-time box and is
+        deliberately NOT recomputed; it stays valid for small volume
+        changes.  On the cell route the energy path NaN-poisons when the
+        box shrinks below ``grid * cutoff`` validity (energy.py) — the
+        ~5% Verlet-skin reserve in the grid sizing is the shrink budget.
+        Growing the box only degrades Ewald accuracy gradually (kmax and
+        the PME grid were tuned for the original volume).
+        """
+        box = jnp.broadcast_to(jnp.asarray(box, self.box.dtype), (3,))
+        return dataclasses.replace(self, box=box)
+
 
 # ---------------------------------------------------------------------------
 # Builder with the reference's API surface

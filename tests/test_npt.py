@@ -1,0 +1,153 @@
+"""NPT support: traced-box energies (system.with_box) and the MC barostat.
+
+The reference plugin has no barostat — its users attach OpenMM's
+MonteCarloBarostat (SURVEY §1 L0).  These tests pin the standalone
+equivalent: (1) the energy under a *traced* scaled box matches the f64
+oracle evaluated at that scaled geometry (the whole point of with_box is
+that no recompval/recreation is needed); (2) molecule assignment from the
+exclusion graph; (3) the NPT Langevin driver runs, conserves sanity, and
+responds to pressure; (4) shrinking the box below the static cell grid's
+validity poisons the energy instead of silently dropping pairs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import chargeflux_tpu as cf
+from chargeflux_tpu.models import water_box, water_bonded_params
+from chargeflux_tpu.npt import molecule_index, npt_langevin_trajectory
+
+from helpers import force_to_params
+from oracle import energy_forces_pbc, ewald_alpha_kmax
+
+
+@pytest.mark.parametrize("scale", [0.995, 1.01])
+def test_with_box_scaled_oracle_parity(scale):
+    """E/F under with_box(s*box) at scaled coordinates == oracle at the
+    scaled geometry, with the ORIGINAL box's trace-time statics."""
+    force, positions, _, box = water_box(n_side=3, flux="bond_angle", seed=4)
+    system = force.create_system(box=box, dtype=jnp.float64)
+    # the statics (kmax) must be unchanged at this scale or the comparison
+    # is apples-to-oranges; this guards the test's own premise
+    _, kmax_scaled = ewald_alpha_kmax(force.getCutoffDistance(),
+                                      force.getEwaldErrorTolerance(),
+                                      np.asarray(box) * scale)
+    assert tuple(kmax_scaled) == tuple(system.spec.kmax)
+
+    x_s = jnp.asarray(positions) * scale
+    sys_s = system.with_box(jnp.asarray(box) * scale)
+    e = float(cf.energy(x_s, sys_s))
+    f = np.asarray(cf.forces(x_s, sys_s))
+    e_ref, f_ref, _ = energy_forces_pbc(
+        np.asarray(positions) * scale, force_to_params(force),
+        np.asarray(box) * scale, force.getCutoffDistance(),
+        force.getEwaldErrorTolerance())
+    assert abs(e - e_ref) <= 1e-10 * abs(e_ref)
+    fs = np.abs(f_ref).max()
+    np.testing.assert_allclose(f / fs, f_ref / fs, atol=1e-10)
+
+
+def test_with_box_is_jit_stable():
+    """One compiled function serves many boxes (box is a traced leaf)."""
+    force, positions, _, box = water_box(n_side=3, seed=1)
+    system = force.create_system(box=box, dtype=jnp.float64)
+    x = jnp.asarray(positions)
+
+    calls = 0
+
+    @jax.jit
+    def e_of(xx, sysb):
+        nonlocal calls
+        calls += 1
+        return cf.energy(xx, sysb)
+
+    vals = [float(e_of(x * s, system.with_box(system.box * s)))
+            for s in (1.0, 1.002, 0.998)]
+    assert calls == 1          # traced once; box moves don't retrace
+    assert len({round(v, 6) for v in vals}) == 3
+
+
+def test_molecule_index_waters():
+    force, _, _, box = water_box(n_side=3, seed=0)
+    system = force.create_system(box=box, dtype=jnp.float64)
+    mol_id, first_idx, counts = molecule_index(system)
+    n_w = system.n_atoms // 3
+    assert first_idx.shape[0] == n_w
+    assert np.all(counts == 3.0)
+    # waters are contiguous atom triplets in the model builder
+    assert np.array_equal(mol_id, np.repeat(np.arange(n_w), 3))
+
+
+def _npt_setup(n_side, seed=0, **kw):
+    force, positions, masses, box = water_box(n_side=n_side, seed=seed, **kw)
+    system = force.create_system(box=box, dtype=jnp.float64)
+    bonded = water_bonded_params(system.n_atoms // 3, box=box,
+                                 dtype=jnp.float64)
+    return system, jnp.asarray(positions), jnp.asarray(np.asarray(masses),
+                                                       jnp.float64), bonded
+
+
+def test_npt_langevin_dense_route():
+    system, x, masses, bonded = _npt_setup(3)
+    v = jnp.zeros_like(x)
+    x1, v1, box1, diag = npt_langevin_trajectory(
+        x, v, system, masses, dt=2e-4, temperature=300.0, friction=5.0,
+        pressure_bar=1.0, key=jax.random.PRNGKey(7), n_steps=100,
+        bonded=bonded, barostat_interval=20)
+    assert np.all(np.isfinite(np.asarray(diag["energies"])))
+    assert np.all(np.isfinite(np.asarray(x1)))
+    assert diag["boxes"].shape == (5, 3)
+    assert bool(np.any(np.asarray(diag["accepts"])))   # some moves accept
+    # accepted moves actually changed the volume
+    vols = np.prod(np.asarray(diag["boxes"]), axis=1)
+    assert len(np.unique(np.round(vols, 12))) > 1
+
+
+def test_npt_pressure_compresses():
+    """A huge external pressure must shrink the box (ensemble direction)."""
+    system, x, masses, bonded = _npt_setup(3)
+    v = jnp.zeros_like(x)
+    _, _, box1, diag = npt_langevin_trajectory(
+        x, v, system, masses, dt=2e-4, temperature=300.0, friction=5.0,
+        pressure_bar=2e4, key=jax.random.PRNGKey(3), n_steps=200,
+        bonded=bonded, barostat_interval=20)
+    v0 = float(np.prod(np.asarray(system.box)))
+    v1 = float(np.prod(np.asarray(box1)))
+    assert np.all(np.isfinite(np.asarray(diag["energies"])))
+    assert v1 < v0
+
+
+def test_cell_route_shrunk_box_poisons():
+    """Cell-grid validity guard: a box below grid*cutoff NaNs the energy
+    (the static grid can no longer see all in-cutoff pairs)."""
+    force, positions, _, box = water_box(n_side=10, seed=2)
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell")
+    x = jnp.asarray(positions)
+    e_ok = float(cf.energy(x, system))
+    assert np.isfinite(e_ok)
+    s = 0.85    # edge/cutoff headroom is ~1.15 here; 0.85 breaks validity
+    e_bad = float(cf.energy(x * s, system.with_box(system.box * s)))
+    assert np.isnan(e_bad)
+    f_bad = np.asarray(cf.forces(x * s, system.with_box(system.box * s)))
+    assert np.all(np.isnan(f_bad))
+
+
+def test_npt_langevin_cell_route():
+    """NPT on the cell route: nb reuse + rebuild/attempt at chunk bounds."""
+    force, positions, masses, box = water_box(n_side=10, seed=0)
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell")
+    bonded = water_bonded_params(system.n_atoms // 3, box=box,
+                                 dtype=jnp.float64)
+    x = jnp.asarray(positions)
+    v = jnp.zeros_like(x)
+    masses = jnp.asarray(np.asarray(masses), jnp.float64)
+    x1, _, box1, diag = npt_langevin_trajectory(
+        x, v, system, masses, dt=2e-4, temperature=300.0, friction=5.0,
+        pressure_bar=1.0, key=jax.random.PRNGKey(11), n_steps=40,
+        bonded=bonded, barostat_interval=20)
+    assert np.all(np.isfinite(np.asarray(diag["energies"])))
+    assert np.all(np.isfinite(np.asarray(box1)))

@@ -32,7 +32,8 @@ from .integrate import (
     nve_trajectory,
     nve_trajectory_nb,
 )
-from .npt import molecule_index, npt_langevin_trajectory
+from .npt import (instantaneous_pressure, molecule_index,
+                  npt_langevin_trajectory)
 from .units import ONE_4PI_EPS0, BOLTZ
 
 __version__ = "0.1.0"
@@ -47,6 +48,6 @@ __all__ = [
     "make_energy_fn", "nve_step", "nve_trajectory", "init_state",
     "make_nb_energy_fn", "nve_step_nb", "nve_trajectory_nb", "init_state_nb",
     "langevin_step", "langevin_trajectory", "minimize_fire",
-    "molecule_index", "npt_langevin_trajectory",
+    "instantaneous_pressure", "molecule_index", "npt_langevin_trajectory",
     "ONE_4PI_EPS0", "BOLTZ",
 ]

@@ -101,6 +101,66 @@ def molecule_centroids(x, box, mol_id, first_idx, counts):
     return ref + sums / jnp.asarray(counts, x.dtype)[:, None]
 
 
+def instantaneous_pressure(positions, velocities, system, masses,
+                           bonded=None) -> jax.Array:
+    """Instantaneous internal pressure in bar, from the full virial.
+
+    TPU-native formulation: instead of accumulating per-pair ``r·f`` terms
+    through every kernel (the classic approach, which would need plumbing
+    through the direct walk, PME, exclusions and flux chain rule), take
+    ``dE/ds`` of the *uniformly scaled* configuration — positions and the
+    traced box both scaled by ``s`` (``system.with_box``) — by autodiff at
+    ``s = 1``.  For any E built from scale-covariant terms (pair distances,
+    Ewald k-vectors ``2 pi n / L``, volumes) this is exactly the virial:
+    ``P = (2 K - dE/ds) / (3 V)``.  One extra backward pass; no kernel
+    changes.
+
+    Accuracy note (measured, tests/test_npt.py): the virial amplifies the
+    Ewald *truncation* error ~100x relative to the energy — the missing
+    k-space/real-space tails' s-derivative carries the large
+    ``(pi kmax / (L alpha))^2`` exponent factor.  For pressures good to
+    ~0.1% build the system with ``ewald_tol <= 1e-6``; the default 1e-4
+    gives ~10% virial error on a 216-water box (fine for trends, not for
+    equations of state).
+
+    On the cell route this differentiates the *plain-autodiff* assembly
+    (roll walk + classical reciprocal at the spec's kmax) rather than the
+    MD path's fused custom-VJP walk, whose hand backward defines
+    position/charge cotangents only — box cotangents would bloat the hot
+    kernel for the sake of an occasional observable.  Same physics, same
+    truncation family, slower backward (fine off the step path).
+    """
+    dtype = positions.dtype
+    spec = system.spec
+
+    def e_scaled(s):
+        sysb = system.with_box(system.box * s)
+        xs = positions * s
+        if spec.pbc and spec.direct_method == "cell":
+            from .cells import cell_roll_direct_energy
+            from .charges import effective_charges
+            from .energy import _exclusion_correction
+            from .ewald import reciprocal_energy, self_energy
+            q = effective_charges(xs, sysb)
+            e = (self_energy(q, spec.alpha)
+                 + _exclusion_correction(xs, q, sysb, subtract_direct=True)
+                 + cell_roll_direct_energy(xs, q, sysb)
+                 + reciprocal_energy(xs, q, sysb.box, spec.alpha,
+                                     spec.kmax, method="xla"))
+        else:
+            e = _energy(xs, sysb)
+        if bonded is not None:
+            e = e + bonded_energy(xs, dataclasses.replace(
+                bonded, box=jnp.asarray(sysb.box, bonded.box.dtype)))
+        return e
+
+    de_ds = jax.grad(e_scaled)(jnp.asarray(1.0, dtype))
+    vol = system.box[0] * system.box[1] * system.box[2]
+    ke = kinetic_energy(velocities, masses)
+    p_internal = (2.0 * ke - de_ds) / (3.0 * vol)    # kJ/mol/nm^3
+    return p_internal / BAR_TO_KJ_MOL_NM3
+
+
 def npt_langevin_trajectory(positions, velocities, system, masses,
                             dt: float, temperature: float, friction: float,
                             pressure_bar: float, key, n_steps: int,

@@ -17,7 +17,10 @@ import pytest
 
 import chargeflux_tpu as cf
 from chargeflux_tpu.models import water_box, water_bonded_params
-from chargeflux_tpu.npt import molecule_index, npt_langevin_trajectory
+from chargeflux_tpu.npt import (instantaneous_pressure, molecule_index,
+                                npt_langevin_trajectory)
+from chargeflux_tpu.npt import BAR_TO_KJ_MOL_NM3
+from chargeflux_tpu.units import BOLTZ
 
 from helpers import force_to_params
 from oracle import energy_forces_pbc, ewald_alpha_kmax
@@ -133,6 +136,89 @@ def test_cell_route_shrunk_box_poisons():
     assert np.isnan(e_bad)
     f_bad = np.asarray(cf.forces(x * s, system.with_box(system.box * s)))
     assert np.all(np.isnan(f_bad))
+
+
+def test_pressure_ideal_gas():
+    """Zero interactions: P is exactly the kinetic term 2K/(3V)."""
+    force = cf.CoulForce()
+    force.setUsesPeriodicBoundaryConditions(True)
+    force.setCutoffDistance(0.9)
+    for _ in range(8):
+        force.addParticle(0.0, 0.3, 0.0)
+    box = np.array([4.0, 4.0, 4.0])
+    system = force.create_system(box=box, dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 4, (8, 3)))
+    v = jnp.asarray(rng.standard_normal((8, 3)))
+    m = jnp.ones(8, jnp.float64) * 18.0
+    p = float(instantaneous_pressure(x, v, system, m))
+    ke = 0.5 * float(jnp.sum(m[:, None] * v * v))
+    p_ref = 2.0 * ke / (3.0 * 64.0) / BAR_TO_KJ_MOL_NM3
+    assert abs(p - p_ref) <= 1e-10 * abs(p_ref)
+
+
+def test_pressure_lj_pair_analytic():
+    """Two LJ atoms: the virial is -r u'(r), checked against closed form."""
+    force = cf.CoulForce()
+    force.setUsesPeriodicBoundaryConditions(True)
+    force.setCutoffDistance(0.9)
+    sig, eps = 0.31, 0.65
+    force.addParticle(0.0, sig, eps)
+    force.addParticle(0.0, sig, eps)
+    box = np.array([4.0, 4.0, 4.0])
+    system = force.create_system(box=box, dtype=jnp.float64)
+    r = 0.33
+    x = jnp.asarray([[1.0, 1.0, 1.0], [1.0 + r, 1.0, 1.0]])
+    v = jnp.zeros((2, 3), jnp.float64)
+    m = jnp.ones(2, jnp.float64)
+    p = float(instantaneous_pressure(x, v, system, m))
+    sr6 = (sig / r) ** 6
+    du_dr = 4.0 * eps * (-12.0 * sr6 * sr6 + 6.0 * sr6) / r
+    p_ref = -(r * du_dr) / (3.0 * 64.0) / BAR_TO_KJ_MOL_NM3
+    assert abs(p - p_ref) <= 1e-10 * abs(p_ref)
+
+
+def test_pressure_coulomb_homogeneity():
+    """Pure Coulomb (rigid charges, no LJ) is homogeneous of degree -1 in
+    the scaled geometry, so dE/ds|1 = -E: the Ewald virial must satisfy
+    P = (2K + E)/(3V) to the Ewald tolerance, self/direct/reciprocal split
+    notwithstanding (the split shifts with fixed alpha; the total scales).
+    Needs cutoff <= box/2: on smaller boxes the nearest-image-only direct
+    sum truncates beyond-image pairs and breaks covariance.  The virial
+    amplifies Ewald *truncation* error ~100x vs the energy (the missing
+    tails' s-derivative carries the (pi kmax/(L alpha))^2 exponent factor)
+    — measured rel err 9e-2 / 7e-4 / 6e-6 at tol 1e-4 / 1e-6 / 1e-8 —
+    so this pins at tol 1e-6."""
+    force, positions, _, box = water_box(n_side=6, flux="none", seed=5,
+                                         ewald_tol=1e-6)
+    for i in range(force.getNumParticles()):
+        q, sig, _ = force.getParticleParameters(i)
+        force.setParticleParameters(i, q, sig, 0.0)
+    system = force.create_system(box=box, dtype=jnp.float64)
+    x = jnp.asarray(positions)
+    v = jnp.zeros_like(x)
+    m = jnp.ones(x.shape[0], jnp.float64)
+    e = float(cf.energy(x, system))
+    vol = float(np.prod(box))
+    p = float(instantaneous_pressure(x, v, system, m))
+    p_ref = e / (3.0 * vol) / BAR_TO_KJ_MOL_NM3    # 2K = 0
+    assert abs(p - p_ref) <= 5e-3 * abs(p_ref)
+
+
+def test_pressure_cell_matches_dense():
+    """The cell route's virial (plain-autodiff roll walk + classical
+    recip) equals the dense route's on the same configuration."""
+    force, positions, _, box = water_box(n_side=10, seed=1)
+    x = jnp.asarray(positions)
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.standard_normal(x.shape))
+    m = jnp.ones(x.shape[0], jnp.float64) * 10.0
+    ps = []
+    for method in ("cell", "dense"):
+        system = force.create_system(box=box, dtype=jnp.float64,
+                                     direct_method=method)
+        ps.append(float(instantaneous_pressure(x, v, system, m)))
+    assert abs(ps[0] - ps[1]) <= 1e-9 * max(abs(ps[1]), 1.0)
 
 
 def test_npt_langevin_cell_route():

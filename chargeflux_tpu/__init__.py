@@ -22,15 +22,18 @@ from .bonded import BondedParams, bonded_energy
 from .integrate import (
     init_state,
     init_state_nb,
+    kinetic_energy,
     langevin_step,
     langevin_trajectory,
     make_energy_fn,
     make_nb_energy_fn,
+    maxwell_velocities,
     minimize_fire,
     nve_step,
     nve_step_nb,
     nve_trajectory,
     nve_trajectory_nb,
+    temperature,
 )
 from .npt import (instantaneous_pressure, molecule_index,
                   npt_langevin_trajectory)
@@ -48,6 +51,7 @@ __all__ = [
     "make_energy_fn", "nve_step", "nve_trajectory", "init_state",
     "make_nb_energy_fn", "nve_step_nb", "nve_trajectory_nb", "init_state_nb",
     "langevin_step", "langevin_trajectory", "minimize_fire",
+    "kinetic_energy", "temperature", "maxwell_velocities",
     "instantaneous_pressure", "molecule_index", "npt_langevin_trajectory",
     "ONE_4PI_EPS0", "BOLTZ",
 ]

@@ -207,6 +207,31 @@ def kinetic_energy(velocities, masses) -> jax.Array:
     return 0.5 * jnp.sum(masses[:, None] * velocities * velocities)
 
 
+def temperature(velocities, masses) -> jax.Array:
+    """Instantaneous kinetic temperature in K: 2K / (3 N kB).
+
+    Uses 3N degrees of freedom (no constraints exist in this engine —
+    molecules are flexible; OpenMM would subtract constrained DoF)."""
+    from .units import BOLTZ
+    n = velocities.shape[0]
+    return 2.0 * kinetic_energy(velocities, masses) / (3.0 * n * BOLTZ)
+
+
+def maxwell_velocities(masses, temp: float, key,
+                       dtype=None, zero_momentum: bool = True) -> jax.Array:
+    """Maxwell-Boltzmann velocities at ``temp`` K (nm/ps), with the
+    center-of-mass drift removed by default (OpenMM's
+    ``setVelocitiesToTemperature`` equivalent — the L0 service the
+    reference inherits from its host framework)."""
+    from .units import BOLTZ
+    m = jnp.asarray(masses, dtype or jnp.result_type(float))
+    sigma = jnp.sqrt(BOLTZ * temp / m)[:, None]
+    v = sigma * jax.random.normal(key, (m.shape[0], 3), dtype=sigma.dtype)
+    if zero_momentum:
+        v = v - jnp.sum(m[:, None] * v, axis=0) / jnp.sum(m)
+    return v
+
+
 def nve_trajectory(state: MDState, energy_fn, masses, dt: float, n_steps: int):
     """Run n_steps of NVE; returns (final_state, per-step total energies).
 

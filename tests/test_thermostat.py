@@ -51,3 +51,24 @@ def test_fire_minimization_lowers_energy():
     f0 = np.abs(np.asarray(jax.grad(e_fn)(x0))).max()
     f1 = np.abs(np.asarray(jax.grad(e_fn)(x_min))).max()
     assert f1 < f0
+
+
+def test_maxwell_velocities_and_temperature():
+    """maxwell_velocities samples at the target kinetic temperature with
+    zero net momentum; temperature() inverts it (L0 service parity with
+    OpenMM's setVelocitiesToTemperature)."""
+    from chargeflux_tpu.integrate import maxwell_velocities, temperature
+    rng_masses = np.concatenate([np.full(400, 15.999), np.full(800, 1.008)])
+    m = jnp.asarray(rng_masses)
+    v = maxwell_velocities(m, 300.0, jax.random.PRNGKey(2))
+    # net momentum removed exactly
+    p = np.asarray(jnp.sum(m[:, None] * v, axis=0))
+    assert np.all(np.abs(p) < 1e-8 * float(jnp.sum(m)))
+    # sampled temperature within sqrt(2/(3N)) statistics (~2.4% at N=1200)
+    t = float(temperature(v, m))
+    assert abs(t - 300.0) < 5 * 300.0 * np.sqrt(2.0 / (3 * 1200))
+    # per-species equipartition: heavy and light atoms both at T
+    t_o = float(temperature(v[:400], m[:400]))
+    t_h = float(temperature(v[400:], m[400:]))
+    assert abs(t_o - 300.0) < 0.1 * 300.0
+    assert abs(t_h - 300.0) < 0.1 * 300.0

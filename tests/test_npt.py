@@ -237,3 +237,15 @@ def test_npt_langevin_cell_route():
         bonded=bonded, barostat_interval=20)
     assert np.all(np.isfinite(np.asarray(diag["energies"])))
     assert np.all(np.isfinite(np.asarray(box1)))
+
+
+def test_molecule_index_salt_singletons():
+    """Mixed system: waters are 3-atom components, bare ions singletons."""
+    from chargeflux_tpu.models.salt import salt_water_box
+    force, _, _, box = salt_water_box(n_side=3, n_ion_pairs=2)
+    system = force.create_system(box=box, dtype=jnp.float64)
+    mol_id, first_idx, counts = molecule_index(system)
+    n_w = (system.n_atoms - 4) // 3
+    assert first_idx.shape[0] == n_w + 4
+    assert sorted(counts.tolist()).count(1.0) == 4     # 4 bare ions
+    assert sorted(counts.tolist()).count(3.0) == n_w

@@ -48,6 +48,28 @@ def harmonic_angle_energy(positions, idx, k, theta0, box, pbc):
     return 0.5 * jnp.sum(k * (theta - theta0) ** 2)
 
 
+def periodic_torsion_energy(positions, idx, k, n, phi0, box, pbc):
+    """``sum k (1 + cos(n phi - phi0))`` — OpenMM PeriodicTorsionForce
+    convention: atoms 1-2-3-4, ``phi`` the dihedral about the 2-3 bond,
+    computed with the atan2 formulation (stable at phi -> 0/pi, unlike
+    acos of the plane-normal cosine).  idx [T, 4]; n is the integer
+    periodicity; forces come from jax.grad like every other term."""
+    if idx.shape[0] == 0:
+        return jnp.zeros((), positions.dtype)
+    p = [positions[idx[:, c]] for c in range(4)]
+    b1 = displacement(p[0], p[1], box, pbc)
+    b2 = displacement(p[1], p[2], box, pbc)
+    b3 = displacement(p[2], p[3], box, pbc)
+    n1 = jnp.cross(b1, b2)
+    n2 = jnp.cross(b2, b3)
+    b2n = b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True)
+    m1 = jnp.cross(b2n, n1)     # order fixes the IUPAC sign (phi > 0 for
+    cos_c = jnp.sum(n1 * n2, axis=-1)   # a clockwise far-bond viewed 2->3)
+    sin_c = jnp.sum(m1 * n2, axis=-1)
+    phi = jnp.arctan2(sin_c, cos_c)
+    return jnp.sum(k * (1.0 + jnp.cos(n * phi - phi0)))
+
+
 def _template_bonded_energy(positions, bonded) -> jax.Array:
     """Gather-free bonded energy via the molecule template (static slices;
     same formulas as the general path above)."""
@@ -86,11 +108,19 @@ def _template_bonded_energy(positions, bonded) -> jax.Array:
 
 def bonded_energy(positions: jax.Array, bonded: "BondedParams") -> jax.Array:
     if bonded.template is not None:
-        return _template_bonded_energy(positions, bonded)
-    e = harmonic_bond_energy(positions, bonded.bond_idx, bonded.bond_k,
-                             bonded.bond_r0, bonded.box, bonded.pbc)
-    e = e + harmonic_angle_energy(positions, bonded.angle_idx, bonded.angle_k,
-                                  bonded.angle_theta0, bonded.box, bonded.pbc)
+        e = _template_bonded_energy(positions, bonded)
+    else:
+        e = harmonic_bond_energy(positions, bonded.bond_idx, bonded.bond_k,
+                                 bonded.bond_r0, bonded.box, bonded.pbc)
+        e = e + harmonic_angle_energy(positions, bonded.angle_idx,
+                                      bonded.angle_k, bonded.angle_theta0,
+                                      bonded.box, bonded.pbc)
+    if bonded.torsion_idx is not None:
+        # general (gather) path: torsion counts are small and water-family
+        # systems have none — not worth a template fast path
+        e = e + periodic_torsion_energy(
+            positions, bonded.torsion_idx, bonded.torsion_k,
+            bonded.torsion_n, bonded.torsion_phi0, bonded.box, bonded.pbc)
     return e
 
 
@@ -107,13 +137,20 @@ class BondedParams:
     angle_theta0: jax.Array  # [A] rad
     box: jax.Array           # [3]
     pbc: bool = dataclasses.field(metadata=dict(static=True))
+    # periodic torsions (OpenMM PeriodicTorsionForce): optional, no
+    # template fast path (counts are small; see bonded_energy)
+    torsion_idx: Optional[jax.Array] = None    # [T, 4] int32
+    torsion_k: Optional[jax.Array] = None      # [T] kJ/mol
+    torsion_n: Optional[jax.Array] = None      # [T] periodicity
+    torsion_phi0: Optional[jax.Array] = None   # [T] rad
     template: Optional[MoleculeTemplate] = dataclasses.field(
         default=None, metadata=dict(static=True))
 
     @classmethod
     def create(cls, bond_idx, bond_k, bond_r0, angle_idx, angle_k,
                angle_theta0, box, pbc, n_atoms=None,
-               dtype=None) -> "BondedParams":
+               torsion_idx=None, torsion_k=None, torsion_n=None,
+               torsion_phi0=None, dtype=None) -> "BondedParams":
         """Build with molecule-template detection: when the index structure
         repeats per molecule, term arrays are reordered molecule-major and
         the fast static-slice path is used."""
@@ -134,6 +171,16 @@ class BondedParams:
                                                 angle_theta0[ap])
         if dtype is None:
             dtype = jnp.float32
+        tor = {}
+        if torsion_idx is not None:
+            tor = dict(
+                torsion_idx=jnp.asarray(
+                    np.asarray(torsion_idx, np.int64).reshape(-1, 4),
+                    jnp.int32),
+                torsion_k=jnp.asarray(torsion_k, dtype),
+                torsion_n=jnp.asarray(torsion_n, dtype),
+                torsion_phi0=jnp.asarray(torsion_phi0, dtype),
+            )
         return cls(
             bond_idx=jnp.asarray(bond_idx, jnp.int32),
             bond_k=jnp.asarray(bond_k, dtype),
@@ -144,4 +191,5 @@ class BondedParams:
             box=jnp.asarray(box, dtype),
             pbc=pbc,
             template=template,
+            **tor,
         )

@@ -25,6 +25,7 @@ from .integrate import (
     kinetic_energy,
     langevin_step,
     langevin_trajectory,
+    langevin_trajectory_nb,
     make_energy_fn,
     make_nb_energy_fn,
     maxwell_velocities,
@@ -50,7 +51,8 @@ __all__ = [
     "BondedParams", "bonded_energy",
     "make_energy_fn", "nve_step", "nve_trajectory", "init_state",
     "make_nb_energy_fn", "nve_step_nb", "nve_trajectory_nb", "init_state_nb",
-    "langevin_step", "langevin_trajectory", "minimize_fire",
+    "langevin_step", "langevin_trajectory", "langevin_trajectory_nb",
+    "minimize_fire",
     "kinetic_energy", "temperature", "maxwell_velocities",
     "instantaneous_pressure", "molecule_index", "npt_langevin_trajectory",
     "ONE_4PI_EPS0", "BOLTZ",

@@ -192,6 +192,58 @@ def nve_trajectory_nb(state: MDStateNB, e_fn, init_nb, masses, dt: float,
     return state, jnp.concatenate(es) if len(es) != 1 else es[0]
 
 
+def langevin_trajectory_nb(state: MDStateNB, e_fn, init_nb, masses,
+                           dt: float, temperature: float, friction: float,
+                           key, n_steps: int, rebuild_every: int = 10):
+    """n_steps of BAOAB Langevin with the neighbor state rebuilt every
+    ``rebuild_every`` steps — the NVT analog of :func:`nve_trajectory_nb`
+    (same packed ``[N, 9]`` carry, same unconditional nested-scan rebuild
+    and freshness guard via ``e_fn``).  Returns (final_state, per-step
+    kinetic energies)."""
+    from .units import BOLTZ
+
+    if n_steps % rebuild_every or n_steps == 0:
+        raise ValueError("n_steps must be a positive multiple of "
+                         "rebuild_every")
+    masses = jnp.asarray(masses)
+    dtype = state.positions.dtype
+    inv_m = (1.0 / masses)[:, None]
+    kt = BOLTZ * temperature
+    c1 = jnp.exp(jnp.asarray(-friction * dt, dtype))
+    c2 = jnp.sqrt((1.0 - c1 * c1) * kt)
+
+    def inner(nb):
+        def body(p, kk):
+            x, v, f = p[:, 0:3], p[:, 3:6], p[:, 6:9]
+            v = v + 0.5 * dt * f * inv_m                            # B
+            x = x + 0.5 * dt * v                                    # A
+            noise = jax.random.normal(kk, v.shape, dtype=dtype)
+            v = c1 * v + c2 * jnp.sqrt(inv_m) * noise               # O
+            x = x + 0.5 * dt * v                                    # A
+            _e, f, _nb = e_fn(x, nb)
+            v = v + 0.5 * dt * f * inv_m                            # B
+            return (jnp.concatenate([x, v, f], axis=1),
+                    kinetic_energy(v, masses))
+        return body
+
+    def outer(carry, _):
+        p, k = carry
+        k, sub = jax.random.split(k)
+        nb = init_nb(p[:, 0:3])
+        p, kes = jax.lax.scan(inner(nb), p,
+                              jax.random.split(sub, rebuild_every))
+        return (p, k), kes
+
+    p0 = jnp.concatenate(
+        [state.positions, state.velocities, state.forces], axis=1)
+    (p, _k), kes = jax.lax.scan(outer, (p0, key), None,
+                                length=n_steps // rebuild_every)
+    nb = init_nb(p[:, 0:3])
+    e_pot, f, nb = e_fn(p[:, 0:3], nb)
+    final = MDStateNB(p[:, 0:3], p[:, 3:6], f, e_pot, nb)
+    return final, kes.reshape(-1)
+
+
 def nve_step(state: MDState, energy_fn, masses: jax.Array, dt: float) -> MDState:
     """One velocity-Verlet step.  masses [N] in amu; dt in ps."""
     inv_m = (1.0 / masses)[:, None]

@@ -72,3 +72,30 @@ def test_maxwell_velocities_and_temperature():
     t_h = float(temperature(v[400:], m[400:]))
     assert abs(t_o - 300.0) < 0.1 * 300.0
     assert abs(t_h - 300.0) < 0.1 * 300.0
+
+
+def test_langevin_nb_cell_route():
+    """BAOAB with neighbor-state reuse (langevin_trajectory_nb) runs on
+    the cell route and thermalizes from zero velocities."""
+    from chargeflux_tpu.integrate import (init_state_nb,
+                                          langevin_trajectory_nb,
+                                          make_nb_energy_fn)
+    from chargeflux_tpu.models import water_bonded_params, water_box
+
+    force, pos, masses, box = water_box(n_side=10, seed=4)
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell")
+    bonded = water_bonded_params(system.n_atoms // 3, box=box,
+                                 dtype=jnp.float64)
+    e_fn, init_nb = make_nb_energy_fn(system, bonded=bonded)
+    x = jnp.asarray(pos)
+    s0 = init_state_nb(x, jnp.zeros_like(x), e_fn, init_nb)
+    s1, kes = langevin_trajectory_nb(
+        s0, e_fn, init_nb, jnp.asarray(np.asarray(masses), jnp.float64),
+        dt=2e-4, temperature=250.0, friction=20.0,
+        key=jax.random.PRNGKey(0), n_steps=40, rebuild_every=10)
+    kes = np.asarray(kes)
+    assert kes.shape == (40,)
+    assert np.all(np.isfinite(kes))
+    assert np.isfinite(float(s1.potential))
+    assert kes[-1] > 0.0 and kes[-1] > kes[0]   # heated from rest

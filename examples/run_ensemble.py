@@ -6,7 +6,7 @@ with zero communication), and integrates the whole ensemble in one
 lax.scan on a flat packed carry.  The reference has no equivalent (single
 context, single device; SURVEY §2 parallelism inventory).
 
-    python examples/run_ensemble.py [n_replicas] [n_steps]
+    python examples/run_ensemble.py [n_replicas] [n_steps] [--cpu]
 """
 
 import os
@@ -18,6 +18,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 import jax
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 from jax.sharding import Mesh
 

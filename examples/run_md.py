@@ -4,7 +4,7 @@ Builds a periodic water box, runs velocity-Verlet NVE with the full
 charge-flux Ewald potential + harmonic bonded terms, checkpoints the final
 state, and reports energy conservation.
 
-    python examples/run_md.py [n_side] [n_steps]
+    python examples/run_md.py [n_side] [n_steps] [--cpu]
 """
 
 import os
@@ -16,6 +16,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 import jax
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 import chargeflux_tpu as cf

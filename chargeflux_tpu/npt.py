@@ -27,6 +27,12 @@ adapted *continuously* (x1.03 on accept, /1.03 on reject, clamped) instead
 of in blocks of 10 attempts — a per-attempt update keeps the adaptation
 inside the scan carry with no host round-trips and converges to the same
 ~50% acceptance.
+
+Scope: single-device (or vmap-replica) trajectories.  The halo-sharded
+energy (parallel/halo.py) bakes slab margins from the creation-time box
+and is not barostat-aware; NPT over a spatially sharded system would need
+margin re-derivation on volume moves — run NPT equilibration single-chip
+(100k fits one v5e), then scale out the production NVE/NVT run.
 """
 
 from __future__ import annotations

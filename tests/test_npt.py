@@ -249,3 +249,27 @@ def test_molecule_index_salt_singletons():
     assert first_idx.shape[0] == n_w + 4
     assert sorted(counts.tolist()).count(1.0) == 4     # 4 bare ions
     assert sorted(counts.tolist()).count(3.0) == n_w
+
+
+def test_npt_vmaps_over_replicas():
+    """Replica-ensemble NPT is plain jax.vmap over (x, v, key): each
+    replica carries its own box, dV adaptation and acceptance chain (the
+    DP-analog composition the parallel stack uses elsewhere)."""
+    system, x, masses, bonded = _npt_setup(3)
+    rng = np.random.default_rng(0)
+    xb = jnp.stack([x + 0.01 * rng.standard_normal(x.shape)
+                    for _ in range(3)])
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+
+    def one(xr, k):
+        x1, _v, b1, diag = npt_langevin_trajectory(
+            xr, jnp.zeros_like(xr), system, masses, dt=2e-4,
+            temperature=300.0, friction=5.0, pressure_bar=1.0, key=k,
+            n_steps=40, bonded=bonded, barostat_interval=20)
+        return x1, b1, diag["accepts"]
+
+    x1, b1, acc = jax.vmap(one)(xb, keys)
+    assert x1.shape == xb.shape and b1.shape == (3, 3)
+    assert bool(jnp.all(jnp.isfinite(x1)))
+    # independent acceptance chains -> boxes diverge across replicas
+    assert len(np.unique(np.round(np.asarray(b1)[:, 0], 12))) > 1

@@ -106,8 +106,9 @@ def main():
         for a, g in enumerate((gx, gy, gz))]
 
     def run_variant(kind):
-        def once(xyz):
-            b = CellBlocks(x=xyz[0], y=xyz[1], z=xyz[2], q=blocks.q,
+        def once(carry):
+            xyz, qb = carry[:3], carry[3]
+            b = CellBlocks(x=xyz[0], y=xyz[1], z=xyz[2], q=qb,
                            hs=blocks.hs, se=blocks.se)
             xj, qj, hj, sj, idsj = _concat_slabs(b, ids, system)
             comp = [b.x, b.y, b.z]
@@ -118,19 +119,23 @@ def main():
                             idsj, system, ctr)
 
         @partial(jax.jit, static_argnums=(1,))
-        def run(xyz0, k):
-            def step(xyz, _):
-                e, gi, gj, dqi, dqj = once(xyz)
-                # all outputs feed the carry so nothing is dead/hoisted
-                bump = 1e-26 * (jnp.sum(dqi) + jnp.sum(dqj)
-                                + sum(jnp.sum(j) for j in gj))
-                xyz2 = [a + 1e-22 * g + bump for a, g in zip(xyz, gi)]
-                return xyz2, e
-            xyzk, es = jax.lax.scan(step, xyz0, None, length=k)
-            return es[-1] + 0.0 * sum(jnp.sum(a) for a in xyzk)
+        def run(carry0, k):
+            def step(carry, _):
+                e, gi, gj, dqi, dqj = once(carry)
+                # every output feeds the carry (incl. q -> the q/h/s slab
+                # concats stay INSIDE the loop; charges are x-dependent in
+                # the real step, so hoisting them would under-measure —
+                # BASELINE.md measurement rule 2)
+                bump = 1e-26 * sum(jnp.sum(j) for j in gj)
+                xyz2 = [a + 1e-22 * g + bump
+                        for a, g in zip(carry[:3], gi)]
+                q2 = carry[3] + 1e-26 * (dqi + jnp.sum(dqj))
+                return xyz2 + [q2], e
+            ck, es = jax.lax.scan(step, carry0, None, length=k)
+            return es[-1] + 0.0 * sum(jnp.sum(a) for a in ck)
 
-        xyz0 = [blocks.x, blocks.y, blocks.z]
-        return run, xyz0, once
+        carry0 = [blocks.x, blocks.y, blocks.z, blocks.q]
+        return run, carry0, once
 
     # correctness: A vs B on the real config
     runA, xyz0, onceA = run_variant("vpu")

@@ -117,3 +117,26 @@ def test_erf_over_r_polynomial_accuracy():
     assert np.max(np.abs(np.asarray(p, np.float64) - f)) < 1e-6
     # |dP/ds - f'| bound: ~2e-5 nm^-3 == ~1e-7 relative on close-pair forces
     assert np.max(np.abs(np.asarray(dp, np.float64) - fp)) < 1e-4
+
+
+def test_excluded_pair_beyond_cutoff_cell_vs_dense():
+    """SURVEY §5 edge: the net excluded-pair contract is -erf(ar)/r with
+    NO erfc/LJ removal when r > cutoff (the walk never counted it).  The
+    cell route's conditional subtraction must agree with the dense route
+    on a deliberately long-range exclusion (the reference CPU path applies
+    its correction unconditionally but erfc(ar) ~ 0 there; the routes
+    coincide in exact arithmetic)."""
+    force, positions, _, box = water_box(n_side=10, flux="bond_angle",
+                                         seed=9)
+    # cross-molecule exclusion between two far-apart oxygens (> cutoff)
+    o_a, o_b = 0, 3 * 500
+    r = np.linalg.norm(positions[o_a] - positions[o_b])
+    assert r > force.getCutoffDistance()
+    force.addException(o_a, o_b)
+    x = jnp.asarray(positions)
+    es = {}
+    for method in ("cell", "dense"):
+        system = force.create_system(box=box, dtype=jnp.float64,
+                                     direct_method=method)
+        es[method] = float(cf.energy(x, system))
+    assert abs(es["cell"] - es["dense"]) <= 1e-10 * abs(es["dense"])

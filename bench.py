@@ -241,8 +241,36 @@ def bench_replicas(n_replicas: int = 64):
     }))
 
 
+def wait_for_backend(max_tries: int = 8, probe_timeout: int = 150,
+                     sleep_s: int = 60):
+    """Probe the device backend in a SUBPROCESS before touching it here.
+
+    The axon tunnel sometimes drops; a backend init inside this process
+    then hangs indefinitely (not even a Python-level timeout can unwind
+    it), so probe out-of-process with a kill timeout and retry.  Returns
+    once a probe succeeds; raises after max_tries so the driver sees a
+    clean failure instead of a hang.
+    """
+    import subprocess
+    for i in range(max_tries):
+        try:
+            rc = subprocess.call(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL)
+            if rc == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# backend probe {i + 1}/{max_tries} failed; retrying in "
+              f"{sleep_s}s", file=sys.stderr)
+        time.sleep(sleep_s)
+    raise SystemExit("device backend unavailable after retries")
+
+
 def main():
     config = sys.argv[1] if len(sys.argv) > 1 else "30k"
+    wait_for_backend()
     if config == "replicas":
         bench_replicas()
         return

@@ -194,6 +194,19 @@ def npt_langevin_trajectory(positions, velocities, system, masses,
     from .neighbors import build_neighbor_state, neighbor_state_fresh
 
     has_cells = system.spec.direct_method == "cell"
+    if has_cells:
+        # the neighbor state is rebuilt once per chunk, so the barostat
+        # interval doubles as the rebuild interval — warn if that outruns
+        # the skin budget (the guard would NaN-poison, visibly but fatally)
+        from .neighbors import suggest_rebuild_interval
+        safe = suggest_rebuild_interval(system, dt, cap=barostat_interval)
+        if safe < barostat_interval:
+            import warnings
+            warnings.warn(
+                f"barostat_interval {barostat_interval} exceeds the "
+                f"skin-safe rebuild interval {safe} at dt={dt}; the "
+                "freshness guard will NaN-poison the trajectory if atom "
+                "displacement outruns the skin — use a smaller interval")
     dtype = positions.dtype
     kt = BOLTZ * temperature
     p_int = pressure_bar * BAR_TO_KJ_MOL_NM3

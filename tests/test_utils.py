@@ -95,3 +95,25 @@ def test_create_system_rejects_unknown_methods():
         force.create_system(box=box, direct_method="cell_pallas")
     with pytest.raises(ValueError, match="recip_method"):
         force.create_system(box=box, recip_method="bogus")
+
+
+def test_xyz_round_trip(tmp_path):
+    """write_xyz -> read_xyz round-trips frames, symbols and comments;
+    water masses resolve to O/H and coordinates convert nm <-> Angstrom."""
+    from chargeflux_tpu.utils import read_xyz, symbols_from_masses, write_xyz
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(0, 2, (3, 6, 3))
+    masses = [15.999, 1.008, 1.008, 15.999, 1.008, 1.008]
+    path = str(tmp_path / "traj.xyz")
+    n = write_xyz(path, frames, masses=masses)
+    assert n == 3
+    back, syms, comments = read_xyz(path)
+    np.testing.assert_allclose(back, frames, atol=1e-6)
+    assert syms == ["O", "H", "H", "O", "H", "H"]
+    assert comments == ["frame 0", "frame 1", "frame 2"]
+    # append mode adds frames
+    write_xyz(path, frames[0], masses=masses, append=True,
+              comments=["tail"])
+    back2, _, c2 = read_xyz(path)
+    assert back2.shape == (4, 6, 3) and c2[-1] == "tail"
+    assert symbols_from_masses([22.99, 35.45, 77.7]) == ["Na", "Cl", "X"]

@@ -1,6 +1,8 @@
+from .analysis import radial_distribution
 from .checkpoint import load_checkpoint, save_checkpoint
 from .profiling import phase_scope, step_timer, trace
 from .trajectory import read_xyz, symbols_from_masses, write_xyz
 
 __all__ = ["save_checkpoint", "load_checkpoint", "phase_scope", "trace",
-           "step_timer", "write_xyz", "read_xyz", "symbols_from_masses"]
+           "step_timer", "write_xyz", "read_xyz", "symbols_from_masses",
+           "radial_distribution"]

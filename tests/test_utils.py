@@ -117,3 +117,37 @@ def test_xyz_round_trip(tmp_path):
     back2, _, c2 = read_xyz(path)
     assert back2.shape == (4, 6, 3) and c2[-1] == "tail"
     assert symbols_from_masses([22.99, 35.45, 77.7]) == ["Na", "Cl", "X"]
+
+
+def test_rdf_uniform_gas_is_flat():
+    """g(r) = 1 for uniformly random points (both same-selection and
+    disjoint selections), up to counting noise."""
+    from chargeflux_tpu.utils import radial_distribution
+    rng = np.random.default_rng(1)
+    box = np.array([4.0, 4.0, 4.0])
+    x = jnp.asarray(rng.uniform(0, 4, (2000, 3)))
+    idx = np.arange(2000)
+    r, g = radial_distribution(x, box, idx, idx, r_max=1.9, n_bins=20)
+    g = np.asarray(g)
+    assert r.shape == (20,) and g.shape == (20,)
+    # skip the first bins (few ideal pairs -> noisy); the rest sit at 1
+    assert np.all(np.abs(g[4:] - 1.0) < 0.1), g
+    # disjoint selections normalize without the self-pair correction
+    r2, g2 = radial_distribution(x, box, idx[:1000], idx[1000:],
+                                 r_max=1.9, n_bins=20)
+    assert np.all(np.abs(np.asarray(g2)[4:] - 1.0) < 0.15), g2
+
+
+def test_rdf_water_oo_peak():
+    """g_OO of the (lattice-jittered) water box peaks near the lattice
+    spacing and is ~0 inside the excluded core."""
+    from chargeflux_tpu.models import water_box
+    from chargeflux_tpu.utils import radial_distribution
+    _, pos, _, box = water_box(n_side=6, seed=2)
+    o_idx = np.arange(0, len(pos), 3)
+    r, g = radial_distribution(jnp.asarray(pos), box, o_idx, o_idx,
+                               r_max=0.9, n_bins=45)
+    g = np.asarray(g)
+    assert g[np.asarray(r) < 0.2].max() < 1e-9      # excluded core
+    peak_r = float(np.asarray(r)[np.argmax(g)])
+    assert 0.25 < peak_r < 0.4 and g.max() > 2.0

@@ -15,6 +15,25 @@ import numpy as np
 from ..pairs import delta_periodic
 
 
+def mean_squared_displacement(frames, max_lag: int = None):
+    """MSD(lag) over a trajectory of UNWRAPPED [F, N, 3] coordinates
+    (this engine never wraps positions, so trajectories are directly
+    usable); returns [max_lag] with MSD[l] averaged over all start times
+    and atoms.  Host-side NumPy — analysis of saved trajectories, not a
+    jit path.  Diffusion coefficient: D = slope / (6 dt) in the linear
+    regime."""
+    frames = np.asarray(frames, np.float64)
+    f = frames.shape[0]
+    if max_lag is None:
+        max_lag = f - 1
+    max_lag = min(max_lag, f - 1)
+    out = np.empty(max_lag, np.float64)
+    for lag in range(1, max_lag + 1):
+        d = frames[lag:] - frames[:-lag]
+        out[lag - 1] = np.mean(np.sum(d * d, axis=-1))
+    return out
+
+
 def radial_distribution(positions, box, idx_a, idx_b, r_max: float,
                         n_bins: int = 100, chunk: int = 512):
     """g(r) between selections ``idx_a`` and ``idx_b`` (atom index arrays)

@@ -151,3 +151,20 @@ def test_rdf_water_oo_peak():
     assert g[np.asarray(r) < 0.2].max() < 1e-9      # excluded core
     peak_r = float(np.asarray(r)[np.argmax(g)])
     assert 0.25 < peak_r < 0.4 and g.max() > 2.0
+
+
+def test_msd_ballistic_and_diffusive():
+    from chargeflux_tpu.utils.analysis import mean_squared_displacement
+    # ballistic: x = v t -> MSD = |v|^2 lag^2
+    t = np.arange(20)[:, None, None]
+    v = np.array([[0.1, 0.2, -0.05]])[None]
+    frames = t * v
+    msd = mean_squared_displacement(frames, max_lag=5)
+    v2 = float(np.sum(v * v))
+    np.testing.assert_allclose(msd, v2 * (np.arange(1, 6) ** 2), rtol=1e-12)
+    # random walk: MSD ~ linear in lag (ratio test, loose)
+    rng = np.random.default_rng(0)
+    walk = np.cumsum(rng.standard_normal((2000, 50, 3)), axis=0)
+    msd_w = mean_squared_displacement(walk, max_lag=20)
+    ratio = msd_w[19] / msd_w[4]
+    assert 3.0 < ratio < 5.0   # ~20/5 = 4

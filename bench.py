@@ -262,9 +262,10 @@ def wait_for_backend(max_tries: int = 8, probe_timeout: int = 150,
                 return
         except subprocess.TimeoutExpired:
             pass
-        print(f"# backend probe {i + 1}/{max_tries} failed; retrying in "
-              f"{sleep_s}s", file=sys.stderr)
-        time.sleep(sleep_s)
+        if i + 1 < max_tries:
+            print(f"# backend probe {i + 1}/{max_tries} failed; retrying "
+                  f"in {sleep_s}s", file=sys.stderr)
+            time.sleep(sleep_s)
     raise SystemExit("device backend unavailable after retries")
 
 

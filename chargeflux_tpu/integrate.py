@@ -200,26 +200,18 @@ def langevin_trajectory_nb(state: MDStateNB, e_fn, init_nb, masses,
     (same packed ``[N, 9]`` carry, same unconditional nested-scan rebuild
     and freshness guard via ``e_fn``).  Returns (final_state, per-step
     kinetic energies)."""
-    from .units import BOLTZ
-
     if n_steps % rebuild_every or n_steps == 0:
         raise ValueError("n_steps must be a positive multiple of "
                          "rebuild_every")
     masses = jnp.asarray(masses)
-    dtype = state.positions.dtype
     inv_m = (1.0 / masses)[:, None]
-    kt = BOLTZ * temperature
-    c1 = jnp.exp(jnp.asarray(-friction * dt, dtype))
-    c2 = jnp.sqrt((1.0 - c1 * c1) * kt)
+    c1, c2 = baoab_coeffs(dt, friction, temperature,
+                          state.positions.dtype)
 
     def inner(nb):
         def body(p, kk):
-            x, v, f = p[:, 0:3], p[:, 3:6], p[:, 6:9]
-            v = v + 0.5 * dt * f * inv_m                            # B
-            x = x + 0.5 * dt * v                                    # A
-            noise = jax.random.normal(kk, v.shape, dtype=dtype)
-            v = c1 * v + c2 * jnp.sqrt(inv_m) * noise               # O
-            x = x + 0.5 * dt * v                                    # A
+            x, v = baoab_pre_force(p[:, 0:3], p[:, 3:6], p[:, 6:9],
+                                   inv_m, dt, c1, c2, kk)
             _e, f, _nb = e_fn(x, nb)
             v = v + 0.5 * dt * f * inv_m                            # B
             return (jnp.concatenate([x, v, f], axis=1),
@@ -274,13 +266,20 @@ def maxwell_velocities(masses, temp: float, key,
     """Maxwell-Boltzmann velocities at ``temp`` K (nm/ps), with the
     center-of-mass drift removed by default (OpenMM's
     ``setVelocitiesToTemperature`` equivalent — the L0 service the
-    reference inherits from its host framework)."""
+    reference inherits from its host framework).
+
+    COM removal takes 3 of the 3N degrees of freedom, which would read
+    (1 - 1/N) low on :func:`temperature`'s 3N-DoF definition — noticeable
+    for small N — so the drift-free velocities are rescaled by
+    sqrt(3N / (3N - 3)) to restore the expected kinetic energy."""
     from .units import BOLTZ
     m = jnp.asarray(masses, dtype or jnp.result_type(float))
+    n = m.shape[0]
     sigma = jnp.sqrt(BOLTZ * temp / m)[:, None]
-    v = sigma * jax.random.normal(key, (m.shape[0], 3), dtype=sigma.dtype)
-    if zero_momentum:
+    v = sigma * jax.random.normal(key, (n, 3), dtype=sigma.dtype)
+    if zero_momentum and n > 1:
         v = v - jnp.sum(m[:, None] * v, axis=0) / jnp.sum(m)
+        v = v * jnp.sqrt(3.0 * n / (3.0 * n - 3.0))
     return v
 
 
@@ -311,6 +310,28 @@ def nve_trajectory(state: MDState, energy_fn, masses, dt: float, n_steps: int):
 # ---------------------------------------------------------------------------
 
 
+def baoab_coeffs(dt: float, friction: float, temperature: float, dtype):
+    """(c1, c2) of the O-step: v <- c1 v + c2 sqrt(1/m) noise."""
+    from .units import BOLTZ
+    kt = BOLTZ * temperature
+    c1 = jnp.exp(jnp.asarray(-friction * dt, dtype))
+    return c1, jnp.sqrt((1.0 - c1 * c1) * kt)
+
+
+def baoab_pre_force(x, v, f, inv_m, dt, c1, c2, key):
+    """The B-A-O-A half of one BAOAB step (Leimkuhler-Matthews); the
+    caller evaluates forces at the returned x and applies the final B
+    half-kick.  The ONE implementation shared by langevin_step,
+    langevin_trajectory_nb and npt_langevin_trajectory — an O-step change
+    here reaches every NVT/NPT driver."""
+    v = v + 0.5 * dt * f * inv_m                                    # B
+    x = x + 0.5 * dt * v                                            # A
+    noise = jax.random.normal(key, v.shape, dtype=v.dtype)
+    v = c1 * v + c2 * jnp.sqrt(inv_m) * noise                       # O
+    x = x + 0.5 * dt * v                                            # A
+    return x, v
+
+
 def langevin_step(state: MDState, energy_fn, masses, dt: float,
                   temperature: float, friction: float, key) -> MDState:
     """One BAOAB Langevin step (Leimkuhler-Matthews splitting).
@@ -318,18 +339,11 @@ def langevin_step(state: MDState, energy_fn, masses, dt: float,
     friction in 1/ps, temperature in K.  The O-step noise uses the provided
     PRNG key; thread keys with jax.random.split in the caller/scan.
     """
-    from .units import BOLTZ
-
     inv_m = (1.0 / masses)[:, None]
-    kt = BOLTZ * temperature
-    c1 = jnp.exp(-friction * dt)
-    c2 = jnp.sqrt((1.0 - c1 * c1) * kt)
-
-    v = state.velocities + 0.5 * dt * state.forces * inv_m          # B
-    x = state.positions + 0.5 * dt * v                              # A
-    noise = jax.random.normal(key, v.shape, dtype=v.dtype)
-    v = c1 * v + c2 * jnp.sqrt(inv_m) * noise                       # O
-    x = x + 0.5 * dt * v                                            # A
+    c1, c2 = baoab_coeffs(dt, friction, temperature,
+                          state.positions.dtype)
+    x, v = baoab_pre_force(state.positions, state.velocities, state.forces,
+                           inv_m, dt, c1, c2, key)
     e, g = jax.value_and_grad(energy_fn)(x)
     f = -g
     v = v + 0.5 * dt * f * inv_m                                    # B

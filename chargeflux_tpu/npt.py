@@ -46,7 +46,7 @@ import jax.numpy as jnp
 
 from .bonded import bonded_energy
 from .energy import _energy
-from .integrate import kinetic_energy
+from .integrate import baoab_coeffs, baoab_pre_force, kinetic_energy
 from .pairs import displacement
 from .units import BOLTZ
 
@@ -78,7 +78,9 @@ def molecule_index(system, extra_idx: tuple = ()):
               np.asarray(system.bond_idx).reshape(-1, 2),
               np.asarray(system.angle_idx).reshape(-1, 3),
               np.asarray(system.water_idx).reshape(-1, 3)]
-    groups += [np.asarray(g).reshape(len(g), -1) for g in extra_idx]
+    # empty extras are legal (e.g. a torsion-only BondedParams' bond_idx)
+    groups += [np.asarray(g).reshape(-1, np.asarray(g).shape[-1])
+               for g in extra_idx if np.asarray(g).size]
     for arr in groups:
         for row in arr:
             r0 = find(int(row[0]))
@@ -180,7 +182,12 @@ def npt_langevin_trajectory(positions, velocities, system, masses,
     reused inside (the same amortization as nve_trajectory_nb), with the
     freshness guard poisoning a too-long interval to NaN.  Returns
     ``(x, v, box, diag)`` with ``diag = {"energies" [n_steps] total E,
-    "boxes" [n_attempts, 3], "accepts" [n_attempts] bool, "dv" scalar}``.
+    "boxes" [n_attempts, 3], "accepts" [n_attempts] bool,
+    "poisoned" [n_attempts] bool, "dv" scalar}``; ``poisoned`` marks
+    proposals whose energy NaN-poisoned (cell overflow or grid-validity
+    at the proposed box) — many of them means the equilibrium box is
+    outside the static grid's validity and the run needs a recreated
+    system (larger capacity / different grid), not more steps.
     """
     n_outer, rem = divmod(n_steps, barostat_interval)
     if rem or n_outer == 0:
@@ -211,8 +218,7 @@ def npt_langevin_trajectory(positions, velocities, system, masses,
     kt = BOLTZ * temperature
     p_int = pressure_bar * BAR_TO_KJ_MOL_NM3
     inv_m = (1.0 / jnp.asarray(masses, dtype))[:, None]
-    c1 = jnp.exp(jnp.asarray(-friction * dt, dtype))
-    c2 = jnp.sqrt((1.0 - c1 * c1) * kt)
+    c1, c2 = baoab_coeffs(dt, friction, temperature, dtype)
 
     def e_pot(xx, box, nb=None):
         sb = system.with_box(box)
@@ -235,12 +241,16 @@ def npt_langevin_trajectory(positions, velocities, system, masses,
         w = e_new - e_old + p_int * dvol - n_mol * kt * jnp.log(v1 / v0)
         # NaN w (poisoned e_new: grid validity or overflow) compares False
         ok = jax.random.uniform(ka, dtype=dtype) < jnp.exp(-w / kt)
+        # a poisoned proposal must stay VISIBLE (CLAUDE.md invariant), not
+        # melt into ordinary rejections — report it so a box pinned at the
+        # static grid's validity bound is diagnosable from diag["poisoned"]
+        poisoned = ~jnp.isfinite(e_new)
         xx = jnp.where(ok, x1, xx)
         box = jnp.where(ok, box1, box)
         e_cur = jnp.where(ok, e_new, e_old)
         dv = jnp.clip(jnp.where(ok, dv * 1.03, dv / 1.03),
                       1e-5 * v0, 0.1 * v0)
-        return xx, box, dv, e_cur, ok
+        return xx, box, dv, e_cur, ok, poisoned
 
     def chunk(xx, vv, box, k):
         """barostat_interval BAOAB steps at fixed box with one nb build."""
@@ -256,11 +266,7 @@ def npt_langevin_trajectory(positions, velocities, system, masses,
 
         def body(carry, kk):
             x, v, f = carry
-            v = v + 0.5 * dt * f * inv_m                            # B
-            x = x + 0.5 * dt * v                                    # A
-            noise = jax.random.normal(kk, v.shape, dtype=dtype)
-            v = c1 * v + c2 * jnp.sqrt(inv_m) * noise               # O
-            x = x + 0.5 * dt * v                                    # A
+            x, v = baoab_pre_force(x, v, f, inv_m, dt, c1, c2, kk)
             e, g = jax.value_and_grad(e_of)(x)
             if has_cells:
                 bad = jnp.where(neighbor_state_fresh(nb, x, sb), 1.0,
@@ -278,9 +284,9 @@ def npt_langevin_trajectory(positions, velocities, system, masses,
     def outer(carry, _):
         x, v, box, dv, e_cur, k = carry
         k, kb, kc = jax.random.split(k, 3)
-        x, box, dv, e_cur, ok = attempt(x, box, dv, e_cur, kb)
+        x, box, dv, e_cur, ok, poisoned = attempt(x, box, dv, e_cur, kb)
         x, v, e_cur, etot = chunk(x, v, box, kc)
-        return (x, v, box, dv, e_cur, k), (etot, box, ok)
+        return (x, v, box, dv, e_cur, k), (etot, box, ok, poisoned)
 
     e0 = e_pot(positions, jnp.asarray(system.box, dtype))
     carry0 = (jnp.asarray(positions, dtype), jnp.asarray(velocities, dtype),
@@ -288,8 +294,8 @@ def npt_langevin_trajectory(positions, velocities, system, masses,
               jnp.asarray(dv_frac, dtype) * jnp.prod(
                   jnp.asarray(system.box, dtype)),
               e0, key)
-    (x, v, box, dv, _e, _k), (etot, boxes, accepts) = jax.lax.scan(
-        outer, carry0, None, length=n_outer)
+    (x, v, box, dv, _e, _k), (etot, boxes, accepts, poisoned) = \
+        jax.lax.scan(outer, carry0, None, length=n_outer)
     diag = {"energies": etot.reshape(-1), "boxes": boxes,
-            "accepts": accepts, "dv": dv}
+            "accepts": accepts, "poisoned": poisoned, "dv": dv}
     return x, v, box, diag

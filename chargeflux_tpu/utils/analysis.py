@@ -51,7 +51,10 @@ def radial_distribution(positions, box, idx_a, idx_b, r_max: float,
     n_a, n_b = idx_a.shape[0], idx_b.shape[0]
     pa_all = positions[jnp.asarray(idx_a)]
     pb = positions[jnp.asarray(idx_b)]
-    same = bool(n_a == n_b and np.array_equal(idx_a, idx_b))
+    # the weight mask drops every i == j index pair, so the ideal-gas
+    # normalizer must drop the same count — for ANY overlap, not just
+    # identical selections
+    overlap = len(np.intersect1d(idx_a, idx_b))
 
     pad = (-n_a) % chunk
     # pad rows sit far outside r_max (finite: inf would NaN the min-image)
@@ -81,7 +84,7 @@ def radial_distribution(positions, box, idx_a, idx_b, r_max: float,
     vol = box[0] * box[1] * box[2]
     r_lo, r_hi = edges[:-1], edges[1:]
     shell = 4.0 / 3.0 * jnp.pi * (r_hi ** 3 - r_lo ** 3)
-    n_pairs = n_a * (n_b - 1) if same else n_a * n_b
+    n_pairs = n_a * n_b - overlap
     ideal = n_pairs * shell / vol
     g = jnp.where(ideal > 0, hist / ideal, 0.0)
     return 0.5 * (r_lo + r_hi), g

@@ -60,7 +60,12 @@ def write_xyz(path: str, frames, symbols: Optional[Sequence[str]] = None,
     if len(symbols) != n:
         raise ValueError(f"{len(symbols)} symbols for {n} atoms")
     if comments is None:
-        comments = (f"frame {i}" for i in range(frames.shape[0]))
+        comments = [f"frame {i}" for i in range(frames.shape[0])]
+    else:
+        comments = list(comments)
+        if len(comments) != frames.shape[0]:
+            raise ValueError(f"{len(comments)} comments for "
+                             f"{frames.shape[0]} frames")
     with open(path, "a" if append else "w") as fh:
         for frame, comment in zip(frames, comments):
             fh.write(f"{n}\n{comment}\n")

@@ -273,3 +273,14 @@ def test_npt_vmaps_over_replicas():
     assert bool(jnp.all(jnp.isfinite(x1)))
     # independent acceptance chains -> boxes diverge across replicas
     assert len(np.unique(np.round(np.asarray(b1)[:, 0], 12))) > 1
+
+
+def test_molecule_index_empty_extras():
+    """Empty index arrays in extra_idx are legal (a torsion-only
+    BondedParams has bond_idx of shape [0, 2]) — regression for the
+    size-0 reshape crash."""
+    force, _, _, box = water_box(n_side=3, seed=0)
+    system = force.create_system(box=box, dtype=jnp.float64)
+    empty = np.zeros((0, 2), np.int64)
+    mol_id, first_idx, counts = molecule_index(system, (empty,))
+    assert first_idx.shape[0] == system.n_atoms // 3

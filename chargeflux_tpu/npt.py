@@ -194,7 +194,9 @@ def npt_langevin_trajectory(positions, velocities, system, masses,
         raise ValueError("n_steps must be a positive multiple of "
                          "barostat_interval")
     if bonded is not None and extra_mol_idx == ():
-        extra_mol_idx = (np.asarray(bonded.bond_idx).reshape(-1, 2),)
+        extra_mol_idx = tuple(
+            np.asarray(a) for a in (bonded.bond_idx, bonded.angle_idx,
+                                    bonded.torsion_idx) if a is not None)
     mol_id, first_idx, counts = molecule_index(system, extra_mol_idx)
     n_mol = first_idx.shape[0]
 

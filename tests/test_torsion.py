@@ -95,3 +95,20 @@ def test_torsion_composes_with_harmonic_terms():
         pos, with_tor.torsion_idx, with_tor.torsion_k, with_tor.torsion_n,
         with_tor.torsion_phi0, with_tor.box, with_tor.pbc))
     assert abs(e_tor - (e_plain + e_only)) < 1e-12
+
+
+def test_torsion_pbc_straddle():
+    """A chain straddling the periodic boundary scores the same dihedral
+    energy as its unwrapped image (min-image displacements)."""
+    pos = _geometry(1.1)
+    box = np.array([3.0, 3.0, 3.0])
+    args = (jnp.asarray([[0, 1, 2, 3]]), jnp.asarray([4.2]),
+            jnp.asarray([3.0]), jnp.asarray([0.6]), jnp.asarray(box))
+    e_plain = float(periodic_torsion_energy(jnp.asarray(pos + 1.0), *args,
+                                            pbc=True))
+    # shift two atoms by a full box: wrapped image of the same geometry
+    wrapped = pos + 1.0
+    wrapped[2:] += np.array([0.0, 0.0, 3.0])
+    e_wrap = float(periodic_torsion_energy(jnp.asarray(wrapped), *args,
+                                           pbc=True))
+    assert abs(e_plain - e_wrap) < 1e-12

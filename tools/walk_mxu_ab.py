@@ -36,8 +36,13 @@ from chargeflux_tpu.units import ONE_4PI_EPS0  # noqa: E402
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def mxu_tile(comp, qc, hc, sc, ids, xj, qj, hj, sj, idsj, system, centers):
-    """MXU variant of cells._concat_tile (f32, with_grads=True path)."""
+def mxu_tile(comp, qc, hc, sc, ids, xj, qj, hj, sj, idsj, system, centers,
+             mxu_r2: bool = True):
+    """MXU variant of cells._concat_tile (f32, with_grads=True path).
+
+    ``mxu_r2=False`` is the hybrid: r^2 from explicit per-axis deltas on
+    the VPU (exact, no re-centering needed) with only the gradient
+    contractions as matmuls — separates the two offload decisions."""
     spec = system.spec
     cap = spec.cell_capacity
     n = system.n_atoms
@@ -50,10 +55,15 @@ def mxu_tile(comp, qc, hc, sc, ids, xj, qj, hj, sj, idsj, system, centers):
     # re-center on the i-cell centroid (same shift both sides: r unchanged)
     xi3 = jnp.stack([c - ctr for c, ctr in zip(comp, centers)], axis=-1)
     xj3 = jnp.stack([c - ctr for c, ctr in zip(xj, centers)], axis=-1)
-    ni = jnp.sum(xi3 * xi3, axis=-1)
-    nj = jnp.sum(xj3 * xj3, axis=-1)
-    cross = jnp.einsum("...ik,...jk->...ij", xi3, xj3, precision=HIGHEST)
-    r2 = ni[..., :, None] + nj[..., None, :] - 2.0 * cross
+    if mxu_r2:
+        ni = jnp.sum(xi3 * xi3, axis=-1)
+        nj = jnp.sum(xj3 * xj3, axis=-1)
+        cross = jnp.einsum("...ik,...jk->...ij", xi3, xj3,
+                           precision=HIGHEST)
+        r2 = ni[..., :, None] + nj[..., None, :] - 2.0 * cross
+    else:
+        r2 = sum((a[..., :, None] - b[..., None, :]) ** 2
+                 for a, b in zip(comp, xj))
 
     ordered = ((jnp.arange(xj3.shape[-2], dtype=jnp.int32) >= cap)
                | (ids[..., :, None] < idsj[..., None, :]))
@@ -116,7 +126,7 @@ def main():
                 return _concat_tile(comp, b.q, b.hs, b.se, ids, xj, qj,
                                     hj, sj, idsj, system, True)
             return mxu_tile(comp, b.q, b.hs, b.se, ids, xj, qj, hj, sj,
-                            idsj, system, ctr)
+                            idsj, system, ctr, mxu_r2=(kind == "mxu"))
 
         @partial(jax.jit, static_argnums=(1,))
         def run(carry0, k):
@@ -149,7 +159,8 @@ def main():
         "dq_rel": float(jnp.max(jnp.abs(dqA - dqB))
                         / float(jnp.max(jnp.abs(dqA)))),
     }))
-    for kind, run in (("vpu", runA), ("mxu", runB)):
+    runH, _, _ = run_variant("hyb")
+    for kind, run in (("vpu", runA), ("mxu", runB), ("hyb", runH)):
         ms = _timed_scan(run, xyz0, 2, 52, reps=5)
         print(json.dumps({"kind": kind, "config": config,
                           "ms_fused_tile": round(ms, 4)}))

@@ -384,11 +384,13 @@ class CoulForce:
             raise ValueError(
                 f"unknown recip_method {recip_method!r}: expected 'auto', "
                 f"'xla', 'pallas' or 'pme'")
-        if walk_layout not in ("auto", "shift", "concat"):
+        if walk_layout not in ("auto", "shift", "concat", "concat_mxu",
+                               "concat_hyb"):
             raise ValueError(
                 f"unknown walk_layout {walk_layout!r}: expected 'auto', "
-                f"'shift' or 'concat' ('ifull' — a full-shell i-centered "
-                f"tile — was measured 45% slower and removed, BASELINE.md)")
+                f"'shift', 'concat', 'concat_mxu' or 'concat_hyb' "
+                f"('ifull' — a full-shell i-centered tile — was measured "
+                f"45% slower and removed, BASELINE.md)")
         if walk_layout == "auto":
             walk_layout = "concat"
         if self._pbc:
@@ -455,8 +457,8 @@ class CoulForce:
         # Chunk the concat/ifull walk so one pair tile stays under the
         # memory budget (lane width rounds S*cap up to the 128 lanes).
         walk_chunks = 1
-        if method == "cell" and walk_layout in ("concat", "ifull"):
-            s_width = 14 if walk_layout == "concat" else 27
+        if method == "cell" and walk_layout.startswith("concat"):
+            s_width = 14
             lane_w = -(-s_width * capacity // 128) * 128
             itemsize = jnp.dtype(dtype).itemsize
             tile_bytes = (grid[0] * grid[1] * grid[2] * capacity

@@ -284,3 +284,28 @@ def test_molecule_index_empty_extras():
     empty = np.zeros((0, 2), np.int64)
     mol_id, first_idx, counts = molecule_index(system, (empty,))
     assert first_idx.shape[0] == system.n_atoms // 3
+
+
+@pytest.mark.parametrize("scale", [0.99, 1.01])
+def test_with_box_scaled_cell_route_oracle_parity(scale):
+    """The CELL route (production NPT path) under with_box(s*box) matches
+    the f64 oracle at the scaled geometry — the binning, walk image
+    offsets and PME/classical recip all read the traced box."""
+    force, positions, _, box = water_box(n_side=10, seed=6)
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell")
+    _, kmax_scaled = ewald_alpha_kmax(force.getCutoffDistance(),
+                                      force.getEwaldErrorTolerance(),
+                                      np.asarray(box) * scale)
+    assert tuple(kmax_scaled) == tuple(system.spec.kmax)
+    x_s = jnp.asarray(positions) * scale
+    sys_s = system.with_box(jnp.asarray(box) * scale)
+    e = float(cf.energy(x_s, sys_s))
+    f = np.asarray(cf.forces(x_s, sys_s))
+    e_ref, f_ref, _ = energy_forces_pbc(
+        np.asarray(positions) * scale, force_to_params(force),
+        np.asarray(box) * scale, force.getCutoffDistance(),
+        force.getEwaldErrorTolerance())
+    assert abs(e - e_ref) <= 1e-10 * abs(e_ref)
+    fs = np.abs(f_ref).max()
+    np.testing.assert_allclose(f / fs, f_ref / fs, atol=1e-10)

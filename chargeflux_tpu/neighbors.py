@@ -6,9 +6,12 @@ The reference rebuilds its neighbor list on every evaluation
 cell edge already exceeds the cutoff (edge = box/floor(box/cutoff)), so the
 surplus is a free *skin* — the traversal's r < cutoff mask keeps results
 exact while every atom has moved less than skin/2 since the last rebuild
-(the standard Verlet-list argument).  ``refresh_neighbor_state`` checks the
-max displacement and rebuilds inside ``lax.cond`` only when needed, so a
-trajectory scan pays for binning every ~10-20 steps instead of every step.
+(the standard Verlet-list argument).  Trajectory drivers amortize by
+rebuilding *unconditionally* every ``suggest_rebuild_interval`` steps in a
+nested scan, with ``neighbor_state_fresh`` as a NaN-poison backstop — a
+data-dependent ``lax.cond`` rebuild costs ~0.8 ms/step on TPU even on the
+cheap branch (CLAUDE.md, measured), more than the binning it skips; the
+``refresh_neighbor_state`` cond variant is for host-driven stepping only.
 
 Wrap offsets are frozen at rebuild time (``wrap = box*floor(x_ref/box)``):
 during reuse, block coordinates are ``x - wrap`` — continuous across the
@@ -55,19 +58,31 @@ def build_neighbor_state(positions: jax.Array, system) -> NeighborState:
 
 def neighbor_state_fresh(state: NeighborState, positions: jax.Array,
                          system) -> jax.Array:
-    """True while every atom has moved < skin/2 since the last rebuild (so
-    the reused binning still yields every pair within the cutoff)."""
+    """True while every atom has moved <= skin/2 since the last rebuild
+    (so the reused binning still yields every pair within the cutoff).
+
+    ``<=`` not ``<``: a zero-skin grid (commensurate box, skin_frac=0)
+    must read fresh at the exact rebuild positions — a strict compare
+    made 0 < 0 False, NaN-poisoning every step of a rebuild_every=1
+    trajectory that is in fact exact."""
     half_skin = 0.5 * skin_radius(system)
     d = positions - state.x_ref
     max_d2 = jnp.max(jnp.sum(d * d, axis=-1))
-    return max_d2 < half_skin * half_skin
+    return max_d2 <= half_skin * half_skin
 
 
 def refresh_neighbor_state(state: NeighborState, positions: jax.Array,
                            system) -> NeighborState:
     """Rebuild the binning iff an atom moved past skin/2 (lax.cond: the
     rebuild cost is paid only on rebuild steps).  Non-differentiable by
-    construction; callers should treat the result as constant data."""
+    construction; callers should treat the result as constant data.
+
+    NOT the production pattern: a data-dependent lax.cond costs ~0.8
+    ms/step on TPU even when the cheap branch is taken (CLAUDE.md,
+    measured), more than the binning it skips — trajectory drivers
+    (integrate.nve_trajectory_nb etc.) instead rebuild unconditionally
+    every K steps in a nested scan with the freshness guard as a NaN
+    backstop.  Kept for interactive/host-driven stepping and tests."""
     return jax.lax.cond(
         neighbor_state_fresh(state, positions, system),
         lambda: state,

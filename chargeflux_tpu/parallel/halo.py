@@ -111,15 +111,18 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
     # FFT/influence) when the spec asks for PME or resolves to it on the TPU
     # f32 production path — same selection as the single-chip engine
     # (energy.py).  Otherwise the classical chunked structure-factor sum.
-    use_pme = spec.pme_grid is not None and (
-        spec.recip_method == "pme"
-        or (spec.recip_method == "auto"
-            and jax.default_backend() == "tpu"
-            and system.sigma.dtype == jnp.float32))
+    # (the auto branch is completed per-trace on positions.dtype inside
+    # local_energy, matching energy.py's selection exactly — gating on a
+    # parameter dtype here could disagree with a mixed-dtype call)
+    use_pme_always = spec.pme_grid is not None and spec.recip_method == "pme"
+    use_pme_auto = (spec.pme_grid is not None
+                    and spec.recip_method == "auto"
+                    and jax.default_backend() == "tpu")
 
     def local_energy(positions):
         dev = jax.lax.axis_index(axis_name)
         dtype = positions.dtype
+        use_pme = use_pme_always or (use_pme_auto and dtype == jnp.float32)
         box = system.box
         q = effective_charges(positions, system)   # replicated, template-fast
 
@@ -151,33 +154,16 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
         ext = jnp.concatenate([g8, halo_hi[None]], axis=0)
 
         ids = slots.reshape(gxl, gy, gz, cap)
-        valid_i = ids < n
-        xi = [g8[..., k] for k in range(3)]
-        qi, hi_, si = g8[..., 3], g8[..., 4], g8[..., 5]
-
-        def pair_e(xj, qj, hj, sj, mj, extra=None):
-            r2 = 0.0
-            for k in range(3):
-                dk = xi[k][..., :, None] - xj[k][..., None, :]
-                r2 = r2 + dk * dk
-            mask = valid_i[..., :, None] & mj[..., None, :] & (r2 < cutoff2)
-            if extra is not None:
-                mask = mask & extra
-            r2s = jnp.where(mask, r2, 1.0)
-            inv_r = jax.lax.rsqrt(r2s)
-            r = r2s * inv_r
-            coul = (ONE_4PI_EPS0 * (qi[..., :, None] * qj[..., None, :])
-                    * inv_r * erfc_fast(alpha * r))
-            sig2 = ((hi_[..., :, None] + hj[..., None, :]) * inv_r) ** 2
-            sig6 = sig2 * sig2 * sig2
-            lj = (si[..., :, None] * sj[..., None, :]) * sig6 * (sig6 - 1.0)
-            return jnp.sum(jnp.where(mask, coul + lj, 0.0))
 
         # Concat walk layout, as in the single-chip route (cells.py): the
         # 14 half-shell j slabs — x via ext slicing (dx in {0, 1}), y/z
         # via rolls with static boundary image offsets — are concatenated
         # along the slot axis into ONE [cap, 14*cap] pair tile so the
-        # 128-lane padding is paid once.
+        # 128-lane padding is paid once.  The whole tile is wrapped in
+        # jax.checkpoint: under plain autodiff the backward pass would
+        # otherwise keep the [.., cap, 14*cap] r2/inv_r/sig6 intermediates
+        # live in HBM (the single-chip route fuses them away with a hand
+        # VJP; here recomputation buys the same memory profile).
         yz_ax = (1, 2)
 
         def off(axis_len, d, bk, shape):
@@ -186,25 +172,55 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
                          np.where(c + d < 0, -1.0, 0.0))
             return jnp.asarray(o, dtype).reshape(shape) * bk
 
-        slabs = []
-        for (dx_, dy_, dz_) in HALF_SHELL:
-            sl = jax.lax.slice_in_dim(ext, dx_, dx_ + gxl, axis=0)
-            sl = jnp.roll(sl, (-dy_, -dz_), yz_ax)
-            oy = off(gy, dy_, box[1], (1, gy, 1, 1))
-            oz = off(gz, dz_, box[2], (1, 1, gz, 1))
-            slabs.append((sl[..., 0], sl[..., 1] + oy, sl[..., 2] + oz,
-                          sl[..., 3], sl[..., 4], sl[..., 5],
-                          sl[..., 6] > 0.5))
-        cat = lambda k: jnp.concatenate([s[k] for s in slabs], axis=-1)
-        xj = [cat(0), cat(1), cat(2)]
-        # self slab (first cap columns): ordered pairs by global atom id;
-        # the other 13 slabs take every in-range pair once
-        idsj = jnp.concatenate(
-            [ids, jnp.zeros(ids.shape[:-1] + (13 * cap,), ids.dtype)],
-            axis=-1)
-        ordered = ((jnp.arange(14 * cap, dtype=jnp.int32) >= cap)
-                   | (ids[..., :, None] < idsj[..., None, :]))
-        e_dir = pair_e(xj, cat(3), cat(4), cat(5), cat(6), extra=ordered)
+        def tile_energy(ext_in, ids_in):
+            g8_in = jax.lax.slice_in_dim(ext_in, 0, gxl, axis=0)
+            valid_i = ids_in < n
+            xi = [g8_in[..., k] for k in range(3)]
+            qi, hi_, si = g8_in[..., 3], g8_in[..., 4], g8_in[..., 5]
+            slabs = []
+            for (dx_, dy_, dz_) in HALF_SHELL:
+                sl = jax.lax.slice_in_dim(ext_in, dx_, dx_ + gxl, axis=0)
+                sl = jnp.roll(sl, (-dy_, -dz_), yz_ax)
+                oy = off(gy, dy_, box[1], (1, gy, 1, 1))
+                oz = off(gz, dz_, box[2], (1, 1, gz, 1))
+                slabs.append((sl[..., 0], sl[..., 1] + oy, sl[..., 2] + oz,
+                              sl[..., 3], sl[..., 4], sl[..., 5],
+                              sl[..., 6] > 0.5))
+            cat = lambda k: jnp.concatenate([s[k] for s in slabs], axis=-1)
+            xj = [cat(0), cat(1), cat(2)]
+            qj, hj, sj, mj = cat(3), cat(4), cat(5), cat(6)
+            # self slab (first cap columns): ordered pairs by global atom
+            # id; the other 13 slabs take every in-range pair once
+            ordered = jnp.concatenate(
+                [ids_in[..., :, None] < ids_in[..., None, :],
+                 jnp.ones(ids_in.shape[:-1] + (cap, 13 * cap), bool)],
+                axis=-1)
+            r2 = 0.0
+            for k in range(3):
+                dk = xi[k][..., :, None] - xj[k][..., None, :]
+                r2 = r2 + dk * dk
+            mask = (valid_i[..., :, None] & mj[..., None, :]
+                    & (r2 < cutoff2) & ordered)
+            r2s = jnp.where(mask, r2, 1.0)
+            inv_r = jax.lax.rsqrt(r2s)
+            qq = ONE_4PI_EPS0 * (qi[..., :, None] * qj[..., None, :])
+            if dtype == jnp.float64:
+                # exact erfc on the f64 parity path
+                r = r2s * inv_r
+                coul = qq * inv_r * erfc_fast(alpha * r)
+            else:
+                # same exp/divide-free polynomial as the single-chip f32
+                # walk (cells._concat_tile) — identical numerics across
+                # the single-chip and halo routes
+                from ..ops.erfc import erf_over_r_eval
+                coul = qq * (inv_r - erf_over_r_eval(r2s, alpha,
+                                                     spec.cutoff))
+            sig2 = ((hi_[..., :, None] + hj[..., None, :]) * inv_r) ** 2
+            sig6 = sig2 * sig2 * sig2
+            lj = (si[..., :, None] * sj[..., None, :]) * sig6 * (sig6 - 1.0)
+            return jnp.sum(jnp.where(mask, coul + lj, 0.0))
+
+        e_dir = jax.checkpoint(tile_energy)(ext, ids)
 
         # overflow safety: the NaN poison term touches every position so
         # every atom's force is poisoned too (same as the 1-device route)

@@ -111,3 +111,27 @@ def test_packed_trajectory_matches_stepwise_api():
     np.testing.assert_allclose(np.asarray(final.velocities),
                                np.asarray(s.velocities), rtol=1e-10,
                                atol=1e-12)
+
+
+def test_zero_skin_state_fresh_at_rebuild_positions():
+    """A zero-skin grid (commensurate box, skin_frac=0) must read FRESH at
+    the exact rebuild positions — regression for the strict-< compare that
+    NaN-poisoned every step of an exact rebuild_every=1 trajectory."""
+    import chargeflux_tpu as cf
+    from chargeflux_tpu.neighbors import (build_neighbor_state,
+                                          neighbor_state_fresh, skin_radius)
+    force = cf.CoulForce()
+    force.setUsesPeriodicBoundaryConditions(True)
+    force.setCutoffDistance(0.5)
+    rng = np.random.default_rng(0)
+    for _ in range(64):
+        force.addParticle(0.1, 0.3, 0.2)
+    box = np.array([4.0, 4.0, 4.0])
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell", skin_frac=0.0)
+    assert float(skin_radius(system)) == 0.0
+    x = jnp.asarray(rng.uniform(0, 4, (64, 3)))
+    nb = build_neighbor_state(x, system)
+    assert bool(neighbor_state_fresh(nb, x, system))
+    # any movement at zero skin is stale
+    assert not bool(neighbor_state_fresh(nb, x + 1e-6, system))

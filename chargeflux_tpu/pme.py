@@ -322,6 +322,32 @@ def _spread_patches_bwd(prec_name, res, ct):
 _spread_patches.defvjp(_spread_patches_fwd, _spread_patches_bwd)
 
 
+def _cell_patch_weights(coord, n_cells, grid_n, length, extra, cell_axis,
+                        order, dtype, transposed: bool = False):
+    """Per-cell compact B-spline patch weights — the ONE constructor
+    behind the cell-blocked spread routes (pme_cell_reciprocal_energy,
+    the Pallas variant in transposed lane layout, and the halo local
+    mesh); the three must stay bit-identical for the routes to agree to
+    reduction-order rounding.  Returns (weights, int patch origins [n_cells],
+    patch width).  ``transposed`` lands the tap axis third
+    ([ngx, ngy, W, ngz, cap]) so the Pallas kernel sees the row axis as
+    its lane dimension without an XLA transpose; default is trailing
+    ([.., cap, W])."""
+    u = coord * (grid_n / length)
+    org = _patch_origins(n_cells, grid_n, order, extra)
+    w = _patch_width(n_cells, grid_n, order, extra)
+    shape = [1, 1, 1, 1, 1]
+    shape[cell_axis] = n_cells
+    base = jnp.asarray(org, dtype).reshape(shape)
+    if transposed:
+        j = jnp.arange(w, dtype=dtype).reshape(1, 1, w, 1, 1)
+        t = u[:, :, None, :, :] - (base + j)
+    else:
+        j = jnp.arange(w, dtype=dtype).reshape(1, 1, 1, 1, w)
+        t = u[..., None] - (base + j)
+    return bspline(t, order), org, w
+
+
 def _spread_col_batch(n_col: int, wx: int, wyp: int, rows: int) -> int:
     """Per-program column batch for the Pallas spread kernel.
 
@@ -373,19 +399,11 @@ def pme_cell_pallas_reciprocal_energy(blocks, ids, system) -> jax.Array:
     qv = jnp.where(ids < n, blocks.q, 0.0)
 
     def compact_weights_t(coord, n_cells, grid_n, length, cell_axis):
-        """Compact per-cell weights in TRANSPOSED layout [ngx, ngy, W, ngz,
-        cap] — the row axis lands last so the Pallas kernel sees it as the
-        lane dimension without any XLA transpose."""
-        extra = spec.pme_slack[cell_axis]
-        u = coord * (grid_n / length)                 # [ngx, ngy, ngz, cap]
-        org = _patch_origins(n_cells, grid_n, order, extra)
-        w = _patch_width(n_cells, grid_n, order, extra)
-        shape = [1, 1, 1, 1, 1]
-        shape[cell_axis] = n_cells                    # cell_axis in {0, 1}
-        base = jnp.asarray(org, dtype).reshape(shape)
-        j = jnp.arange(w, dtype=dtype).reshape(1, 1, w, 1, 1)
-        t = u[:, :, None, :, :] - (base + j)
-        return bspline(t, order), org + order + extra, w
+        # transposed layout + the kernel's placement-origin convention
+        wl, org, w = _cell_patch_weights(
+            coord, n_cells, grid_n, length, spec.pme_slack[cell_axis],
+            cell_axis, order, dtype, transposed=True)
+        return wl, org + order + spec.pme_slack[cell_axis], w
 
     wlxt, opx, wx = compact_weights_t(blocks.x, ngx, gx, box[0], 0)
     wlyt5, opy, wy = compact_weights_t(blocks.y, ngy, gy, box[1], 1)
@@ -449,16 +467,9 @@ def pme_cell_reciprocal_energy(blocks, ids, system) -> jax.Array:
     qv = jnp.where(ids < n, blocks.q, 0.0)
 
     def axis_weights(coord, n_cells, grid_n, length, cell_axis):
-        extra = spec.pme_slack[cell_axis]
-        u = coord * (grid_n / length)                     # [ngx,ngy,ngz,cap]
-        org = _patch_origins(n_cells, grid_n, order, extra)
-        w = _patch_width(n_cells, grid_n, order, extra)
-        shape = [1, 1, 1, 1, 1]
-        shape[cell_axis] = n_cells
-        base = jnp.asarray(org, dtype).reshape(shape)
-        j = jnp.arange(w, dtype=dtype).reshape(1, 1, 1, 1, w)
-        t = u[..., None] - (base + j)                     # [.., cap, W]
-        return bspline(t, order), org, w
+        return _cell_patch_weights(coord, n_cells, grid_n, length,
+                                   spec.pme_slack[cell_axis], cell_axis,
+                                   order, dtype)
 
     wlx, orx, wx = axis_weights(blocks.x, ngx, gx, box[0], 0)
     wly, ory, wy = axis_weights(blocks.y, ngy, gy, box[1], 1)
@@ -542,14 +553,8 @@ def pme_halo_local_mesh(g8, ids, system, dev,
     wlx = bspline(tx, order)
 
     def yz_weights(coord, n_cells, grid_n, length, extra, cell_axis):
-        u = coord * (grid_n / length)
-        org = _patch_origins(n_cells, grid_n, order, extra)
-        w = _patch_width(n_cells, grid_n, order, extra)
-        shape = [1, 1, 1, 1, 1]
-        shape[cell_axis] = n_cells
-        baseo = jnp.asarray(org, dtype).reshape(shape)
-        j = jnp.arange(w, dtype=dtype).reshape(1, 1, 1, 1, w)
-        return bspline(u[..., None] - (baseo + j), order), org, w
+        return _cell_patch_weights(coord, n_cells, grid_n, length, extra,
+                                   cell_axis, order, dtype)
 
     wly, orgy, wy = yz_weights(g8[..., 1], ngy, gmy, box[1], ey, 1)
     wlz, orgz, wz = yz_weights(g8[..., 2], ngz, gmz, box[2], ez, 2)

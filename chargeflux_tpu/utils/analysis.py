@@ -34,6 +34,25 @@ def mean_squared_displacement(frames, max_lag: int = None):
     return out
 
 
+def velocity_autocorrelation(vel_frames, max_lag: int = None):
+    """Normalized VACF over [F, N, 3] velocity frames: C(lag) =
+    <v(t).v(t+lag)> / <v.v>, averaged over start times and atoms
+    (host-side NumPy, like :func:`mean_squared_displacement`).  The
+    diffusion coefficient is D = (1/3) integral C(t) <v^2> dt; the first
+    zero crossing locates the cage-rattling time in liquids."""
+    v = np.asarray(vel_frames, np.float64)
+    f = v.shape[0]
+    if max_lag is None:
+        max_lag = f - 1
+    max_lag = min(max_lag, f - 1)
+    c0 = np.mean(np.sum(v * v, axis=-1))
+    out = np.empty(max_lag + 1, np.float64)
+    out[0] = 1.0
+    for lag in range(1, max_lag + 1):
+        out[lag] = np.mean(np.sum(v[lag:] * v[:-lag], axis=-1)) / c0
+    return out
+
+
 def radial_distribution(positions, box, idx_a, idx_b, r_max: float,
                         n_bins: int = 100, chunk: int = 512):
     """g(r) between selections ``idx_a`` and ``idx_b`` (atom index arrays)

@@ -168,3 +168,17 @@ def test_msd_ballistic_and_diffusive():
     msd_w = mean_squared_displacement(walk, max_lag=20)
     ratio = msd_w[19] / msd_w[4]
     assert 3.0 < ratio < 5.0   # ~20/5 = 4
+
+
+def test_vacf_constant_and_noise():
+    from chargeflux_tpu.utils.analysis import velocity_autocorrelation
+    # constant velocities: perfectly correlated at every lag
+    v = np.tile(np.array([[0.3, -0.1, 0.2]]), (30, 5, 1))
+    c = velocity_autocorrelation(v, max_lag=10)
+    np.testing.assert_allclose(c, 1.0, atol=1e-12)
+    # white noise: C(0)=1, C(lag>0) ~ 0
+    rng = np.random.default_rng(0)
+    vn = rng.standard_normal((4000, 20, 3))
+    cn = velocity_autocorrelation(vn, max_lag=5)
+    assert cn[0] == 1.0
+    assert np.all(np.abs(cn[1:]) < 0.01)

@@ -80,9 +80,10 @@ def radial_distribution(positions, box, idx_a, idx_b, r_max: float,
     pa_pad = jnp.concatenate(
         [pa_all, jnp.full((pad, 3), 1e6, positions.dtype)]) \
         if pad else pa_all
-    ia_pad = jnp.concatenate(
-        [jnp.asarray(idx_a), jnp.full((pad,), -1, jnp.int64)]) \
-        if pad else jnp.asarray(idx_a)
+    ia_all = jnp.asarray(idx_a.astype(np.int32))
+    ib = jnp.asarray(idx_b.astype(np.int32))
+    ia_pad = (jnp.concatenate([ia_all, jnp.full((pad,), -1, jnp.int32)])
+              if pad else ia_all)
     n_chunks = pa_pad.shape[0] // chunk
     edges = jnp.linspace(0.0, r_max, n_bins + 1)
 
@@ -92,8 +93,7 @@ def radial_distribution(positions, box, idx_a, idx_b, r_max: float,
         d = delta_periodic(pa[:, None, :], pb[None, :, :], box)
         r = jnp.sqrt(jnp.sum(d * d, axis=-1))
         w = ((ia[:, None] >= 0)
-             & (ia[:, None] != jnp.asarray(idx_b)[None, :])).astype(
-            positions.dtype)
+             & (ia[:, None] != ib[None, :])).astype(positions.dtype)
         h, _ = jnp.histogram(r, bins=edges, weights=w)
         return hist + h, None
 

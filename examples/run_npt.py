@@ -75,6 +75,19 @@ def main():
           f"pressure {p_inst:.0f} bar (single-config; NPT average ~ P_ext)")
     assert np.isfinite(e_last)
 
+    # final-frame structure + a viewable trajectory frame
+    from chargeflux_tpu.utils import radial_distribution, write_xyz
+    write_xyz("npt_final.xyz", np.asarray(x1), masses=np.asarray(masses),
+              comments=[f"NPT final frame, box {np.asarray(box1)[0]:.4f} nm"])
+    o_idx = np.arange(0, system.n_atoms, 3)
+    r, g = radial_distribution(x1, box1, o_idx, o_idx,
+                               r_max=float(np.asarray(box1)[0]) / 2 - 1e-6,
+                               n_bins=30)
+    peak = int(np.argmax(np.asarray(g)))
+    print(f"g_OO first peak ~{float(np.asarray(r)[peak]):.2f} nm "
+          f"(height {float(np.asarray(g)[peak]):.1f}); frame written to "
+          f"npt_final.xyz")
+
 
 if __name__ == "__main__":
     main()

@@ -242,3 +242,26 @@ def test_walk_layout_mxu_variants_within_f32_budget():
                                      walk_layout=layout)
         es.append(float(cf.energy(x64, system)))
     assert es[0] == es[1]
+
+
+@pytest.mark.parametrize("layout", ["concat_hyb", "concat_mxu"])
+def test_walk_layout_variants_trajectory_stable(layout):
+    """Short f32 NVE through the fused custom-VJP walk on the MXU-offload
+    layouts: finite, bounded drift (integration-level pin on top of the
+    single-point energy/force budgets)."""
+    from chargeflux_tpu.integrate import (init_state_nb, make_nb_energy_fn,
+                                          nve_trajectory_nb)
+    from chargeflux_tpu.models import water_bonded_params
+    force, pos, masses, box = water_box(n_side=10, seed=0)
+    system = force.create_system(box=box, dtype=jnp.float32,
+                                 direct_method="cell", walk_layout=layout)
+    bonded = water_bonded_params(1000, box=box, dtype=jnp.float32)
+    e_fn, init_nb = make_nb_energy_fn(system, bonded=bonded)
+    x = jnp.asarray(pos, jnp.float32)
+    s0 = init_state_nb(x, jnp.zeros_like(x), e_fn, init_nb)
+    _s1, es = nve_trajectory_nb(
+        s0, e_fn, init_nb, jnp.asarray(np.asarray(masses), jnp.float32),
+        5e-5, 50, rebuild_every=10)
+    es = np.asarray(es)
+    assert np.all(np.isfinite(es))
+    assert np.max(np.abs(es - es[0])) < 0.01 * np.abs(es[0])

@@ -28,12 +28,15 @@ from .integrate import (
     langevin_trajectory_nb,
     make_energy_fn,
     make_nb_energy_fn,
+    make_respa_force_fns,
     maxwell_velocities,
     minimize_fire,
     nve_step,
     nve_step_nb,
     nve_trajectory,
     nve_trajectory_nb,
+    respa_langevin_trajectory_nb,
+    respa_trajectory_nb,
     temperature,
 )
 from .npt import (instantaneous_pressure, molecule_index,
@@ -52,6 +55,8 @@ __all__ = [
     "make_energy_fn", "nve_step", "nve_trajectory", "init_state",
     "make_nb_energy_fn", "nve_step_nb", "nve_trajectory_nb", "init_state_nb",
     "langevin_step", "langevin_trajectory", "langevin_trajectory_nb",
+    "make_respa_force_fns", "respa_trajectory_nb",
+    "respa_langevin_trajectory_nb",
     "minimize_fire",
     "kinetic_energy", "temperature", "maxwell_velocities",
     "instantaneous_pressure", "molecule_index", "npt_langevin_trajectory",

@@ -236,6 +236,166 @@ def langevin_trajectory_nb(state: MDStateNB, e_fn, init_nb, masses,
     return final, kes.reshape(-1)
 
 
+# ---------------------------------------------------------------------------
+# Multi-timestep r-RESPA (impulse / Verlet-I) — bonded inner steps
+# ---------------------------------------------------------------------------
+
+
+def make_respa_force_fns(system, bonded, guard: bool = True):
+    """Split the force field into RESPA tiers: (slow_fn, fast_fn, init_nb).
+
+    ``slow_fn(x, nb) -> (energy, forces, nb)`` is the charge-flux nonbonded
+    tier (self/reciprocal/direct/exclusions + LJ) with neighbor-state reuse
+    and the freshness guard of :func:`make_nb_energy_fn` — expensive and
+    slowly varying, evaluated once per outer step.  ``fast_fn(x) ->
+    (energy, forces)`` is the harmonic bonded tier — cheap and rapidly
+    varying (OH stretches), evaluated every inner substep."""
+    slow_fn, init_nb = make_nb_energy_fn(system, bonded=None, guard=guard)
+
+    def fast_fn(x):
+        e, g = jax.value_and_grad(bonded_energy)(x, bonded)
+        return e, -g
+
+    return slow_fn, fast_fn, init_nb
+
+
+def _pack12(x, v, f_slow, f_fast):
+    return jnp.concatenate([x, v, f_slow, f_fast], axis=1)
+
+
+def respa_trajectory_nb(state: MDStateNB, slow_fn, fast_fn, init_nb, masses,
+                        dt: float, n_inner: int, n_steps: int,
+                        rebuild_every: int = 10):
+    """Impulse r-RESPA NVE trajectory (Verlet-I; Tuckerman-Berne-Martyna
+    splitting): each outer step of ``dt`` applies half-step velocity kicks
+    from the slow (nonbonded) force at the boundaries and advances
+    ``n_inner`` velocity-Verlet substeps of ``dt / n_inner`` on the fast
+    (bonded) force.  With flexible charge-flux water the whole-step
+    stability limit (~0.5 fs, OH stretch) moves to the inner tier, so the
+    expensive nonbonded evaluation runs once per 1.5-2.5 fs outer step —
+    a ~n_inner-fold ns/day lever where the nonbonded step dominates.
+
+    The reference plugin delegates integration to its host framework
+    (SURVEY §1 L0); this is the L0 replacement's multi-timestep integrator
+    (OpenMM ``MTSIntegrator`` analog).  ``n_steps`` counts *outer* steps
+    and must be a positive multiple of ``rebuild_every`` (the neighbor
+    state rebuilds every ``rebuild_every`` outer steps, unconditionally,
+    in a nested scan — see :func:`make_nb_energy_fn`).  Scans run on one
+    packed ``[N, 12]`` x|v|f_slow|f_fast carry (see
+    :func:`make_packed_nve_chunk` for why packed).  Returns
+    (final_state, per-outer-step total energies)."""
+    if n_steps % rebuild_every or n_steps <= 0:
+        raise ValueError("n_steps must be a positive multiple of "
+                         "rebuild_every")
+    masses = jnp.asarray(masses)
+    inv_m = (1.0 / masses)[:, None]
+    dt_in = dt / n_inner
+
+    def inner(q, _):
+        x, v, f = q[:, 0:3], q[:, 3:6], q[:, 6:9]
+        v_half = v + 0.5 * dt_in * f * inv_m
+        x_new = x + dt_in * v_half
+        e_fast, f_new = fast_fn(x_new)
+        v_new = v_half + 0.5 * dt_in * f_new * inv_m
+        return jnp.concatenate([x_new, v_new, f_new], axis=1), e_fast
+
+    def make_outer_step(nb):
+        def body(p, _):
+            x, v = p[:, 0:3], p[:, 3:6]
+            f_slow, f_fast = p[:, 6:9], p[:, 9:12]
+            v = v + 0.5 * dt * f_slow * inv_m              # slow kick
+            q = jnp.concatenate([x, v, f_fast], axis=1)
+            q, e_fasts = jax.lax.scan(inner, q, None, length=n_inner)
+            x, v, f_fast = q[:, 0:3], q[:, 3:6], q[:, 6:9]
+            e_slow, f_slow, _nb = slow_fn(x, nb)
+            v = v + 0.5 * dt * f_slow * inv_m              # slow kick
+            e_tot = e_slow + e_fasts[-1] + kinetic_energy(v, masses)
+            return _pack12(x, v, f_slow, f_fast), e_tot
+        return body
+
+    def outer(p, _):
+        nb = init_nb(p[:, 0:3])
+        return jax.lax.scan(make_outer_step(nb), p, None,
+                            length=rebuild_every)
+
+    nb = init_nb(state.positions)
+    _e, f_slow0, _nb = slow_fn(state.positions, nb)
+    _ef, f_fast0 = fast_fn(state.positions)
+    p = _pack12(state.positions, state.velocities, f_slow0, f_fast0)
+    p, etots = jax.lax.scan(outer, p, None, length=n_steps // rebuild_every)
+    x = p[:, 0:3]
+    nb = init_nb(x)
+    e_slow, f_slow, nb = slow_fn(x, nb)
+    e_fast, f_fast = fast_fn(x)
+    final = MDStateNB(x, p[:, 3:6], f_slow + f_fast, e_slow + e_fast, nb)
+    return final, etots.reshape(-1)
+
+
+def respa_langevin_trajectory_nb(state: MDStateNB, slow_fn, fast_fn,
+                                 init_nb, masses, dt: float, n_inner: int,
+                                 temperature: float, friction: float, key,
+                                 n_steps: int, rebuild_every: int = 10):
+    """BAOAB Langevin with impulse slow forces — the NVT analog of
+    :func:`respa_trajectory_nb`: the inner tier runs ``n_inner`` BAOAB
+    substeps of ``dt / n_inner`` on the fast (bonded) force (friction and
+    noise act at the inner timestep, where the fast dynamics live), the
+    slow (nonbonded) force kicks at the outer boundaries.  With
+    ``n_inner=1`` this reproduces :func:`langevin_trajectory_nb` exactly
+    (same key schedule, kicks differ only by summation order).  Returns
+    (final_state, per-outer-step kinetic energies)."""
+    if n_steps % rebuild_every or n_steps <= 0:
+        raise ValueError("n_steps must be a positive multiple of "
+                         "rebuild_every")
+    masses = jnp.asarray(masses)
+    inv_m = (1.0 / masses)[:, None]
+    dt_in = dt / n_inner
+    c1, c2 = baoab_coeffs(dt_in, friction, temperature,
+                          state.positions.dtype)
+
+    def inner(q, kk):
+        x, v, f = q[:, 0:3], q[:, 3:6], q[:, 6:9]
+        x, v = baoab_pre_force(x, v, f, inv_m, dt_in, c1, c2, kk)
+        _e, f_new = fast_fn(x)
+        v = v + 0.5 * dt_in * f_new * inv_m                # B (fast)
+        return jnp.concatenate([x, v, f_new], axis=1), None
+
+    def make_outer_step(nb):
+        def body(p, kk):
+            x, v = p[:, 0:3], p[:, 3:6]
+            f_slow, f_fast = p[:, 6:9], p[:, 9:12]
+            v = v + 0.5 * dt * f_slow * inv_m              # slow kick
+            q = jnp.concatenate([x, v, f_fast], axis=1)
+            ks = kk[None] if n_inner == 1 else jax.random.split(kk, n_inner)
+            q, _ = jax.lax.scan(inner, q, ks)
+            x, v, f_fast = q[:, 0:3], q[:, 3:6], q[:, 6:9]
+            _e, f_slow, _nb = slow_fn(x, nb)
+            v = v + 0.5 * dt * f_slow * inv_m              # slow kick
+            return (_pack12(x, v, f_slow, f_fast),
+                    kinetic_energy(v, masses))
+        return body
+
+    def outer(carry, _):
+        p, k = carry
+        k, sub = jax.random.split(k)
+        nb = init_nb(p[:, 0:3])
+        p, kes = jax.lax.scan(make_outer_step(nb), p,
+                              jax.random.split(sub, rebuild_every))
+        return (p, k), kes
+
+    nb = init_nb(state.positions)
+    _e, f_slow0, _nb = slow_fn(state.positions, nb)
+    _ef, f_fast0 = fast_fn(state.positions)
+    p = _pack12(state.positions, state.velocities, f_slow0, f_fast0)
+    (p, _k), kes = jax.lax.scan(outer, (p, key), None,
+                                length=n_steps // rebuild_every)
+    x = p[:, 0:3]
+    nb = init_nb(x)
+    e_slow, f_slow, nb = slow_fn(x, nb)
+    e_fast, f_fast = fast_fn(x)
+    final = MDStateNB(x, p[:, 3:6], f_slow + f_fast, e_slow + e_fast, nb)
+    return final, kes.reshape(-1)
+
+
 def nve_step(state: MDState, energy_fn, masses: jax.Array, dt: float) -> MDState:
     """One velocity-Verlet step.  masses [N] in amu; dt in ps."""
     inv_m = (1.0 / masses)[:, None]

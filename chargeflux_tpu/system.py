@@ -370,7 +370,12 @@ class CoulForce:
           dtype: float dtype for parameter arrays.
           direct_method: "dense", "cell", or "auto" (cell list for large
             periodic systems when the box admits >=3 cells per axis).
-          cell_capacity: override the per-cell atom capacity.
+          cell_capacity: override the per-cell atom capacity.  The
+            default gives ~4-sigma Poisson headroom over the *initial*
+            density, counting atoms as independent; molecules move as
+            units, so hot or unequilibrated runs can overflow it (the
+            energy NaN-poisons — visibly, never silently).  Triage with
+            utils.diagnose_nan, which suggests a capacity.
         """
         n = len(self._charges)
         if n == 0:

@@ -1,8 +1,9 @@
 from .analysis import radial_distribution
 from .checkpoint import load_checkpoint, save_checkpoint
+from .diagnose import diagnose_nan, max_cell_occupancy
 from .profiling import phase_scope, step_timer, trace
 from .trajectory import read_xyz, symbols_from_masses, write_xyz
 
 __all__ = ["save_checkpoint", "load_checkpoint", "phase_scope", "trace",
            "step_timer", "write_xyz", "read_xyz", "symbols_from_masses",
-           "radial_distribution"]
+           "radial_distribution", "diagnose_nan", "max_cell_occupancy"]

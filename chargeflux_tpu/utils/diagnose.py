@@ -1,0 +1,114 @@
+"""Host-side triage for NaN-poisoned trajectories.
+
+The engine makes failure VISIBLE by design (CLAUDE.md invariant; VERDICT
+r1 item 6): three distinct conditions poison the energy/forces to NaN
+inside jit rather than going silently wrong —
+
+1. **cell-list overflow** at a rebuild: a density fluctuation put more
+   atoms in a cell than the trace-time ``cell_capacity``
+   (cells.build_cell_list; the reference analog would silently corrupt
+   its neighbor tiles);
+2. **stale neighbor state**: a reused binning was consumed after an atom
+   moved past skin/2 (integrate.make_nb_energy_fn's freshness guard);
+3. **dynamics blowup**: the integrator step itself produced non-finite
+   positions (timestep too large / unequilibrated start).
+
+All three look identical from the outside (NaN energies).  This module
+tells the user which one fired and what to change, from the last finite
+state they hold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+
+def max_cell_occupancy(positions, system) -> int:
+    """Densest-cell atom count for ``positions`` under the system's cell
+    grid (NumPy, same wrap/clip convention as cells.build_cell_list)."""
+    spec = system.spec
+    x = np.asarray(jax.device_get(positions), dtype=np.float64)
+    box = np.asarray(jax.device_get(system.box), dtype=np.float64)
+    grid = np.asarray(spec.cell_grid)
+    frac = x / box
+    frac -= np.floor(frac)
+    ci = np.clip((frac * grid).astype(np.int64), 0, grid - 1)
+    flat = (ci[:, 0] * grid[1] + ci[:, 1]) * grid[2] + ci[:, 2]
+    return int(np.bincount(flat, minlength=int(grid.prod())).max())
+
+
+def diagnose_nan(positions, system, nb=None, dt=None) -> dict:
+    """Classify why a trajectory NaN-poisoned, from the last *finite*
+    state (positions and, if the loop reused one, its neighbor state).
+
+    Returns a dict with ``cause`` in {"non_finite_positions",
+    "cell_overflow", "stale_neighbor_state", "none"}, plus a
+    human-readable ``suggestion`` (and ``max_occupancy`` /
+    ``cell_capacity`` for the overflow case).  Checks are ordered by
+    precedence: non-finite positions mask everything downstream.
+    """
+    x = np.asarray(jax.device_get(positions))
+    if not np.all(np.isfinite(x)):
+        return {
+            "cause": "non_finite_positions",
+            "suggestion": (
+                "the poison already propagated into the coordinates — "
+                "diagnose from an earlier (finite) state; if the earlier "
+                "state is clean, the integrator step itself diverged: "
+                "reduce dt (flexible water needs <=0.5 fs whole-step or "
+                "an r-RESPA inner tier), equilibrate with a strong "
+                "thermostat before production, or minimize first"),
+        }
+
+    spec = system.spec
+    if spec.direct_method == "cell":
+        from ..cells import validate_cell_list
+        overflow = validate_cell_list(positions, system)
+        if overflow > 0:
+            occ = max_cell_occupancy(positions, system)
+            want = -(-max(occ + 8, int(spec.cell_capacity) + 8) // 8) * 8
+            return {
+                "cause": "cell_overflow",
+                "overflow": int(overflow),
+                "max_occupancy": occ,
+                "cell_capacity": int(spec.cell_capacity),
+                "suggestion": (
+                    f"a cell holds {occ} atoms but cell_capacity is "
+                    f"{spec.cell_capacity}; rebuild the system with "
+                    f"create_system(..., cell_capacity={want}).  Molecules "
+                    "move as units, so per-cell fluctuations run ~sqrt("
+                    "atoms/molecule) above the Poisson estimate the "
+                    "default uses — hot/unequilibrated systems need the "
+                    "extra headroom"),
+            }
+
+    if nb is not None:
+        from ..neighbors import neighbor_state_fresh, skin_radius
+        fresh = bool(jax.device_get(neighbor_state_fresh(nb, positions,
+                                                         system)))
+        if not fresh:
+            skin = float(jax.device_get(skin_radius(system)))
+            hint = ""
+            if dt is not None:
+                from ..neighbors import suggest_rebuild_interval
+                hint = (f"; suggest_rebuild_interval gives "
+                        f"{suggest_rebuild_interval(system, dt)} at this dt")
+            return {
+                "cause": "stale_neighbor_state",
+                "skin": skin,
+                "suggestion": (
+                    "an atom moved past skin/2 since the last rebuild: "
+                    "lower rebuild_every, enlarge the skin (skin_frac at "
+                    "create_system), or slow the dynamics" + hint),
+            }
+
+    return {
+        "cause": "none",
+        "suggestion": (
+            "this state looks healthy (finite, no overflow, fresh "
+            "neighbors) — if a run from here still NaNs, it poisons "
+            "mid-chunk: rerun with rebuild_every=1 and guard on, or step "
+            "manually to bisect"),
+    }

@@ -182,3 +182,52 @@ def test_vacf_constant_and_noise():
     cn = velocity_autocorrelation(vn, max_lag=5)
     assert cn[0] == 1.0
     assert np.all(np.abs(cn[1:]) < 0.01)
+
+
+def test_diagnose_nan_triage():
+    """diagnose_nan distinguishes the three poison causes (overflow /
+    stale neighbor state / diverged coordinates) from the last finite
+    state — the failure-detection triage the reference has no analog of."""
+    import jax
+    from chargeflux_tpu.models import water_box
+    from chargeflux_tpu.neighbors import build_neighbor_state, skin_radius
+    from chargeflux_tpu.utils import diagnose_nan, max_cell_occupancy
+
+    force, pos, masses, box = water_box(n_side=10, seed=9)
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell")
+    x = jnp.asarray(pos)
+
+    # healthy state
+    rep = diagnose_nan(x, system)
+    assert rep["cause"] == "none"
+
+    # diverged coordinates dominate every other check
+    x_bad = x.at[0, 0].set(jnp.nan)
+    assert diagnose_nan(x_bad, system)["cause"] == "non_finite_positions"
+
+    # cell overflow: cram the first two molecules' worth of extra atoms
+    # into one corner cell past a deliberately tiny capacity
+    tiny = force.create_system(box=box, dtype=jnp.float64,
+                               direct_method="cell", cell_capacity=8)
+    occ = max_cell_occupancy(x, tiny)
+    assert occ > 8  # liquid density: >8 atoms in the densest cell
+    rep = diagnose_nan(x, tiny)
+    assert rep["cause"] == "cell_overflow"
+    assert rep["max_occupancy"] == occ
+    assert rep["overflow"] > 0
+    suggested = int(rep["suggestion"].split("cell_capacity=")[1].split(")")[0])
+    assert suggested >= occ and suggested % 8 == 0
+    ok = force.create_system(box=box, dtype=jnp.float64,
+                             direct_method="cell", cell_capacity=suggested)
+    assert diagnose_nan(x, ok)["cause"] == "none"
+
+    # stale neighbor state: move one atom past skin/2 after the rebuild
+    nb = build_neighbor_state(x, system)
+    shift = 0.6 * float(skin_radius(system)) + 1e-3
+    x_moved = x.at[0, 0].add(shift)
+    rep = diagnose_nan(x_moved, system, nb=nb, dt=5e-4)
+    assert rep["cause"] == "stale_neighbor_state"
+    assert "rebuild_every" in rep["suggestion"]
+    # the fresh state itself reads healthy through the same call
+    assert diagnose_nan(x, system, nb=nb)["cause"] == "none"

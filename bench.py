@@ -6,7 +6,7 @@ chip; BASELINE.md target <= 2 ms/step), plus ns/day at the benchmark
 timestep and a per-phase breakdown.  vs_baseline = target_ms / measured_ms
 (>1 beats the target).
 
-Usage: python bench.py [216|4k|30k|100k|replicas]
+Usage: python bench.py [216|4k|30k|100k|replicas|respa]
 
 Methodology for the tunneled TPU platform (CLAUDE.md): dispatch is async
 and block_until_ready does not wait for remote completion, so a single-step
@@ -201,6 +201,70 @@ def measure_phases(x, system):
     return out
 
 
+def bench_respa(n_inner: int = 4):
+    """NVT r-RESPA at the 30k box: ms per *outer* step (one nonbonded
+    evaluation + n_inner bonded BAOAB substeps of 0.5 fs), i.e. ms per
+    2 fs of simulated time.  Equilibrates on-device first (0.2 ps of
+    plain 0.5 fs BAOAB from Maxwell velocities) — impulse MTS at 2 fs
+    outer needs an equilibrated liquid (tests/test_respa.py); the final
+    finite-energy assert would catch a blowup or an overflow poison."""
+    from chargeflux_tpu.integrate import (
+        init_state_nb, make_nb_energy_fn,
+        make_packed_respa_langevin_chunk, make_respa_force_fns,
+        maxwell_velocities)
+    from chargeflux_tpu.models import water_bonded_params
+    from chargeflux_tpu.neighbors import suggest_rebuild_interval
+
+    x, system, masses = build("30k")
+    dt_out = DT_PS * n_inner
+    bonded = water_bonded_params(system.n_atoms // 3, box=np.asarray(
+        jnp.asarray(system.box)), dtype=jnp.float32)
+
+    # on-device burn-in at the plain 0.5 fs step
+    from chargeflux_tpu.integrate import langevin_trajectory_nb
+    e_fn, init_nb = make_nb_energy_fn(system, bonded=bonded)
+    v0 = maxwell_velocities(masses, 300.0, jax.random.PRNGKey(0),
+                            dtype=jnp.float32)
+    s0 = init_state_nb(x, v0, e_fn, init_nb)
+    s_eq, kes0 = langevin_trajectory_nb(
+        s0, e_fn, init_nb, masses, dt=DT_PS, temperature=300.0,
+        friction=20.0, key=jax.random.PRNGKey(1), n_steps=400,
+        rebuild_every=suggest_rebuild_interval(system, DT_PS, cap=10))
+    assert np.all(np.isfinite(np.asarray(kes0))), "burn-in NaN"
+
+    slow_fn, fast_fn, init_nb2 = make_respa_force_fns(system, bonded)
+    rebuild_every = suggest_rebuild_interval(system, dt_out, cap=10)
+    init_carry, outer = make_packed_respa_langevin_chunk(
+        slow_fn, fast_fn, init_nb2, masses, dt_out, n_inner,
+        temperature=300.0, friction=5.0, rebuild_every=rebuild_every,
+        dtype=jnp.float32)
+    p0, _k = init_carry(s_eq, jax.random.PRNGKey(2))
+
+    @partial(jax.jit, static_argnums=(1,))
+    def run(p, k):
+        (p_k, _kk), kes = jax.lax.scan(outer, (p, jax.random.PRNGKey(3)),
+                                       None, length=k)
+        return kes[-1, -1] + 0.0 * jnp.sum(p_k)
+
+    k1 = max(1, 10 // rebuild_every)
+    ms_chunk = _timed_scan(run, p0, k1, 6 * k1, reps=7)
+    ms = ms_chunk / rebuild_every
+    ke_check = float(run(p0, k1))
+    ns_day = dt_out * 1e-3 * 86400.0 * 1000.0 / ms
+    print(json.dumps({
+        "metric": "ms_per_respa_outer_step_30k_ewald_f32",
+        "value": round(ms, 4),
+        "unit": "ms",
+        # time-normalized: one outer step simulates n_inner x 0.5 fs
+        "vs_baseline": round(TARGET_MS * n_inner / ms, 4),
+        "ns_per_day": round(ns_day, 2),
+        "dt_outer_fs": dt_out * 1e3,
+        "n_inner": n_inner,
+        "rebuild_every": rebuild_every,
+    }))
+    assert np.isfinite(ke_check), "RESPA benchmark trajectory produced NaN"
+
+
 def bench_replicas(n_replicas: int = 64):
     """64-replica vmap ensemble on a 216-water box (BASELINE.md config)."""
     from chargeflux_tpu.energy import _energy
@@ -274,6 +338,9 @@ def main():
     wait_for_backend()
     if config == "replicas":
         bench_replicas()
+        return
+    if config == "respa":
+        bench_respa()
         return
     x, system, masses = build(config)
 

@@ -331,26 +331,20 @@ def respa_trajectory_nb(state: MDStateNB, slow_fn, fast_fn, init_nb, masses,
     return final, etots.reshape(-1)
 
 
-def respa_langevin_trajectory_nb(state: MDStateNB, slow_fn, fast_fn,
-                                 init_nb, masses, dt: float, n_inner: int,
-                                 temperature: float, friction: float, key,
-                                 n_steps: int, rebuild_every: int = 10):
-    """BAOAB Langevin with impulse slow forces — the NVT analog of
-    :func:`respa_trajectory_nb`: the inner tier runs ``n_inner`` BAOAB
-    substeps of ``dt / n_inner`` on the fast (bonded) force (friction and
-    noise act at the inner timestep, where the fast dynamics live), the
-    slow (nonbonded) force kicks at the outer boundaries.  With
-    ``n_inner=1`` this reproduces :func:`langevin_trajectory_nb` exactly
-    (same key schedule, kicks differ only by summation order).  Returns
-    (final_state, per-outer-step kinetic energies)."""
-    if n_steps % rebuild_every or n_steps <= 0:
-        raise ValueError("n_steps must be a positive multiple of "
-                         "rebuild_every")
+def make_packed_respa_langevin_chunk(slow_fn, fast_fn, init_nb, masses,
+                                     dt: float, n_inner: int,
+                                     temperature: float, friction: float,
+                                     rebuild_every: int, dtype):
+    """Packed-carry NVT r-RESPA building block: returns (init_carry,
+    outer) where ``outer((p, key), _)`` rebuilds the neighbor state and
+    advances ``rebuild_every`` outer RESPA steps on a ``[N, 12]``
+    x|v|f_slow|f_fast carry, emitting per-outer-step kinetic energies.
+    Shared by :func:`respa_langevin_trajectory_nb` and the benchmark
+    harness (one implementation of the step)."""
     masses = jnp.asarray(masses)
     inv_m = (1.0 / masses)[:, None]
     dt_in = dt / n_inner
-    c1, c2 = baoab_coeffs(dt_in, friction, temperature,
-                          state.positions.dtype)
+    c1, c2 = baoab_coeffs(dt_in, friction, temperature, dtype)
 
     def inner(q, kk):
         x, v, f = q[:, 0:3], q[:, 3:6], q[:, 6:9]
@@ -382,11 +376,35 @@ def respa_langevin_trajectory_nb(state: MDStateNB, slow_fn, fast_fn,
                               jax.random.split(sub, rebuild_every))
         return (p, k), kes
 
-    nb = init_nb(state.positions)
-    _e, f_slow0, _nb = slow_fn(state.positions, nb)
-    _ef, f_fast0 = fast_fn(state.positions)
-    p = _pack12(state.positions, state.velocities, f_slow0, f_fast0)
-    (p, _k), kes = jax.lax.scan(outer, (p, key), None,
+    def init_carry(state: MDStateNB, key):
+        nb = init_nb(state.positions)
+        _e, f_slow0, _nb = slow_fn(state.positions, nb)
+        _ef, f_fast0 = fast_fn(state.positions)
+        return (_pack12(state.positions, state.velocities, f_slow0,
+                        f_fast0), key)
+
+    return init_carry, outer
+
+
+def respa_langevin_trajectory_nb(state: MDStateNB, slow_fn, fast_fn,
+                                 init_nb, masses, dt: float, n_inner: int,
+                                 temperature: float, friction: float, key,
+                                 n_steps: int, rebuild_every: int = 10):
+    """BAOAB Langevin with impulse slow forces — the NVT analog of
+    :func:`respa_trajectory_nb`: the inner tier runs ``n_inner`` BAOAB
+    substeps of ``dt / n_inner`` on the fast (bonded) force (friction and
+    noise act at the inner timestep, where the fast dynamics live), the
+    slow (nonbonded) force kicks at the outer boundaries.  With
+    ``n_inner=1`` this reproduces :func:`langevin_trajectory_nb` exactly
+    (same key schedule, kicks differ only by summation order).  Returns
+    (final_state, per-outer-step kinetic energies)."""
+    if n_steps % rebuild_every or n_steps <= 0:
+        raise ValueError("n_steps must be a positive multiple of "
+                         "rebuild_every")
+    init_carry, outer = make_packed_respa_langevin_chunk(
+        slow_fn, fast_fn, init_nb, masses, dt, n_inner, temperature,
+        friction, rebuild_every, state.positions.dtype)
+    (p, _k), kes = jax.lax.scan(outer, init_carry(state, key), None,
                                 length=n_steps // rebuild_every)
     x = p[:, 0:3]
     nb = init_nb(x)

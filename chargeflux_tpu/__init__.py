@@ -19,6 +19,15 @@ from .energy import (
     forces_manual,
 )
 from .bonded import BondedParams, bonded_energy
+from .constraints import (
+    RigidWaterParams,
+    project_positions,
+    project_velocities,
+    rattle_langevin_trajectory,
+    rattle_langevin_trajectory_nb,
+    rattle_nve_trajectory,
+    rattle_verlet_step,
+)
 from .integrate import (
     init_state,
     init_state_nb,
@@ -52,6 +61,9 @@ __all__ = [
     "energy", "energy_and_forces", "energy_components", "energy_fixed_charges",
     "forces", "forces_manual",
     "BondedParams", "bonded_energy",
+    "RigidWaterParams", "project_positions", "project_velocities",
+    "rattle_verlet_step", "rattle_nve_trajectory",
+    "rattle_langevin_trajectory", "rattle_langevin_trajectory_nb",
     "make_energy_fn", "nve_step", "nve_trajectory", "init_state",
     "make_nb_energy_fn", "nve_step_nb", "nve_trajectory_nb", "init_state_nb",
     "langevin_step", "langevin_trajectory", "langevin_trajectory_nb",

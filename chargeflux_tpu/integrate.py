@@ -429,14 +429,15 @@ def kinetic_energy(velocities, masses) -> jax.Array:
     return 0.5 * jnp.sum(masses[:, None] * velocities * velocities)
 
 
-def temperature(velocities, masses) -> jax.Array:
-    """Instantaneous kinetic temperature in K: 2K / (3 N kB).
+def temperature(velocities, masses, n_constraints: int = 0) -> jax.Array:
+    """Instantaneous kinetic temperature in K: 2K / ((3N - n_c) kB).
 
-    Uses 3N degrees of freedom (no constraints exist in this engine —
-    molecules are flexible; OpenMM would subtract constrained DoF)."""
+    ``n_constraints`` subtracts constrained degrees of freedom (3 per
+    rigid water from constraints.RigidWaterParams.n_constraints; OpenMM
+    does the same accounting).  Flexible systems use the default 3N."""
     from .units import BOLTZ
-    n = velocities.shape[0]
-    return 2.0 * kinetic_energy(velocities, masses) / (3.0 * n * BOLTZ)
+    n_dof = 3.0 * velocities.shape[0] - n_constraints
+    return 2.0 * kinetic_energy(velocities, masses) / (n_dof * BOLTZ)
 
 
 def maxwell_velocities(masses, temp: float, key,

@@ -1,10 +1,11 @@
 from .salt import salt_water_box
 from .water import (
+    rigid_water_box,
     water_bonded_params,
     water_box,
     water_cluster,
     WATER_MASSES,
 )
 
-__all__ = ["salt_water_box", "water_bonded_params", "water_box",
-           "water_cluster", "WATER_MASSES"]
+__all__ = ["salt_water_box", "rigid_water_box", "water_bonded_params",
+           "water_box", "water_cluster", "WATER_MASSES"]

@@ -35,16 +35,17 @@ KB_OH = 443153.0
 KA_HOH = 317.6
 
 
-def _one_water(center, rng):
+def _one_water(center, rng, perturb: float = 0.02):
     """O/H1/H2 positions for one water with random orientation and a small
-    geometry perturbation (so flux terms are nonzero)."""
+    geometry perturbation (so flux terms are nonzero; ``perturb=0`` gives
+    the exact rigid geometry)."""
     # random rotation via QR of a Gaussian matrix
     m = rng.standard_normal((3, 3))
     qmat, r = np.linalg.qr(m)
     qmat *= np.sign(np.diag(r))
-    d1 = R_OH * (1.0 + 0.02 * rng.standard_normal())
-    d2 = R_OH * (1.0 + 0.02 * rng.standard_normal())
-    ang = ANGLE_HOH * (1.0 + 0.02 * rng.standard_normal())
+    d1 = R_OH * (1.0 + perturb * rng.standard_normal())
+    d2 = R_OH * (1.0 + perturb * rng.standard_normal())
+    ang = ANGLE_HOH * (1.0 + perturb * rng.standard_normal())
     h1 = np.array([d1, 0.0, 0.0])
     h2 = np.array([d2 * np.cos(ang), d2 * np.sin(ang), 0.0])
     o = np.zeros(3)
@@ -99,6 +100,46 @@ def water_bonded_params(n_waters: int, box=None, dtype=None):
         n_atoms=3 * n_waters,
         dtype=dtype,
     )
+
+
+def rigid_water_box(n_side: int = 6, cutoff: float = 0.9,
+                    ewald_tol: float = 1e-4, density_spacing: float = 0.3107,
+                    seed: int = 0, dtype=None):
+    """Periodic rigid-TIP3P box: exact R_OH / HOH geometry (on the
+    constraint manifold), fixed charges (rigid geometry makes
+    intramolecular flux constant, so no flux terms), same LJ/exclusion
+    contract as the flexible boxes.
+
+    Returns (force, positions, masses, box, constraint_params) where
+    constraint_params feeds the RATTLE drivers in
+    :mod:`chargeflux_tpu.constraints` — the rigid-solvent configuration
+    OpenMM would run the reference plugin in at a 2 fs step.
+    """
+    import jax.numpy as jnp
+
+    from ..constraints import RigidWaterParams
+
+    rng = np.random.default_rng(seed)
+    force = CoulForce()
+    force.setUsesPeriodicBoundaryConditions(True)
+    force.setCutoffDistance(cutoff)
+    force.setEwaldErrorTolerance(ewald_tol)
+    n_w = n_side ** 3
+    _build(force, n_w, flux="none")
+    box = np.full(3, n_side * density_spacing)
+    pos = []
+    for ix in range(n_side):
+        for iy in range(n_side):
+            for iz in range(n_side):
+                center = density_spacing * (np.array([ix, iy, iz]) + 0.5)
+                center += 0.01 * rng.standard_normal(3)
+                pos.append(_one_water(center, rng, perturb=0.0))
+    positions = np.concatenate(pos, axis=0)
+    masses = np.tile(np.array(WATER_MASSES), n_w)
+    params = RigidWaterParams.create(
+        n_w, d_oh=R_OH, d_hh=float(R_HH), m_o=WATER_MASSES[0],
+        m_h=WATER_MASSES[1], dtype=dtype or jnp.float64)
+    return force, positions, masses, box, params
 
 
 def water_cluster(n_side: int = 5, spacing: float = 0.31, flux: str = "bond_angle",

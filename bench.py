@@ -6,7 +6,7 @@ chip; BASELINE.md target <= 2 ms/step), plus ns/day at the benchmark
 timestep and a per-phase breakdown.  vs_baseline = target_ms / measured_ms
 (>1 beats the target).
 
-Usage: python bench.py [216|4k|30k|100k|replicas|respa]
+Usage: python bench.py [216|4k|30k|100k|replicas|respa|rigid]
 
 Methodology for the tunneled TPU platform (CLAUDE.md): dispatch is async
 and block_until_ready does not wait for remote completion, so a single-step
@@ -265,6 +265,80 @@ def bench_respa(n_inner: int = 4):
     assert np.isfinite(ke_check), "RESPA benchmark trajectory produced NaN"
 
 
+def bench_rigid():
+    """Rigid-TIP3P 30k box at dt = 2 fs (RATTLE-constrained BAOAB with
+    neighbor reuse) — the production rigid-solvent configuration OpenMM
+    would run the reference in.  Rigid geometry makes the intramolecular
+    flux constant, so this config has fixed charges; the metric is ms per
+    2 fs step."""
+    from chargeflux_tpu.constraints import rattle_langevin_trajectory_nb
+    from chargeflux_tpu.integrate import (init_state_nb, make_nb_energy_fn,
+                                          maxwell_velocities)
+    from chargeflux_tpu.models import rigid_water_box
+    from chargeflux_tpu.neighbors import suggest_rebuild_interval
+
+    dt = 2e-3
+    force, pos, masses, box, params = rigid_water_box(n_side=22, cutoff=0.8,
+                                                      dtype=jnp.float32)
+    system = force.create_system(box=box, dtype=jnp.float32,
+                                 direct_method="cell")
+    from chargeflux_tpu.cells import suggest_capacity
+    cap = suggest_capacity(pos, box, system.spec.cell_grid, margin=1.1)
+    if cap != system.spec.cell_capacity:
+        system = force.create_system(box=box, dtype=jnp.float32,
+                                     direct_method="cell",
+                                     cell_capacity=cap)
+    x = jnp.asarray(pos, jnp.float32)
+    m = jnp.asarray(np.asarray(masses), jnp.float32)
+    e_fn, init_nb = make_nb_energy_fn(system)
+    # the lattice-start transient spikes H velocities to ~10 nm/ps
+    # (measured): rebuild on a 12 nm/ps budget while hot, 8 in production
+    # (the freshness guard NaN-poisons if either bound is ever beaten)
+    rebuild_hot = suggest_rebuild_interval(system, dt, max_speed=12.0,
+                                           cap=10)
+    rebuild_every = suggest_rebuild_interval(system, dt, max_speed=8.0,
+                                             cap=10)
+    v0 = maxwell_velocities(m, 300.0, jax.random.PRNGKey(0),
+                            dtype=jnp.float32)
+    s0 = init_state_nb(x, v0, e_fn, init_nb)
+    # on-device burn-in: relax the lattice transient before timing
+    s_eq, kes0 = rattle_langevin_trajectory_nb(
+        s0, e_fn, init_nb, m, dt=dt, temperature=300.0, friction=20.0,
+        key=jax.random.PRNGKey(1), n_steps=200 * rebuild_hot,
+        rebuild_every=rebuild_hot, params=params)
+    assert np.all(np.isfinite(np.asarray(kes0))), "rigid burn-in NaN"
+
+    def chunk(k):
+        s, kes = rattle_langevin_trajectory_nb(
+            s_eq, e_fn, init_nb, m, dt=dt, temperature=300.0, friction=5.0,
+            key=jax.random.PRNGKey(2), n_steps=k * rebuild_every,
+            rebuild_every=rebuild_every, params=params)
+        return kes[-1]
+
+    @partial(jax.jit, static_argnums=(1,))
+    def run(_p, k):
+        return chunk(k)
+
+    k1 = max(1, 10 // rebuild_every)
+    ms_chunk = _timed_scan(run, 0, k1, 6 * k1, reps=7)
+    ms = ms_chunk / rebuild_every
+    ke_check = float(run(0, k1))
+    ns_day = dt * 1e-3 * 86400.0 * 1000.0 / ms
+    print(json.dumps({
+        "metric": "ms_per_rigid_md_step_30k_ewald_f32",
+        "value": round(ms, 4),
+        # time-normalized vs the 2 ms per 0.5 fs target: one rigid step
+        # simulates 4x the flexible benchmark timestep
+        "vs_baseline": round(TARGET_MS * 4 / ms, 4),
+        "unit": "ms",
+        "ns_per_day": round(ns_day, 2),
+        "dt_fs": dt * 1e3,
+        "rebuild_every": rebuild_every,
+        "atoms": system.n_atoms,
+    }))
+    assert np.isfinite(ke_check), "rigid benchmark trajectory produced NaN"
+
+
 def bench_replicas(n_replicas: int = 64):
     """64-replica vmap ensemble on a 216-water box (BASELINE.md config)."""
     from chargeflux_tpu.energy import _energy
@@ -341,6 +415,9 @@ def main():
         return
     if config == "respa":
         bench_respa()
+        return
+    if config == "rigid":
+        bench_rigid()
         return
     x, system, masses = build(config)
 

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 DT_PS = 5e-4   # 0.5 fs — flexible water needs a short step
+PLATFORM_SUFFIX = ""   # set to "_CPU_FALLBACK" when the tunnel is down
 TARGET_MS = 2.0
 
 
@@ -252,7 +253,7 @@ def bench_respa(n_inner: int = 4):
     ke_check = float(run(p0, k1))
     ns_day = dt_out * 1e-3 * 86400.0 * 1000.0 / ms
     print(json.dumps({
-        "metric": "ms_per_respa_outer_step_30k_ewald_f32",
+        "metric": "ms_per_respa_outer_step_30k_ewald_f32" + PLATFORM_SUFFIX,
         "value": round(ms, 4),
         "unit": "ms",
         # time-normalized: one outer step simulates n_inner x 0.5 fs
@@ -325,7 +326,7 @@ def bench_rigid():
     ke_check = float(run(0, k1))
     ns_day = dt * 1e-3 * 86400.0 * 1000.0 / ms
     print(json.dumps({
-        "metric": "ms_per_rigid_md_step_30k_ewald_f32",
+        "metric": "ms_per_rigid_md_step_30k_ewald_f32" + PLATFORM_SUFFIX,
         "value": round(ms, 4),
         # time-normalized vs the 2 ms per 0.5 fs target: one rigid step
         # simulates 4x the flexible benchmark timestep
@@ -372,7 +373,8 @@ def bench_replicas(n_replicas: int = 64):
 
     ms = _timed_scan(run, batch.reshape(n_replicas, -1), 3, 13, reps=5)
     print(json.dumps({
-        "metric": f"ms_per_step_{n_replicas}x216_replica_ensemble",
+        "metric": f"ms_per_step_{n_replicas}x216_replica_ensemble"
+                  + PLATFORM_SUFFIX,
         "value": round(ms, 4),
         "unit": "ms",
         "vs_baseline": round(TARGET_MS * n_replicas / ms, 4),
@@ -380,16 +382,22 @@ def bench_replicas(n_replicas: int = 64):
 
 
 def wait_for_backend(max_tries: int = 8, probe_timeout: int = 150,
-                     sleep_s: int = 60):
+                     sleep_s: int = 60) -> bool:
     """Probe the device backend in a SUBPROCESS before touching it here.
 
     The axon tunnel sometimes drops; a backend init inside this process
     then hangs indefinitely (not even a Python-level timeout can unwind
     it), so probe out-of-process with a kill timeout and retry.  Returns
-    once a probe succeeds; raises after max_tries so the driver sees a
-    clean failure instead of a hang.
+    True once a probe succeeds.  If every probe fails, switches this
+    process to the CPU backend and returns False so the bench still emits
+    a (clearly-labelled) measurement instead of nothing — the tunnel has
+    been observed down for >12 h at a stretch.
     """
+    import os
     import subprocess
+    max_tries = int(os.environ.get("CF_BENCH_PROBE_TRIES", max_tries))
+    probe_timeout = int(os.environ.get("CF_BENCH_PROBE_TIMEOUT",
+                                       probe_timeout))
     for i in range(max_tries):
         try:
             rc = subprocess.call(
@@ -397,19 +405,26 @@ def wait_for_backend(max_tries: int = 8, probe_timeout: int = 150,
                 timeout=probe_timeout, stdout=subprocess.DEVNULL,
                 stderr=subprocess.DEVNULL)
             if rc == 0:
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
         if i + 1 < max_tries:
             print(f"# backend probe {i + 1}/{max_tries} failed; retrying "
                   f"in {sleep_s}s", file=sys.stderr)
             time.sleep(sleep_s)
-    raise SystemExit("device backend unavailable after retries")
+    print("# device backend unavailable after retries; falling back to "
+          "CPU (measurement NOT comparable to the TPU baseline)",
+          file=sys.stderr)
+    jax.config.update("jax_platforms", "cpu")
+    return False
 
 
 def main():
     config = sys.argv[1] if len(sys.argv) > 1 else "30k"
-    wait_for_backend()
+    on_device = wait_for_backend()
+    if not on_device:
+        global PLATFORM_SUFFIX
+        PLATFORM_SUFFIX = "_CPU_FALLBACK"
     if config == "replicas":
         bench_replicas()
         return
@@ -426,15 +441,19 @@ def main():
     compile_s = time.perf_counter() - t0
 
     ns_day = DT_PS * 1e-3 * 86400.0 * 1000.0 / ms
+    suffix = "" if on_device else "_CPU_FALLBACK"
     result = {
-        "metric": f"ms_per_md_step_{config}_ewald_f32",
+        "metric": f"ms_per_md_step_{config}_ewald_f32{suffix}",
         "value": round(ms, 4),
         "unit": "ms",
         "vs_baseline": round(TARGET_MS / ms, 4),
         "ns_per_day": round(ns_day, 2),
         "dt_fs": DT_PS * 1e3,
     }
-    if config == "30k":
+    if not on_device:
+        result["note"] = ("axon TPU tunnel down after retries; measured on "
+                          "host CPU — not comparable to the TPU target")
+    if config == "30k" and on_device:
         result["phases_ms"] = measure_phases(x, system)
         result["model_cutoff_nm"] = 0.8
         # rounds 1-2 model config (rc 0.9), for round-over-round comparison

@@ -248,7 +248,12 @@ def rattle_langevin_trajectory_nb(state, e_fn, init_nb, masses, dt: float,
     unconditional nested-scan rebuilds, freshness guard through ``e_fn``),
     with RATTLE projections at every B/A/O stage.  ``state`` is an
     integrate.MDStateNB; returns (final_state, per-step kinetic
-    energies)."""
+    energies).
+
+    Exactly resumable like integrate.langevin_trajectory_nb: resume from
+    the returned state with ``integrate.advance_key(key, n_steps //
+    rebuild_every)`` (the final state keeps the carry forces; the initial
+    velocity projection is idempotent on already-projected states)."""
     from .integrate import (MDStateNB, baoab_coeffs, kinetic_energy)
 
     if n_steps % rebuild_every or n_steps <= 0:
@@ -293,8 +298,8 @@ def rattle_langevin_trajectory_nb(state, e_fn, init_nb, masses, dt: float,
                                 length=n_steps // rebuild_every)
     x = p[:, 0:3]
     nb = init_nb(x)
-    e_pot, f, nb = e_fn(x, nb)
-    final = MDStateNB(x, p[:, 3:6], f, e_pot, nb)
+    e_pot, _f, nb = e_fn(x, nb)
+    final = MDStateNB(x, p[:, 3:6], p[:, 6:9], e_pot, nb)
     return final, kes.reshape(-1)
 
 

@@ -192,6 +192,22 @@ def nve_trajectory_nb(state: MDStateNB, e_fn, init_nb, masses, dt: float,
     return state, jnp.concatenate(es) if len(es) != 1 else es[0]
 
 
+def advance_key(key, n_chunks: int):
+    """The carry key a stochastic trajectory driver holds after consuming
+    ``n_chunks`` links of its split chain (every driver does one ``k, sub
+    = split(k)`` per chunk: per outer rebuild interval for the ``*_nb``
+    drivers, per step for the dense ones).
+
+    Enables exact checkpoint/resume: running ``n_steps`` in one call is
+    bitwise identical to running the first half, checkpointing the final
+    state, and resuming with ``advance_key(key, chunks_consumed)`` —
+    see tests/test_integrate.py::test_langevin_nb_resume_exact."""
+    def link(k, _):
+        return jax.random.split(k)[0], None
+
+    return jax.lax.scan(link, key, None, length=n_chunks)[0]
+
+
 def langevin_trajectory_nb(state: MDStateNB, e_fn, init_nb, masses,
                            dt: float, temperature: float, friction: float,
                            key, n_steps: int, rebuild_every: int = 10):
@@ -199,7 +215,13 @@ def langevin_trajectory_nb(state: MDStateNB, e_fn, init_nb, masses,
     ``rebuild_every`` steps — the NVT analog of :func:`nve_trajectory_nb`
     (same packed ``[N, 9]`` carry, same unconditional nested-scan rebuild
     and freshness guard via ``e_fn``).  Returns (final_state, per-step
-    kinetic energies)."""
+    kinetic energies).
+
+    Exactly resumable: a second call from the returned state with
+    ``advance_key(key, n_steps // rebuild_every)`` continues the
+    trajectory bitwise (the final state keeps the *carry* forces the next
+    chunk's first B kick would consume, not a fresh recomputation whose
+    summation order differs)."""
     if n_steps % rebuild_every or n_steps == 0:
         raise ValueError("n_steps must be a positive multiple of "
                          "rebuild_every")
@@ -231,8 +253,8 @@ def langevin_trajectory_nb(state: MDStateNB, e_fn, init_nb, masses,
     (p, _k), kes = jax.lax.scan(outer, (p0, key), None,
                                 length=n_steps // rebuild_every)
     nb = init_nb(p[:, 0:3])
-    e_pot, f, nb = e_fn(p[:, 0:3], nb)
-    final = MDStateNB(p[:, 0:3], p[:, 3:6], f, e_pot, nb)
+    e_pot, _f, nb = e_fn(p[:, 0:3], nb)
+    final = MDStateNB(p[:, 0:3], p[:, 3:6], p[:, 6:9], e_pot, nb)
     return final, kes.reshape(-1)
 
 

@@ -32,8 +32,10 @@ def _spec_to_json(obj):
     return obj
 
 
-def save_checkpoint(path: str, state: Any, step: int = 0, extra: dict | None = None):
+def save_checkpoint(path: str | os.PathLike, state: Any, step: int = 0,
+                    extra: dict | None = None):
     """Save a pytree of arrays to ``path`` (.npz + .json sidecar)."""
+    path = os.fspath(path)
     leaves, treedef = jax.tree.flatten(state)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     np.savez_compressed(path if path.endswith(".npz") else path + ".npz",
@@ -48,7 +50,7 @@ def save_checkpoint(path: str, state: Any, step: int = 0, extra: dict | None = N
         json.dump(meta, f, indent=2, default=str)
 
 
-def load_checkpoint(path: str, like: Any):
+def load_checkpoint(path: str | os.PathLike, like: Any):
     """Load a checkpoint saved by :func:`save_checkpoint` into the structure
     of ``like`` (dtypes follow ``like``).
 
@@ -59,6 +61,7 @@ def load_checkpoint(path: str, like: Any):
 
     Returns (state, step).
     """
+    path = os.fspath(path)
     npz = np.load(path if path.endswith(".npz") else path + ".npz")
     leaves, treedef = jax.tree.flatten(like)
     if len(leaves) != len(npz.files):

@@ -79,3 +79,91 @@ def test_trajectory_is_single_compiled_program():
     jitted = jax.jit(nve_trajectory, static_argnames=("energy_fn", "n_steps"))
     lowered = jitted.lower(state, energy_fn=e_fn, masses=m, dt=2e-4, n_steps=10)
     assert "while" in lowered.as_text()
+
+
+def test_langevin_nb_resume_exact(tmp_path):
+    """Checkpoint/resume contract (SURVEY §5): running 40 NVT steps in one
+    call is BITWISE identical to 20 steps -> save_checkpoint to disk ->
+    load_checkpoint -> 20 more steps with advance_key.  Holds because the
+    driver's final state keeps the carry forces (the values the next
+    chunk's first B kick consumes) and the key chain is one split per
+    rebuild chunk."""
+    from chargeflux_tpu.integrate import (advance_key, init_state_nb,
+                                          langevin_trajectory_nb,
+                                          make_nb_energy_fn)
+    from chargeflux_tpu.models import water_bonded_params, water_box
+    from chargeflux_tpu.utils import load_checkpoint, save_checkpoint
+
+    force, pos, masses, box = water_box(n_side=8, seed=7, cutoff=0.65)
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell")
+    bonded = water_bonded_params(system.n_atoms // 3, box=box,
+                                 dtype=jnp.float64)
+    e_fn, init_nb = make_nb_energy_fn(system, bonded=bonded)
+    x = jnp.asarray(pos)
+    m = jnp.asarray(np.asarray(masses), jnp.float64)
+    key = jax.random.PRNGKey(11)
+    kw = dict(dt=2e-4, temperature=250.0, friction=20.0, rebuild_every=10)
+
+    s0 = init_state_nb(x, jnp.zeros_like(x), e_fn, init_nb)
+    ref, kes_ref = langevin_trajectory_nb(s0, e_fn, init_nb, m, key=key,
+                                          n_steps=40, **kw)
+
+    half, kes_a = langevin_trajectory_nb(s0, e_fn, init_nb, m, key=key,
+                                         n_steps=20, **kw)
+    path = tmp_path / "mid.npz"
+    save_checkpoint(path, half, step=20)
+    restored, step = load_checkpoint(path, half)
+    assert step == 20
+    res, kes_b = langevin_trajectory_nb(restored, e_fn, init_nb, m,
+                                        key=advance_key(key, 2),
+                                        n_steps=20, **kw)
+
+    assert np.array_equal(np.asarray(ref.positions), np.asarray(res.positions))
+    assert np.array_equal(np.asarray(ref.velocities),
+                          np.asarray(res.velocities))
+    assert np.array_equal(np.asarray(kes_ref),
+                          np.concatenate([np.asarray(kes_a),
+                                          np.asarray(kes_b)]))
+
+
+def test_rattle_langevin_nb_resume_exact(tmp_path):
+    """Same resume contract for the constrained (rigid-water) driver; the
+    initial velocity projection is a linear solve, so re-projecting an
+    already-projected state perturbs at most the last bits — assert to
+    1e-12 relative."""
+    from chargeflux_tpu.constraints import rattle_langevin_trajectory_nb
+    from chargeflux_tpu.integrate import (advance_key, init_state_nb,
+                                          make_nb_energy_fn)
+    from chargeflux_tpu.models import rigid_water_box
+    from chargeflux_tpu.utils import load_checkpoint, save_checkpoint
+
+    force, pos, masses, box, params = rigid_water_box(n_side=5,
+                                                      dtype=jnp.float64)
+    system = force.create_system(box=box, dtype=jnp.float64)
+    e_fn, init_nb = make_nb_energy_fn(system)
+    x = jnp.asarray(pos, jnp.float64)
+    m = jnp.asarray(np.asarray(masses), jnp.float64)
+    key = jax.random.PRNGKey(3)
+    kw = dict(dt=1e-3, temperature=300.0, friction=10.0, params=params,
+              rebuild_every=10)
+
+    s0 = init_state_nb(x, jnp.zeros_like(x), e_fn, init_nb)
+    ref, _ = rattle_langevin_trajectory_nb(s0, e_fn, init_nb, m, key=key,
+                                           n_steps=40, **kw)
+
+    half, _ = rattle_langevin_trajectory_nb(s0, e_fn, init_nb, m, key=key,
+                                            n_steps=20, **kw)
+    path = tmp_path / "mid.npz"
+    save_checkpoint(path, half, step=20)
+    restored, _ = load_checkpoint(path, half)
+    res, _ = rattle_langevin_trajectory_nb(restored, e_fn, init_nb, m,
+                                           key=advance_key(key, 2),
+                                           n_steps=20, **kw)
+
+    np.testing.assert_allclose(np.asarray(res.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.velocities),
+                               np.asarray(ref.velocities),
+                               rtol=1e-10, atol=1e-10)

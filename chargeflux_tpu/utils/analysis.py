@@ -53,6 +53,55 @@ def velocity_autocorrelation(vel_frames, max_lag: int = None):
     return out
 
 
+def total_dipole(positions, system):
+    """Total dipole moment M = sum_i q_i(x) x_i (e*nm) with the
+    geometry-dependent *effective* charges — the observable charge-flux
+    models exist for (IR intensities come from dM/dt correlations, which
+    fixed-charge models get qualitatively wrong).  Because every flux term
+    conserves total charge (reference: ReferenceCoulKernels.cpp:60-62,
+    112-115, 188-193 scatter balanced +/-dq), sum q_i = sum q0_i; for a
+    neutral system M is translation-invariant and well-defined on the
+    engine's unwrapped coordinates.  jit-friendly; vmap over frames for a
+    trajectory."""
+    from ..charges import effective_charges
+
+    q = effective_charges(positions, system)
+    return jnp.sum(q[:, None] * positions, axis=0)
+
+
+def dipole_autocorrelation(m_frames, max_lag: int = None):
+    """Normalized total-dipole ACF over [F, 3] dipole frames: C(lag) =
+    <M(t).M(t+lag)> / <M.M>, averaged over start times (host-side NumPy,
+    like :func:`velocity_autocorrelation`).  The Fourier transform of
+    C(t) (or of the dM/dt ACF) is the IR absorption line shape — the
+    standard post-processing target for flux-charge water models."""
+    m = np.asarray(m_frames, np.float64)
+    f = m.shape[0]
+    if max_lag is None:
+        max_lag = f - 1
+    max_lag = min(max_lag, f - 1)
+    c0 = np.mean(np.sum(m * m, axis=-1))
+    out = np.empty(max_lag + 1, np.float64)
+    out[0] = 1.0
+    for lag in range(1, max_lag + 1):
+        out[lag] = np.mean(np.sum(m[lag:] * m[:-lag], axis=-1)) / c0
+    return out
+
+
+def infrared_spectrum(m_frames, dt: float):
+    """IR line shape from a total-dipole trajectory [F, 3] sampled every
+    ``dt`` ps: returns (frequencies in THz, I(nu) ~ nu^2 |FT{M}|^2, the
+    harmonic-approximation absorption profile up to constants).  Uses the
+    derivative theorem (FT of dM/dt ACF = omega^2 |FT M|^2) so no finite
+    differencing of M is needed.  Host-side NumPy."""
+    m = np.asarray(m_frames, np.float64)
+    m = m - m.mean(axis=0, keepdims=True)
+    ft = np.fft.rfft(m, axis=0)
+    power = np.sum(np.abs(ft) ** 2, axis=-1)
+    freq = np.fft.rfftfreq(m.shape[0], d=dt)
+    return freq, (2.0 * np.pi * freq) ** 2 * power
+
+
 def radial_distribution(positions, box, idx_a, idx_b, r_max: float,
                         n_bins: int = 100, chunk: int = 512):
     """g(r) between selections ``idx_a`` and ``idx_b`` (atom index arrays)

@@ -231,3 +231,62 @@ def test_diagnose_nan_triage():
     assert "rebuild_every" in rep["suggestion"]
     # the fresh state itself reads healthy through the same call
     assert diagnose_nan(x, system, nb=nb)["cause"] == "none"
+
+
+def test_total_dipole_manual_and_translation_invariant():
+    """M = sum q_i(x) x_i with *effective* charges; neutral system => M is
+    translation-invariant (flux terms conserve charge by construction,
+    reference ReferenceCoulKernels.cpp:60-62, 112-115, 188-193)."""
+    from chargeflux_tpu.charges import effective_charges
+    from chargeflux_tpu.utils import total_dipole
+
+    force, pos, _ = water_cluster(n_side=2, flux="bond_angle", seed=5)
+    system = force.create_system(dtype=jnp.float64)
+    x = jnp.asarray(pos)
+    m = total_dipole(x, system)
+    q = np.asarray(effective_charges(x, system))
+    np.testing.assert_allclose(np.asarray(m),
+                               (q[:, None] * np.asarray(pos)).sum(0),
+                               rtol=1e-14, atol=1e-14)
+    m_shift = total_dipole(x + jnp.asarray([1.7, -0.4, 3.3]), system)
+    np.testing.assert_allclose(np.asarray(m_shift), np.asarray(m),
+                               rtol=0, atol=1e-12)
+
+
+def test_total_dipole_sees_charge_flux():
+    """Stretching an OH bond must change the dipole MORE than the
+    fixed-charge geometric response alone — the flux contribution is the
+    model's defining observable."""
+    from chargeflux_tpu.utils import total_dipole
+
+    force, pos, _ = water_cluster(n_side=1, flux="bond_angle", seed=9)
+    system = force.create_system(dtype=jnp.float64)
+    x0 = jnp.asarray(pos)
+    stretch = jnp.zeros_like(x0).at[1].set(0.03 * (x0[1] - x0[0])
+                                           / jnp.linalg.norm(x0[1] - x0[0]))
+    x1 = x0 + stretch
+    dm_full = np.asarray(total_dipole(x1, system) - total_dipole(x0, system))
+    q0 = np.asarray(system.q0)
+    dm_fixed = (q0[:, None] * (np.asarray(x1) - np.asarray(x0))).sum(0)
+    # flux part = full response minus the fixed-charge geometric part
+    assert np.linalg.norm(dm_full - dm_fixed) > 1e-4
+    assert np.isfinite(dm_full).all()
+
+
+def test_dipole_acf_and_ir_spectrum_limits():
+    from chargeflux_tpu.utils import dipole_autocorrelation, infrared_spectrum
+
+    # constant dipole: ACF identically 1
+    m_const = np.tile(np.array([0.3, -0.1, 0.2]), (64, 1))
+    np.testing.assert_allclose(dipole_autocorrelation(m_const, 10),
+                               np.ones(11), atol=1e-12)
+    # single-frequency oscillation: spectrum peaks at that frequency
+    n, dt, f0 = 256, 0.002, 30.0  # ps, THz (bin 10 of rfftfreq)
+    t = np.arange(n) * dt
+    m = np.zeros((n, 3))
+    m[:, 0] = np.cos(2 * np.pi * f0 * t)
+    freq, inten = infrared_spectrum(m, dt)
+    assert freq[np.argmax(inten)] == pytest.approx(f0, abs=freq[1])
+    # ACF of the oscillation decorrelates and returns near +1 a period later
+    acf = dipole_autocorrelation(m, int(1.0 / (f0 * dt)))
+    assert acf[int(0.5 / (f0 * dt))] < -0.8

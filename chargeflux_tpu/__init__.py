@@ -48,6 +48,8 @@ from .integrate import (
     respa_trajectory_nb,
     temperature,
 )
+from .nosehoover import (NHChain, nhc_conserved, nhc_init,
+                         nose_hoover_step, nose_hoover_trajectory)
 from .npt import (instantaneous_pressure, molecule_index,
                   npt_langevin_trajectory)
 from .units import ONE_4PI_EPS0, BOLTZ
@@ -71,6 +73,8 @@ __all__ = [
     "respa_langevin_trajectory_nb",
     "minimize_fire",
     "kinetic_energy", "temperature", "maxwell_velocities",
+    "NHChain", "nhc_init", "nhc_conserved", "nose_hoover_step",
+    "nose_hoover_trajectory",
     "instantaneous_pressure", "molecule_index", "npt_langevin_trajectory",
     "ONE_4PI_EPS0", "BOLTZ",
 ]

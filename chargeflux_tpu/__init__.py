@@ -49,7 +49,8 @@ from .integrate import (
     temperature,
 )
 from .nosehoover import (NHChain, nhc_conserved, nhc_init,
-                         nose_hoover_step, nose_hoover_trajectory)
+                         nose_hoover_step, nose_hoover_trajectory,
+                         nose_hoover_trajectory_nb)
 from .npt import (instantaneous_pressure, molecule_index,
                   npt_langevin_trajectory)
 from .units import ONE_4PI_EPS0, BOLTZ
@@ -74,7 +75,7 @@ __all__ = [
     "minimize_fire",
     "kinetic_energy", "temperature", "maxwell_velocities",
     "NHChain", "nhc_init", "nhc_conserved", "nose_hoover_step",
-    "nose_hoover_trajectory",
+    "nose_hoover_trajectory", "nose_hoover_trajectory_nb",
     "instantaneous_pressure", "molecule_index", "npt_langevin_trajectory",
     "ONE_4PI_EPS0", "BOLTZ",
 ]

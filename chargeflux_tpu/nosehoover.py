@@ -117,6 +117,70 @@ def nose_hoover_step(state: MDState, chain: NHChain, energy_fn, masses,
     return MDState(x, v * s2, f, e), chain
 
 
+def nose_hoover_trajectory_nb(state, e_fn, init_nb, masses, dt: float,
+                              temperature: float, tau: float, n_steps: int,
+                              rebuild_every: int = 10, chain_length: int = 3,
+                              n_dof: int | None = None,
+                              chain: NHChain | None = None):
+    """Production-scale deterministic NVT: NHC-VV with the neighbor state
+    rebuilt every ``rebuild_every`` steps — the Nose-Hoover analog of
+    integrate.langevin_trajectory_nb (same packed [N, 9] carry, same
+    unconditional nested-scan rebuild and freshness guard via ``e_fn``).
+    ``state`` is an integrate.MDStateNB; returns (final_state, final_chain,
+    per-step kinetic energies).  Exactly resumable: pass the returned
+    chain back in (no key bookkeeping — the thermostat is
+    deterministic)."""
+    from .integrate import MDStateNB
+
+    if n_steps % rebuild_every or n_steps <= 0:
+        raise ValueError("n_steps must be a positive multiple of "
+                         "rebuild_every")
+    n = state.positions.shape[0]
+    if n_dof is None:
+        n_dof = 3 * n - 3
+    if chain is None:
+        chain = nhc_init(n_dof, temperature, tau, chain_length,
+                         state.positions.dtype)
+    kt = BOLTZ * temperature
+    masses = jnp.asarray(masses)
+    inv_m = (1.0 / masses)[:, None]
+
+    def inner(nb):
+        def body(carry, _):
+            p, ch = carry
+            x, v, f = p[:, 0:3], p[:, 3:6], p[:, 6:9]
+            s1, ch = _nhc_half(ch, 2.0 * kinetic_energy(v, masses), n_dof,
+                               kt, 0.5 * dt)
+            v = v * s1
+            v_half = v + 0.5 * dt * f * inv_m
+            x = x + dt * v_half
+            _e, f, _nb = e_fn(x, nb)
+            v = v_half + 0.5 * dt * f * inv_m
+            s2, ch = _nhc_half(ch, 2.0 * kinetic_energy(v, masses), n_dof,
+                               kt, 0.5 * dt)
+            v = v * s2
+            return ((jnp.concatenate([x, v, f], axis=1), ch),
+                    kinetic_energy(v, masses))
+        return body
+
+    def outer(carry, _):
+        p, ch = carry
+        nb = init_nb(p[:, 0:3])
+        (p, ch), kes = jax.lax.scan(inner(nb), (p, ch), None,
+                                    length=rebuild_every)
+        return (p, ch), kes
+
+    p0 = jnp.concatenate(
+        [state.positions, state.velocities, state.forces], axis=1)
+    (p, chain), kes = jax.lax.scan(outer, (p0, chain), None,
+                                   length=n_steps // rebuild_every)
+    x = p[:, 0:3]
+    nb = init_nb(x)
+    e_pot, _f, nb = e_fn(x, nb)
+    final = MDStateNB(x, p[:, 3:6], p[:, 6:9], e_pot, nb)
+    return final, chain, kes.reshape(-1)
+
+
 def nose_hoover_trajectory(state: MDState, energy_fn, masses, dt: float,
                            temperature: float, tau: float, n_steps: int,
                            chain_length: int = 3, n_dof: int | None = None,

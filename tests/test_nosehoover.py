@@ -96,3 +96,55 @@ def test_nhc_resume_is_bitwise_exact():
     np.testing.assert_array_equal(
         np.asarray(kes_ref),
         np.concatenate([np.asarray(kes_a), np.asarray(kes_b)]))
+
+
+def test_nhc_nb_conserved_and_resume(tmp_path):
+    """The nb (cell-route, neighbor-reuse) NHC driver conserves the
+    extended invariant AND resumes bitwise with the chain passed back —
+    the production-path twin of the dense checks above."""
+    from chargeflux_tpu.integrate import init_state_nb, make_nb_energy_fn
+    from chargeflux_tpu.models import water_box
+    from chargeflux_tpu.nosehoover import nose_hoover_trajectory_nb
+    from chargeflux_tpu.utils import load_checkpoint, save_checkpoint
+
+    force, pos, masses, box = water_box(n_side=8, seed=13, cutoff=0.65)
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell")
+    bonded = water_bonded_params(system.n_atoms // 3, box=box,
+                                 dtype=jnp.float64)
+    e_fn, init_nb = make_nb_energy_fn(system, bonded=bonded)
+    x = jnp.asarray(pos)
+    m = jnp.asarray(np.asarray(masses), jnp.float64)
+    n_dof = 3 * x.shape[0] - 3
+    target, tau, dt = 250.0, 0.02, 2e-4
+    kw = dict(dt=dt, temperature=target, tau=tau, rebuild_every=10,
+              n_dof=n_dof)
+
+    v0 = maxwell_velocities(m, target, jax.random.PRNGKey(2))
+    s0 = init_state_nb(x, v0, e_fn, init_nb)
+    ch0 = nhc_init(n_dof, target, tau, dtype=jnp.float64)
+    h0 = float(nhc_conserved(s0, ch0, m, n_dof, target))
+
+    ref, ch_ref, kes_ref = nose_hoover_trajectory_nb(
+        s0, e_fn, init_nb, m, n_steps=40, chain=ch0, **kw)
+    h1 = float(nhc_conserved(ref, ch_ref, m, n_dof, target))
+    assert abs(h1 - h0) < 2e-3 * (n_dof * BOLTZ * target)
+    assert np.isfinite(np.asarray(kes_ref)).all()
+
+    half, ch, kes_a = nose_hoover_trajectory_nb(
+        s0, e_fn, init_nb, m, n_steps=20, chain=ch0, **kw)
+    path = tmp_path / "mid.npz"
+    save_checkpoint(path, (half, ch), step=20)
+    (restored, ch_r), _ = load_checkpoint(path, (half, ch))
+    res, ch2, kes_b = nose_hoover_trajectory_nb(
+        restored, e_fn, init_nb, m, n_steps=20, chain=ch_r, **kw)
+
+    np.testing.assert_array_equal(np.asarray(ref.positions),
+                                  np.asarray(res.positions))
+    np.testing.assert_array_equal(np.asarray(ref.velocities),
+                                  np.asarray(res.velocities))
+    np.testing.assert_array_equal(np.asarray(ch_ref.v_xi),
+                                  np.asarray(ch2.v_xi))
+    np.testing.assert_array_equal(
+        np.asarray(kes_ref),
+        np.concatenate([np.asarray(kes_a), np.asarray(kes_b)]))

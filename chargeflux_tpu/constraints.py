@@ -250,10 +250,14 @@ def rattle_langevin_trajectory_nb(state, e_fn, init_nb, masses, dt: float,
     integrate.MDStateNB; returns (final_state, per-step kinetic
     energies).
 
-    Exactly resumable like integrate.langevin_trajectory_nb: resume from
-    the returned state with ``integrate.advance_key(key, n_steps //
-    rebuild_every)`` (the final state keeps the carry forces; the initial
-    velocity projection is idempotent on already-projected states)."""
+    Resumable to round-off (NOT bitwise, unlike
+    integrate.langevin_trajectory_nb): resume from the returned state
+    with ``integrate.advance_key(key, n_steps // rebuild_every)``.  The
+    final state keeps the carry forces, but the initial velocity
+    projection re-solves the 3x3 constraint system on an
+    already-projected state, perturbing the last bits (~1e-12 relative;
+    tests/test_integrate.py::test_rattle_langevin_nb_resume_exact pins
+    the tolerance)."""
     from .integrate import (MDStateNB, baoab_coeffs, kinetic_energy)
 
     if n_steps % rebuild_every or n_steps <= 0:

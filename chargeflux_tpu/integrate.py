@@ -193,10 +193,16 @@ def nve_trajectory_nb(state: MDStateNB, e_fn, init_nb, masses, dt: float,
 
 
 def advance_key(key, n_chunks: int):
-    """The carry key a stochastic trajectory driver holds after consuming
-    ``n_chunks`` links of its split chain (every driver does one ``k, sub
-    = split(k)`` per chunk: per outer rebuild interval for the ``*_nb``
-    drivers, per step for the dense ones).
+    """The carry key a chunk-chained stochastic driver holds after
+    consuming ``n_chunks`` links of its split chain.  Applies to the
+    drivers that do one ``k, sub = split(k)`` per chunk:
+    ``langevin_trajectory_nb`` / ``rattle_langevin_trajectory_nb`` /
+    ``respa_langevin_trajectory_nb`` / ``npt_langevin_trajectory`` (one
+    link per outer rebuild interval) and the dense
+    ``langevin_trajectory`` (one link per step).  It does NOT reproduce
+    ``constraints.rattle_langevin_trajectory``'s stream — that dense
+    driver does a flat ``split(key, n_steps)`` upfront; resume it with a
+    fresh key or use the ``_nb`` variant.
 
     Enables exact checkpoint/resume: running ``n_steps`` in one call is
     bitwise identical to running the first half, checkpointing the final

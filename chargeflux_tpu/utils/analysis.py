@@ -70,22 +70,24 @@ def total_dipole(positions, system):
 
 
 def dipole_autocorrelation(m_frames, max_lag: int = None):
-    """Normalized total-dipole ACF over [F, 3] dipole frames: C(lag) =
-    <M(t).M(t+lag)> / <M.M>, averaged over start times (host-side NumPy,
-    like :func:`velocity_autocorrelation`).  The Fourier transform of
-    C(t) (or of the dM/dt ACF) is the IR absorption line shape — the
-    standard post-processing target for flux-charge water models."""
+    """Normalized total-dipole *fluctuation* ACF over [F, 3] dipole
+    frames: C(lag) = <dM(t).dM(t+lag)> / <dM.dM> with dM = M - <M>
+    (host-side NumPy).  The mean is subtracted — matching
+    :func:`infrared_spectrum` — so C(t) decays to 0 and its Fourier
+    transform is the IR absorption line shape; without it the <M>^2
+    offset leaves a spurious DC spike.  A constant dipole has no
+    fluctuations: C is defined as identically 1 in that degenerate case.
+    Delegates to :func:`velocity_autocorrelation` (same estimator on the
+    centered frames)."""
     m = np.asarray(m_frames, np.float64)
+    dm = m - m.mean(axis=0, keepdims=True)
     f = m.shape[0]
     if max_lag is None:
         max_lag = f - 1
     max_lag = min(max_lag, f - 1)
-    c0 = np.mean(np.sum(m * m, axis=-1))
-    out = np.empty(max_lag + 1, np.float64)
-    out[0] = 1.0
-    for lag in range(1, max_lag + 1):
-        out[lag] = np.mean(np.sum(m[lag:] * m[:-lag], axis=-1)) / c0
-    return out
+    if not np.any(dm):
+        return np.ones(max_lag + 1, np.float64)
+    return velocity_autocorrelation(dm, max_lag)
 
 
 def infrared_spectrum(m_frames, dt: float):

@@ -290,3 +290,9 @@ def test_dipole_acf_and_ir_spectrum_limits():
     # ACF of the oscillation decorrelates and returns near +1 a period later
     acf = dipole_autocorrelation(m, int(1.0 / (f0 * dt)))
     assert acf[int(0.5 / (f0 * dt))] < -0.8
+    # fluctuation semantics: a constant offset must not bias the ACF
+    # (the mean is subtracted, matching infrared_spectrum)
+    m_off = m + np.array([5.0, -3.0, 2.0])
+    np.testing.assert_allclose(dipole_autocorrelation(m_off, 20),
+                               dipole_autocorrelation(m, 20),
+                               rtol=0, atol=1e-9)

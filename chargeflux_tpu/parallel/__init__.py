@@ -3,7 +3,9 @@ from .shard import (
     make_sharded_energy_and_forces_fn,
     make_sharded_energy_fn,
 )
-from .replicas import replica_energy_and_forces, replica_nve_step, shard_replicas
+from .replicas import (remd_langevin_trajectory, replica_energy_and_forces,
+                       replica_nve_step, replica_nve_trajectory,
+                       shard_replicas)
 from .multislice import (
     ensemble_mean,
     make_multislice_energy_fn,
@@ -14,7 +16,9 @@ __all__ = [
     "make_sharded_energy_fn",
     "make_sharded_energy_and_forces_fn",
     "make_replica_sharded_energy_fn",
+    "remd_langevin_trajectory",
     "replica_energy_and_forces",
+    "replica_nve_trajectory",
     "replica_nve_step",
     "shard_replicas",
     "make_multislice_energy_fn",

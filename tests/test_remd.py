@@ -85,3 +85,34 @@ def test_remd_equal_temperatures_accept_everything():
     assert accepts[0::2].all()
     assert accepts[1::2, 0].all()
     assert not accepts[1::2, 1].any()    # the masked dummy never fires
+
+
+def test_remd_sharded_replicas_match_single_device():
+    """REMD under a replica-sharded mesh must equal the unsharded run
+    bitwise-to-tolerance: the swap sweep's [R]-permutation gather crosses
+    device boundaries (a configuration migrating between temperature
+    slots = a cross-device copy over ICI on real hardware)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    r = 8
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("replica",))
+    temps = list(100.0 * 1.35 ** np.arange(r))
+    states = _init_states(jax.random.PRNGKey(4), r)
+    m = jnp.ones((1,), jnp.float64)
+    kw = dict(dt=1e-3, temperatures=temps, friction=10.0,
+              key=jax.random.PRNGKey(11), n_steps=60, exchange_every=5)
+
+    ref, pots_ref, acc_ref = remd_langevin_trajectory(states, _harmonic, m,
+                                                      **kw)
+
+    sh = NamedSharding(mesh, P("replica"))
+    states_sh = MDState(*(jax.device_put(leaf, sh) for leaf in states))
+    res, pots, acc = remd_langevin_trajectory(states_sh, _harmonic, m, **kw)
+
+    np.testing.assert_allclose(np.asarray(res.positions),
+                               np.asarray(ref.positions),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_array_equal(np.asarray(acc), np.asarray(acc_ref))
+    np.testing.assert_allclose(np.asarray(pots), np.asarray(pots_ref),
+                               rtol=1e-12, atol=1e-14)

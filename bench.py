@@ -104,10 +104,14 @@ def measure_md_step(x, system, masses):
     e_fn, init_nb = make_nb_energy_fn(system, bonded=bonded)
     s0 = init_state_nb(x, jnp.zeros_like(x), e_fn, init_nb)
 
-    # k counts rebuild_every-step chunks
+    # k counts rebuild_every-step chunks.  Cap 40 (was 10 through round
+    # 2's 2.79 ms readings): the 30k grid leaves 0.43 nm of skin, so the
+    # 4 nm/ps displacement bound allows ~216 steps — 40 keeps a 2.7x
+    # margin and cuts the amortized binning from ~0.12 to ~0.03 ms/step;
+    # the e_fn freshness guard NaN-poisons if the bound is ever beaten.
     from chargeflux_tpu.neighbors import suggest_rebuild_interval
     if system.spec.direct_method == "cell":
-        rebuild_every = suggest_rebuild_interval(system, DT_PS, cap=10)
+        rebuild_every = suggest_rebuild_interval(system, DT_PS, cap=40)
     else:
         rebuild_every = 10
 
@@ -234,7 +238,7 @@ def bench_respa(n_inner: int = 4):
     assert np.all(np.isfinite(np.asarray(kes0))), "burn-in NaN"
 
     slow_fn, fast_fn, init_nb2 = make_respa_force_fns(system, bonded)
-    rebuild_every = suggest_rebuild_interval(system, dt_out, cap=10)
+    rebuild_every = suggest_rebuild_interval(system, dt_out, cap=40)
     init_carry, outer = make_packed_respa_langevin_chunk(
         slow_fn, fast_fn, init_nb2, masses, dt_out, n_inner,
         temperature=300.0, friction=5.0, rebuild_every=rebuild_every,
@@ -298,7 +302,7 @@ def bench_rigid():
     rebuild_hot = suggest_rebuild_interval(system, dt, max_speed=12.0,
                                            cap=10)
     rebuild_every = suggest_rebuild_interval(system, dt, max_speed=8.0,
-                                             cap=10)
+                                             cap=40)
     v0 = maxwell_velocities(m, 300.0, jax.random.PRNGKey(0),
                             dtype=jnp.float32)
     s0 = init_state_nb(x, v0, e_fn, init_nb)

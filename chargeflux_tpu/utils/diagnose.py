@@ -104,6 +104,24 @@ def diagnose_nan(positions, system, nb=None, dt=None) -> dict:
                     "create_system), or slow the dynamics" + hint),
             }
 
+    # collinear flux angles: the energy stays finite (clamped acos) but
+    # the FORCE is singular there — |dtheta/dx| ~ 1/sin(theta)
+    # (PARITY.md defect #2; tests/test_edges.py pins the contract)
+    worst = _min_flux_angle_sine(positions, system)
+    if worst is not None and worst[0] < 1e-6:
+        s, idx = worst
+        return {
+            "cause": "collinear_flux_angle",
+            "min_sin_theta": float(s),
+            "angle_index": int(idx),
+            "suggestion": (
+                f"flux angle #{idx} is (near-)collinear (sin theta = "
+                f"{s:.2e}): the flux-angle force diverges as 1/sin(theta) "
+                "— a property of the model.  Fix the geometry (minimize "
+                "first), stiffen the bonded angle term, or remove the "
+                "flux term on this angle"),
+        }
+
     return {
         "cause": "none",
         "suggestion": (
@@ -112,3 +130,28 @@ def diagnose_nan(positions, system, nb=None, dt=None) -> dict:
             "mid-chunk: rerun with rebuild_every=1 and guard on, or step "
             "manually to bisect"),
     }
+
+
+def _min_flux_angle_sine(positions, system):
+    """(min |sin theta|, argmin) over the flux angles, or None if the
+    system has none.  Host-side NumPy, min-image deltas like the engine."""
+    idx = np.asarray(jax.device_get(system.angle_idx))
+    if idx.shape[0] == 0:
+        return None
+    x = np.asarray(jax.device_get(positions), dtype=np.float64)
+    box = (np.asarray(jax.device_get(system.box), dtype=np.float64)
+           if system.spec.pbc else None)
+
+    def delta(a, b):
+        d = x[a] - x[b]
+        if box is not None:
+            d -= box * np.floor(d / box + 0.5)
+        return d
+
+    d21 = delta(idx[:, 0], idx[:, 1])
+    d23 = delta(idx[:, 2], idx[:, 1])
+    cross = np.cross(d21, d23)
+    sin = (np.linalg.norm(cross, axis=1)
+           / (np.linalg.norm(d21, axis=1) * np.linalg.norm(d23, axis=1)))
+    k = int(np.argmin(sin))
+    return float(sin[k]), k

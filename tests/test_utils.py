@@ -296,3 +296,26 @@ def test_dipole_acf_and_ir_spectrum_limits():
     np.testing.assert_allclose(dipole_autocorrelation(m_off, 20),
                                dipole_autocorrelation(m, 20),
                                rtol=0, atol=1e-9)
+
+
+def test_diagnose_nan_collinear_flux_angle():
+    """Fourth triage cause: a (near-)collinear flux angle — finite energy,
+    singular force (PARITY defect #2)."""
+    from chargeflux_tpu.utils import diagnose_nan
+
+    force = cf.CoulForce()
+    a = force.addParticle(-0.8, 0.3, 0.5)
+    b = force.addParticle(0.4, 0.2, 0.1)
+    c = force.addParticle(0.4, 0.2, 0.1)
+    force.addFluxAngle(a, b, c, 0.15, 1.9)
+    system = force.create_system(dtype=jnp.float64)
+
+    x = jnp.asarray([[0.0, 0, 0], [0.1, 0, 0], [0.2, 0, 0]], jnp.float64)
+    rep = diagnose_nan(x, system)
+    assert rep["cause"] == "collinear_flux_angle"
+    assert rep["angle_index"] == 0
+    assert "1/sin" in rep["suggestion"]
+
+    # a healthy bent angle reads none
+    x_ok = x.at[2].set(jnp.asarray([0.1, 0.1, 0.0]))
+    assert diagnose_nan(x_ok, system)["cause"] == "none"

@@ -49,6 +49,17 @@ assert len(HALF_SHELL) == 14
 
 
 
+def boundary_image_offset(axis_len: int, d: int, box_len, dtype):
+    """Static per-cell periodic image offset along one grid axis: +box_len
+    where a roll by ``d`` crosses the high boundary, -box_len across the
+    low one, 0 inside (trace-time NumPy; the ONE copy shared by the roll
+    walk, the concat tile, the explicit-shift builder and the halo
+    route)."""
+    c = np.arange(axis_len)
+    o = np.where(c + d >= axis_len, 1.0, np.where(c + d < 0, -1.0, 0.0))
+    return jnp.asarray(o, dtype) * box_len
+
+
 def neighbor_cell_table(grid) -> np.ndarray:
     """Static [n_cells, 27] table of wrapped neighbor cell ids (full shell;
     used by tests and diagnostics)."""
@@ -488,10 +499,7 @@ def _roll_block_energy(blocks: CellBlocks, ids: jax.Array, system) -> jax.Array:
             ax = (0, 1, 2)
             # static boundary image offsets per axis
             def off(axis_len, d, bk):
-                c = np.arange(axis_len)
-                o = np.where(c + d >= axis_len, 1.0,
-                             np.where(c + d < 0, -1.0, 0.0))
-                return jnp.asarray(o, dtype) * bk
+                return boundary_image_offset(axis_len, d, bk, dtype)
             ox = off(gx, dx, box[0]).reshape(gx, 1, 1, 1)
             oy = off(gy, dy, box[1]).reshape(1, gy, 1, 1)
             oz = off(gz, dz, box[2]).reshape(1, 1, gz, 1)
@@ -604,10 +612,7 @@ def _roll_fused_walk(blocks: CellBlocks, ids: jax.Array, system):
             sh = (-dxs, -dys, -dzs)
 
             def off(axis_len, d, bk):
-                c = np.arange(axis_len)
-                o = np.where(c + d >= axis_len, 1.0,
-                             np.where(c + d < 0, -1.0, 0.0))
-                return jnp.asarray(o, dtype) * bk
+                return boundary_image_offset(axis_len, d, bk, dtype)
 
             ox = off(gx_, dxs, box[0]).reshape(gx_, 1, 1, 1)
             oy = off(gy_, dys, box[1]).reshape(1, gy_, 1, 1)
@@ -653,10 +658,7 @@ def _concat_slabs(blocks: CellBlocks, ids: jax.Array, system,
     ax = (0, 1, 2)
 
     def off(axis_len, d, bk):
-        c = np.arange(axis_len)
-        o = np.where(c + d >= axis_len, 1.0,
-                     np.where(c + d < 0, -1.0, 0.0))
-        return jnp.asarray(o, dtype) * bk
+        return boundary_image_offset(axis_len, d, bk, dtype)
 
     xs, ys, zs, qs, hs_, ss, idss = [], [], [], [], [], [], []
     for (dx, dy, dz) in (HALF_SHELL if shifts is None else shifts):
@@ -700,7 +702,7 @@ def _concat_tile(comp, qc, hc, sc, ids, xj, qj, hj, sj, idsj, system,
     #                dot, coords re-centered per i-cell so the f32
     #                difference-of-squares stays in budget
     # (tools/walk_mxu_ab.py is the measuring harness for these.)
-    layout = getattr(spec, "walk_layout", "concat")
+    layout = spec.walk_layout
     mode = (layout if layout in ("concat_mxu", "concat_hyb") else "concat")
     if dtype == jnp.float64:
         mode = "concat"
@@ -869,7 +871,7 @@ def direct_energy_on_blocks(blocks: CellBlocks, ids: jax.Array,
     fused-walk kernel lost 2.2 vs 1.65 ms standalone and 3.76 vs 3.65 ms
     in the full 30k MD step (BASELINE.md rejected experiments)."""
 
-    layout = getattr(system.spec, "walk_layout", "shift")
+    layout = system.spec.walk_layout
     concat = layout.startswith("concat")
     primal = _concat_block_energy if concat else _roll_block_energy
     fused = _concat_fused_walk if concat else _roll_fused_walk

@@ -27,6 +27,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import cells
 from .charges import apply_chain_rule, effective_charges
@@ -207,6 +208,28 @@ def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
         # cell edge is below the cutoff, the half-shell walk misses pairs.
         edge = system.box / jnp.asarray(spec.cell_grid, positions.dtype)
         bad = (overflow > 0) | jnp.any(edge < spec.cutoff)
+        if nb is not None and spec.pme_grid is not None and (
+                spec.recip_method == "pme"
+                or (spec.recip_method == "auto"
+                    and jax.default_backend() == "tpu"
+                    and positions.dtype == jnp.float32)):
+            # PME patch-slack safety under the traced box: pme_slack was
+            # sized from the CREATION-time skin (system.py), but drift
+            # between rebuilds is bounded by the CURRENT skin/2 — under
+            # barostat growth the allowed drift outgrows the static
+            # patch headroom and outermost B-spline taps would silently
+            # truncate.  Poison when the *actual* drift since the rebuild
+            # exceeds the slack budget in current mesh units (exact, not
+            # the conservative possible-drift bound: an unmoved system in
+            # a grown box stays valid).
+            h = system.box / jnp.asarray(np.asarray(spec.pme_grid),
+                                         positions.dtype)
+            budget = jnp.min(
+                jnp.asarray(np.asarray(spec.pme_slack), positions.dtype)
+                * h)
+            d = positions - nb.x_ref
+            max_d2 = jnp.max(jnp.sum(d * d, axis=-1))
+            bad = bad | (max_d2 > budget * budget)
         poison = jnp.where(bad, jnp.asarray(jnp.nan, e_dir.dtype), 0.0)
         e_dir = e_dir + poison * jnp.sum(positions)
         comps["direct"] = e_dir

@@ -12,8 +12,9 @@ Each device
   ``jax.lax.ppermute`` over ICI (the half-shell's dx is in {0, 1}, so
   only the high halo is consumed; -x cross-boundary pairs are the lower
   device's dx=+1 shift),
-* runs the roll walk on the extended [gxl+2, gy, gz, cap] slab, slicing
-  along x instead of rolling (y/z keep the static-offset rolls).
+* runs the concat-layout pair-tile walk (cells.py's production layout) on
+  the extended [gxl+1, gy, gz, cap] slab — x via slicing on the extended
+  axis, y/z via rolls with static boundary image offsets.
 
 Forces come from jax.grad through shard_map: the transpose of a ppermute is
 the reverse ppermute and the transpose of the replicated-in program psums
@@ -25,6 +26,12 @@ Out-designs the reference's vestigial multi-context exclusion-tile split
 
 Requires gx % ndev == 0; ``parallel.shard.make_sharded_energy_fn`` falls
 back to work sharding otherwise.
+
+Known scale bound: _local_bin uses the flat [N, n_local] one-hot cumsum
+(1/D of the single-chip binning).  At ~1M atoms per slab the cumsum
+intermediate outgrows HBM; the fix is reusing cells.build_cell_list_full's
+two-stage hierarchical ranking per slab (not yet wired — today's largest
+config, 100k on 8 devices, bins ~4 MB per device).
 """
 
 from __future__ import annotations
@@ -70,7 +77,10 @@ def _local_bin(positions, system, dev, gxl):
 
     onehot = (local_cell[:, None] == jnp.arange(n_local)[None, :])
     cum = jnp.cumsum(onehot.astype(jnp.int32), axis=0)
-    rank = cum[jnp.arange(n), jnp.minimum(local_cell, n_local - 1)] - 1
+    # mask-and-reduce, NOT cum[arange(n), local_cell]: scalar gathers cost
+    # ~7-15 ns/element on TPU (cells.build_cell_list_full does the same);
+    # unowned atoms (all-False onehot row) read rank -1 and fail `ok`
+    rank = jnp.sum(onehot * cum, axis=1) - 1
     ok = owned & (rank < cap)
     sentinel = n_local * cap
     slot_of = jnp.where(ok, local_cell * cap + rank, sentinel).astype(jnp.int32)
@@ -167,10 +177,9 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
         yz_ax = (1, 2)
 
         def off(axis_len, d, bk, shape):
-            c = np.arange(axis_len)
-            o = np.where(c + d >= axis_len, 1.0,
-                         np.where(c + d < 0, -1.0, 0.0))
-            return jnp.asarray(o, dtype).reshape(shape) * bk
+            from ..cells import boundary_image_offset
+            return boundary_image_offset(axis_len, d, bk, dtype).reshape(
+                shape)
 
         def tile_energy(ext_in, ids_in):
             g8_in = jax.lax.slice_in_dim(ext_in, 0, gxl, axis=0)

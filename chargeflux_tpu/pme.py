@@ -501,12 +501,20 @@ def pme_halo_mesh(spec) -> Tuple[int, int, int]:
     ONE dynamic per-device slab offset — each device can then spread its
     local cells with static shapes and rotate its partial mesh into place
     with a single jnp.roll.  y/z keep the single-chip mesh (their fold
-    placements are global statics, identical on every device).  A non-
-    5-smooth padded x size costs only FFT speed on a ~2 MB grid (never
-    accuracy: a finer mesh only reduces PME error).
+    placements are global statics, identical on every device).  Among the
+    valid multiples the first 5-smooth one within +25% is preferred (fast
+    XLA FFT; a finer mesh only reduces PME error, never accuracy) — when
+    cell_grid[0] itself has a factor outside {2,3,5} (e.g. the 100k
+    config's 11) no multiple can be 5-smooth and the smallest one stands.
     """
     ngx = spec.cell_grid[0]
     gmx = -(-spec.pme_grid[0] // ngx) * ngx
+    cand = gmx
+    while cand <= gmx + (gmx + 3) // 4:
+        if good_fft_size(cand) == cand:
+            gmx = cand
+            break
+        cand += ngx
     return (gmx, spec.pme_grid[1], spec.pme_grid[2])
 
 

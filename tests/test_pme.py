@@ -261,3 +261,40 @@ def test_cell_spread_exact_under_reuse_drift():
     ids2 = slots2.reshape(b_fresh.x.shape)
     e_fresh = float(pme_cell_reciprocal_energy(b_fresh, ids2, system))
     assert abs(e_frozen - e_fresh) / abs(e_fresh) < 1e-10
+
+
+def test_pme_slack_guard_poisons_excess_drift_under_box_growth():
+    """Traced-box safety for the PME patch slack (review r2): pme_slack
+    was sized from the creation-time skin, so under barostat growth an
+    atom may legally drift (freshness guard: current skin/2) further than
+    the static patch headroom — outermost B-spline taps would silently
+    truncate.  The energy must NaN-poison when the actual drift exceeds
+    the slack budget in current mesh units, and stay finite (and
+    correct) below it."""
+    from chargeflux_tpu.energy import _energy
+    from chargeflux_tpu.models import water_box
+    from chargeflux_tpu.neighbors import build_neighbor_state, skin_radius
+
+    force, pos, _, box = water_box(n_side=8, cutoff=0.55)
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell", recip_method="pme")
+    spec = system.spec
+    s = 1.3
+    sys_big = system.with_box(s * jnp.asarray(box))
+    x_big = s * jnp.asarray(pos)
+    nb = build_neighbor_state(x_big, sys_big)
+
+    h = s * np.asarray(box) / np.asarray(spec.pme_grid)
+    budget = float(np.min(np.asarray(spec.pme_slack) * h))
+    skin_now = float(skin_radius(sys_big))
+    # the grown box really does allow more drift than the static slack
+    assert 0.5 * skin_now > budget
+
+    assert np.isfinite(float(_energy(x_big, sys_big, nb=nb)))
+    x_ok = x_big.at[0, 0].add(0.8 * budget)
+    assert np.isfinite(float(_energy(x_ok, sys_big, nb=nb)))
+    x_bad = x_big.at[0, 0].add(min(1.2 * budget, 0.49 * skin_now))
+    assert np.isnan(float(_energy(x_bad, sys_big, nb=nb)))
+    # forces poison too (force-only consumers must see the failure)
+    g = jax.grad(lambda xx: _energy(xx, sys_big, nb=nb))(x_bad)
+    assert np.isnan(np.asarray(g)).all()

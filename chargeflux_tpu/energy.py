@@ -39,6 +39,19 @@ from .system import ChargeFluxSystem
 from .units import ONE_4PI_EPS0
 
 
+def dispersion_energy(box, spec, dtype):
+    """Long-range LJ tail energy ``C / V`` (kJ/mol).
+
+    ``C`` is the static coefficient precomputed at create_system
+    (system.dispersion_tail_coefficient); the box is traced, so the term
+    is position-independent (zero forces) but contributes the correct
+    ``P_tail = C / V^2`` through the dE/ds virial route (npt.py) and the
+    correct dE term to barostat volume moves.
+    """
+    vol = box[0] * box[1] * box[2]
+    return jnp.asarray(spec.tail_coeff, dtype) / vol
+
+
 def _lj_pair_terms(half_sig_sum, eps_prod, inv_r):
     """LJ energy in the reference's prefactored form: with s = 0.5*(si+sj)
     stored as the sum of half-sigmas and e = (2 sqrt(eps_i))(2 sqrt(eps_j)),
@@ -178,6 +191,9 @@ def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
 
     comps: Dict[str, jax.Array] = {}
     comps["self"] = self_energy(q, spec.alpha)
+    if spec.tail_coeff is not None:
+        comps["dispersion"] = dispersion_energy(system.box, spec,
+                                                positions.dtype)
 
     # -- direct space (builds the shared cell blocks when applicable) -------
     blocks = ids = None

@@ -155,6 +155,9 @@ def instantaneous_pressure(positions, velocities, system, masses,
                  + cell_roll_direct_energy(xs, q, sysb)
                  + reciprocal_energy(xs, q, sysb.box, spec.alpha,
                                      spec.kmax, method="xla"))
+            if spec.tail_coeff is not None:
+                from .energy import dispersion_energy
+                e = e + dispersion_energy(sysb.box, spec, dtype)
         else:
             e = _energy(xs, sysb)
         if bonded is not None:

@@ -44,6 +44,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..cells import HALF_SHELL, gather_rows
 from ..charges import effective_charges
+from ..energy import dispersion_energy
 from ..ewald import reciprocal_energy_from_sf, self_energy, structure_factors
 from ..ops.erfc import erfc_fast
 from ..units import ONE_4PI_EPS0
@@ -270,6 +271,9 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
             sc = jax.lax.psum(sc_part, axis_name)
             ss = jax.lax.psum(ss_part, axis_name)
             e_rec = reciprocal_energy_from_sf(sc, ss, box, alpha, spec.kmax)
+        if spec.tail_coeff is not None:
+            # replicated (outside the psum), like e_rec — added once
+            e_rec = e_rec + dispersion_energy(box, spec, dtype)
         return e_rec + jax.lax.psum(e_dir + e_excl + e_self, axis_name)
 
     return local_energy

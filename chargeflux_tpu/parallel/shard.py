@@ -40,7 +40,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..cells import build_cell_list, cell_rows_direct_energy, half_shell_tables
 from ..charges import effective_charges
-from ..energy import _lj_pair_terms
+from ..energy import _lj_pair_terms, dispersion_energy
 from ..ewald import reciprocal_energy_from_sf, self_energy, structure_factors
 from ..ops.erfc import erfc_fast
 from ..pairs import displacement
@@ -201,6 +201,10 @@ def _local_energy_builder(system, axis_name: str, ndev: int):
         e_rec = reciprocal_energy_from_sf(sc, ss, system.box, spec.alpha,
                                           spec.kmax)
         e_self = self_energy(qs, spec.alpha)
+        if spec.tail_coeff is not None:
+            # replicated (outside the psum), like e_rec — added once
+            e_rec = e_rec + dispersion_energy(system.box, spec,
+                                              positions.dtype)
         return e_rec + jax.lax.psum(e_dir + e_excl + e_self, axis_name)
 
     return local_energy

@@ -57,6 +57,41 @@ def ewald_alpha(cutoff: float, tol: float) -> float:
     return math.sqrt(-math.log(2.0 * tol)) / cutoff
 
 
+def dispersion_tail_coefficient(sigma, epsilon, cutoff: float) -> float:
+    """Isotropic long-range LJ dispersion (tail) coefficient C [kJ/mol nm^3].
+
+    ``E_tail = C / V`` with
+    ``C = 2 pi sum_{i != j} 4 eps_ij [ sig_ij^12/(9 rc^9) - sig_ij^6/(3 rc^3) ]``
+    (Lorentz-Berthelot mixing, g(r) = 1 beyond the cutoff — the standard
+    homogeneous-fluid correction, cf. Allen & Tildesley eq. 2.134).  The
+    reference plugin truncates LJ with no correction at all
+    (ReferenceCoulKernels.cpp:572-577 stops at the cutoff); this is an
+    opt-in extension (``CoulForce.setUseDispersionCorrection``).
+
+    The double pair sum is evaluated *exactly* in O(N) via the binomial
+    expansion of ``(sig_i + sig_j)^p``: with ``a_i = 2 sqrt(eps_i)`` and
+    moments ``M_k = sum_i a_i sig_i^k``,
+    ``sum_{i!=j} a_i a_j sig_ij^p
+      = 2^-p [ sum_k C(p,k) M_k M_{p-k} - sum_i a_i^2 (2 sig_i)^p ]``.
+    Exclusions are deliberately ignored (they are short-ranged bonded
+    pairs; their g(r) never reaches the tail region) — same convention as
+    OpenMM's NonbondedForce dispersion correction.
+    """
+    sig = np.asarray(sigma, dtype=np.float64).reshape(-1)
+    a = 2.0 * np.sqrt(np.asarray(epsilon, dtype=np.float64).reshape(-1))
+
+    def pair_sum(p: int) -> float:
+        mom = [float(np.sum(a * sig ** k)) for k in range(p + 1)]
+        full = sum(math.comb(p, k) * mom[k] * mom[p - k] for k in range(p + 1))
+        self_pairs = float(np.sum(a * a * (2.0 * sig) ** p))
+        return (full - self_pairs) / 2.0 ** p
+
+    rc3 = float(cutoff) ** 3
+    rc9 = rc3 ** 3
+    return 2.0 * math.pi * (pair_sum(12) / (9.0 * rc9)
+                            - pair_sum(6) / (3.0 * rc3))
+
+
 def ewald_kmax(box: Tuple[float, float, float], alpha: float, tol: float) -> Tuple[int, int, int]:
     """Per-axis kmax grown until the error estimate drops below tol, then
     forced odd — including the reference's force-odd quirk
@@ -124,6 +159,10 @@ class StaticSpec:
     # support: ceil((skin/2) / mesh_spacing) per side.  (0, 0, 0) when the
     # cell route is off.
     pme_slack: Tuple[int, int, int] = (0, 0, 0)
+    # Long-range LJ dispersion tail coefficient C (kJ/mol nm^3): the energy
+    # gains C / V(box).  None when the correction is off (the default — the
+    # reference plugin has no such correction) or the system is non-periodic.
+    tail_coeff: Optional[float] = None
     # Detected repeating molecular structure (topology.py); enables the
     # gather/scatter-free template paths for flux charges and exclusions.
     # None when the system's term indices don't form a repeating pattern.
@@ -243,6 +282,7 @@ class CoulForce:
         self._cutoff = 1.0
         self._ewald_tol = 1e-4
         self._pbc = False
+        self._use_dispersion = False
 
     # -- particles (CoulForce.cpp:18-43) -------------------------------------
 
@@ -282,6 +322,17 @@ class CoulForce:
 
     def getEwaldErrorTolerance(self) -> float:
         return self._ewald_tol
+
+    def setUseDispersionCorrection(self, use: bool):
+        """Opt into the isotropic long-range LJ tail correction E += C/V.
+
+        Extension beyond the reference (which truncates LJ with no
+        correction); the OpenMM NonbondedForce API analog.  Requires PBC.
+        """
+        self._use_dispersion = bool(use)
+
+    def getUseDispersionCorrection(self) -> bool:
+        return self._use_dispersion
 
     # -- exclusions (CoulForce.cpp:56-76) -------------------------------------
 
@@ -398,6 +449,10 @@ class CoulForce:
                 f"45% slower and removed, BASELINE.md)")
         if walk_layout == "auto":
             walk_layout = "concat"
+        if self._use_dispersion and not self._pbc:
+            raise ValueError(
+                "the dispersion tail correction needs a periodic box "
+                "(E_tail = C/V); disable it or enable PBC")
         if self._pbc:
             if box is None:
                 raise ValueError("PBC system requires a box")
@@ -528,6 +583,11 @@ class CoulForce:
             excl_template, perms = det
             excl = [excl[i] for i in perms["exclusions"]]
 
+        tail_coeff = None
+        if self._use_dispersion:
+            tail_coeff = dispersion_tail_coefficient(
+                self._sigmas, self._epsilons, self._cutoff)
+
         pme_slack = (0, 0, 0)
         if self._pbc and grid is not None and pme_grid is not None:
             skin = max(float(min(box_arr[a] / grid[a] for a in range(3)))
@@ -551,6 +611,7 @@ class CoulForce:
             pme_grid=pme_grid,
             pme_order=pme_order,
             pme_slack=pme_slack,
+            tail_coeff=tail_coeff,
             flux_template=flux_template,
             excl_template=excl_template,
         )
@@ -591,6 +652,7 @@ class CoulForce:
             "cutoff": self._cutoff,
             "ewald_tolerance": self._ewald_tol,
             "pbc": self._pbc,
+            "dispersion_correction": self._use_dispersion,
         }
 
     @classmethod
@@ -609,6 +671,7 @@ class CoulForce:
         force.setCutoffDistance(d.get("cutoff", 1.0))
         force.setEwaldErrorTolerance(d.get("ewald_tolerance", 1e-4))
         force.setUsesPeriodicBoundaryConditions(d.get("pbc", False))
+        force.setUseDispersionCorrection(d.get("dispersion_correction", False))
         return force
 
     # -- internals -------------------------------------------------------------

@@ -34,7 +34,7 @@ from .charges import apply_chain_rule, effective_charges
 from .utils.profiling import phase_scope
 from .ewald import reciprocal_energy, self_energy
 from .ops.erfc import erf_over_r_eval, erfc_fast
-from .pairs import displacement, pair_matrix_mask
+from .pairs import box_volume, displacement, pair_matrix_mask
 from .system import ChargeFluxSystem
 from .units import ONE_4PI_EPS0
 
@@ -48,8 +48,7 @@ def dispersion_energy(box, spec, dtype):
     ``P_tail = C / V^2`` through the dE/ds virial route (npt.py) and the
     correct dE term to barostat volume moves.
     """
-    vol = box[0] * box[1] * box[2]
-    return jnp.asarray(spec.tail_coeff, dtype) / vol
+    return jnp.asarray(spec.tail_coeff, dtype) / box_volume(box)
 
 
 def _lj_pair_terms(half_sig_sum, eps_prod, inv_r):

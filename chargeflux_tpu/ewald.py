@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .pairs import box_volume, frac_coords, reciprocal_metric
 from .units import ONE_4PI_EPS0, SQRT_PI
 
 
@@ -77,7 +78,10 @@ def structure_factors(positions: jax.Array, q: jax.Array, box: jax.Array,
 
     # Fractional coordinates wrapped into [0, 1): improves phase accuracy in
     # f32 and leaves the (periodic) energy unchanged; floor has zero grad.
-    frac = positions / box
+    # e^{i k.x} = e^{2 pi i n.f} factorizes per axis in *fractional* space
+    # for any lattice — the same MXU-factorized contraction serves triclinic
+    # boxes (an extension; the reference is orthorhombic-only).
+    frac = frac_coords(positions, box)
     frac = frac - jax.lax.stop_gradient(jnp.floor(frac))
     two_pi = 2.0 * math.pi
     phx = two_pi * frac[:, 0:1] * nx[None, :]          # [N, Kx]
@@ -163,19 +167,29 @@ def reciprocal_energy_from_sf(s_cos: jax.Array, s_sin: jax.Array,
     dtype = s_cos.dtype
     nx, ny, nz, w = kvector_grid(kmax)
     # k^2 and the Ewald kernel exp(-k^2/(4 alpha^2)) / k^2, origin masked.
-    recip = (2.0 * math.pi) / box                       # [3]
-    kx2 = (jnp.asarray(nx, dtype) * recip[0]) ** 2      # [Kx]
-    ky2 = (jnp.asarray(ny, dtype) * recip[1]) ** 2
-    kz2 = (jnp.asarray(nz, dtype) * recip[2]) ** 2
-    k2 = (kx2[:, None, None] + ky2[None, :, None] + kz2[None, None, :])
+    if box.ndim == 2:
+        # triclinic: |k|^2 = n.G.n with the reciprocal Gram matrix — the
+        # three cross terms are the only difference from the separable form
+        g = reciprocal_metric(box, dtype)
+        ax = jnp.asarray(nx, dtype)[:, None, None]
+        ay = jnp.asarray(ny, dtype)[None, :, None]
+        az = jnp.asarray(nz, dtype)[None, None, :]
+        k2 = (g[0, 0] * ax * ax + g[1, 1] * ay * ay + g[2, 2] * az * az
+              + 2.0 * (g[0, 1] * ax * ay + g[0, 2] * ax * az
+                       + g[1, 2] * ay * az))
+    else:
+        recip = (2.0 * math.pi) / box                   # [3]
+        kx2 = (jnp.asarray(nx, dtype) * recip[0]) ** 2  # [Kx]
+        ky2 = (jnp.asarray(ny, dtype) * recip[1]) ** 2
+        kz2 = (jnp.asarray(nz, dtype) * recip[2]) ** 2
+        k2 = (kx2[:, None, None] + ky2[None, :, None] + kz2[None, None, :])
     kxy = len(nx) * len(ny)
     k2 = k2.reshape(kxy, len(nz))
     k2_safe = jnp.where(k2 > 0, k2, 1.0)
     eak = jnp.exp(-k2_safe * (0.25 / (alpha * alpha))) / k2_safe
     wk = jnp.asarray(w, dtype).reshape(kxy, len(nz)) * eak
 
-    volume = box[0] * box[1] * box[2]
-    const = 4.0 * math.pi * ONE_4PI_EPS0 / volume
+    const = 4.0 * math.pi * ONE_4PI_EPS0 / box_volume(box)
     return const * jnp.sum(wk * (s_cos * s_cos + s_sin * s_sin))
 
 

@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from .bonded import bonded_energy
 from .energy import _energy
 from .integrate import baoab_coeffs, baoab_pre_force, kinetic_energy
-from .pairs import displacement
+from .pairs import box_volume, displacement
 from .units import BOLTZ
 
 # 1 bar in kJ/mol/nm^3: 1e5 J/m^3 x 1e-27 m^3/nm^3 x N_A.
@@ -166,7 +166,7 @@ def instantaneous_pressure(positions, velocities, system, masses,
         return e
 
     de_ds = jax.grad(e_scaled)(jnp.asarray(1.0, dtype))
-    vol = system.box[0] * system.box[1] * system.box[2]
+    vol = box_volume(system.box)
     ke = kinetic_energy(velocities, masses)
     p_internal = (2.0 * ke - de_ds) / (3.0 * vol)    # kJ/mol/nm^3
     return p_internal / BAR_TO_KJ_MOL_NM3
@@ -235,7 +235,7 @@ def npt_langevin_trajectory(positions, velocities, system, masses,
 
     def attempt(xx, box, dv, e_old, k):
         ku, ka = jax.random.split(k)
-        v0 = box[0] * box[1] * box[2]
+        v0 = box_volume(box)
         dvol = dv * (2.0 * jax.random.uniform(ku, dtype=dtype) - 1.0)
         v1 = v0 + dvol
         s = jnp.cbrt(v1 / v0)

@@ -4,10 +4,15 @@ Replaces the reference's use of OpenMM ``ReferenceForce::getDeltaR`` /
 ``getDeltaRPeriodic`` (ReferenceCoulKernels.cpp:52-56, 93-101, 172-181) and
 the per-atom exclusion sets (ReferenceCoulKernels.cpp:385-391).
 
-Minimum-image convention: orthorhombic boxes only (the reference bakes in the
-same assumption, ReferenceCoulKernels.cpp:513-517).  We use
+Minimum-image convention: for an orthorhombic box ([3] edge lengths) we use
 ``delta - box * floor(delta / box + 0.5)``, matching OpenMM's reference
-implementation exactly (round-half-up at the box boundary).
+implementation exactly (round-half-up at the box boundary).  The reference
+plugin bakes in the orthorhombic assumption (ReferenceCoulKernels.cpp:
+513-517); as an extension a *triclinic* box may be given as a [3, 3] matrix
+of row lattice vectors in reduced lower-triangular form, wrapped by the
+sequential c-then-b-then-a subtraction (OpenMM's triclinic convention) —
+exact for pair distances up to half the smallest perpendicular box width,
+which create_system enforces against the cutoff.
 """
 
 from __future__ import annotations
@@ -22,12 +27,18 @@ def delta_direct(pa: jax.Array, pb: jax.Array) -> jax.Array:
 
 
 def delta_periodic(pa: jax.Array, pb: jax.Array, box: jax.Array) -> jax.Array:
-    """Minimum-image displacement a -> b in an orthorhombic box.
+    """Minimum-image displacement a -> b.
 
-    ``box`` is a length-3 vector of edge lengths, broadcast against the last
-    axis of the positions.
+    ``box`` is a length-3 vector of edge lengths (orthorhombic), broadcast
+    against the last axis of the positions, or a [3, 3] reduced-form
+    row-vector matrix (triclinic; the shape dispatch is static).
     """
     d = pb - pa
+    if box.ndim == 2:
+        d = d - box[2] * jnp.floor(d[..., 2:3] / box[2, 2] + 0.5)
+        d = d - box[1] * jnp.floor(d[..., 1:2] / box[1, 1] + 0.5)
+        d = d - box[0] * jnp.floor(d[..., 0:1] / box[0, 0] + 0.5)
+        return d
     return d - box * jnp.floor(d / box + 0.5)
 
 
@@ -36,6 +47,34 @@ def displacement(pa, pb, box, pbc: bool):
     if pbc:
         return delta_periodic(pa, pb, box)
     return delta_direct(pa, pb)
+
+
+def box_volume(box: jax.Array) -> jax.Array:
+    """Box volume: edge product ([3]) or diagonal product of the reduced
+    lower-triangular lattice matrix ([3, 3] — its determinant)."""
+    if box.ndim == 2:
+        return box[0, 0] * box[1, 1] * box[2, 2]
+    return box[0] * box[1] * box[2]
+
+
+def frac_coords(x: jax.Array, box: jax.Array) -> jax.Array:
+    """Fractional coordinates f with x = f @ box (rows = lattice vectors);
+    for an orthorhombic [3] box this is x / box."""
+    if box.ndim == 2:
+        return x @ jnp.linalg.inv(box)
+    return x / box
+
+
+def reciprocal_metric(box: jax.Array, dtype) -> jax.Array:
+    """G [3, 3] such that |k(n)|^2 = n . G . n for k = 2 pi n B^-T
+    (the reciprocal-lattice Gram matrix, G = (2 pi)^2 (B B^T)^-1).
+    Diagonal (2 pi / L_i)^2 for an orthorhombic box."""
+    if box.ndim == 2:
+        b = box.astype(dtype)
+        g = jnp.linalg.inv(b @ b.T)
+        return (2.0 * jnp.pi) ** 2 * g
+    r = (2.0 * jnp.pi) / box.astype(dtype)
+    return jnp.diag(r * r)
 
 
 def safe_norm(d: jax.Array, axis: int = -1):

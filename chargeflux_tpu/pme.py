@@ -47,6 +47,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .pairs import box_volume, frac_coords, reciprocal_metric
 from .units import ONE_4PI_EPS0
 
 # Order 8: in the dense/cell-blocked spread the spline order never enters a
@@ -176,17 +177,28 @@ def influence_function(grid: Tuple[int, int, int], box: jax.Array,
     elementwise work on the G^3/2 grid).
     """
     gx, gy, gz = grid
-    vol = box[0] * box[1] * box[2]
+    vol = box_volume(box)
 
     def ifreqs(n):
         return np.fft.fftfreq(n, d=1.0 / n)          # signed integer freqs
 
     two_pi = 2.0 * math.pi
-    kx = (two_pi * jnp.asarray(ifreqs(gx), dtype) / box[0])[:, None, None]
-    ky = (two_pi * jnp.asarray(ifreqs(gy), dtype) / box[1])[None, :, None]
-    kz = (two_pi * jnp.asarray(np.arange(gz // 2 + 1), dtype)
-          / box[2])[None, None, :]
-    k2 = kx * kx + ky * ky + kz * kz
+    if box.ndim == 2:
+        # triclinic (reduced row-vector lattice): |k|^2 = m.G.m with the
+        # reciprocal Gram matrix; three cross terms on the [G^3/2] grid
+        g = reciprocal_metric(box, dtype)      # includes the (2 pi)^2
+        mx = jnp.asarray(ifreqs(gx), dtype)[:, None, None]
+        my = jnp.asarray(ifreqs(gy), dtype)[None, :, None]
+        mz = jnp.asarray(np.arange(gz // 2 + 1), dtype)[None, None, :]
+        k2 = (g[0, 0] * mx * mx + g[1, 1] * my * my + g[2, 2] * mz * mz
+              + 2.0 * (g[0, 1] * mx * my + g[0, 2] * mx * mz
+                       + g[1, 2] * my * mz))
+    else:
+        kx = (two_pi * jnp.asarray(ifreqs(gx), dtype) / box[0])[:, None, None]
+        ky = (two_pi * jnp.asarray(ifreqs(gy), dtype) / box[1])[None, :, None]
+        kz = (two_pi * jnp.asarray(np.arange(gz // 2 + 1), dtype)
+              / box[2])[None, None, :]
+        k2 = kx * kx + ky * ky + kz * kz
     origin = np.zeros((gx, gy, gz // 2 + 1), dtype=bool)
     origin[0, 0, 0] = True
     k2s = jnp.where(jnp.asarray(origin), 1.0, k2)
@@ -599,7 +611,9 @@ def pme_reciprocal_energy(positions: jax.Array, q: jax.Array, box: jax.Array,
     """
     dtype = positions.dtype
     gx, gy, gz = grid
-    frac = positions / box
+    # fractional coordinates: the B-spline spread lives on the unit-cell
+    # mesh for any lattice, so the dense route serves triclinic boxes too
+    frac = frac_coords(positions, box)
     frac = frac - jax.lax.stop_gradient(jnp.floor(frac))
     u = frac * jnp.asarray(np.asarray(grid), dtype)
 

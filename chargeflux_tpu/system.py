@@ -19,9 +19,11 @@ Two layers:
   creation (CudaCoulKernels.cpp:377-389, 466-506) — the reference's analog of
   XLA trace-time specialization.
 
-Only orthorhombic boxes are supported, matching the reference's hard
-assumption (ReferenceCoulKernels.cpp:513-517).  Boxes are length-3 vectors of
-edge lengths in nm.
+Boxes are length-3 vectors of edge lengths in nm (orthorhombic — the
+reference's hard assumption, ReferenceCoulKernels.cpp:513-517), or, as an
+extension beyond the reference, a [3, 3] matrix of row lattice vectors in
+reduced lower-triangular form (triclinic; dense direct route + classical
+Ewald / dense PME reciprocal — the cell walk stays orthorhombic).
 """
 
 from __future__ import annotations
@@ -55,6 +57,42 @@ def _ewald_param_value(kmax: int, width: float, alpha: float) -> float:
 def ewald_alpha(cutoff: float, tol: float) -> float:
     """alpha = sqrt(-log(2*tol)) / cutoff  (ReferenceCoulKernels.cpp:401)."""
     return math.sqrt(-math.log(2.0 * tol)) / cutoff
+
+
+def box_widths(box_arr: np.ndarray) -> Tuple[float, float, float]:
+    """Perpendicular widths (lattice-plane spacings) of a box.
+
+    For a [3] orthorhombic box these are the edge lengths; for a [3, 3]
+    row-vector lattice matrix B, width_i = 1 / ||inv(B)[:, i]|| (column i
+    of the inverse is the plane normal with a_i . col_i = 1).  These are
+    the lengths that enter the Ewald kmax / PME-mesh accuracy heuristics
+    and the minimum-image validity bound.
+    """
+    if box_arr.ndim == 2:
+        inv = np.linalg.inv(box_arr)
+        return tuple(1.0 / np.linalg.norm(inv[:, i]) for i in range(3))
+    return tuple(float(b) for b in box_arr)
+
+
+def _validate_reduced_box(b: np.ndarray):
+    """Triclinic boxes must be in reduced lower-triangular row-vector form
+    (OpenMM's convention): a = (ax,0,0), b = (bx,by,0), c = (cx,cy,cz) with
+    positive diagonal and off-diagonals no larger than half the earlier
+    diagonals.  Any lattice can be rotated/relabeled into this form."""
+    if not np.allclose([b[0, 1], b[0, 2], b[1, 2]], 0.0):
+        raise ValueError(
+            "triclinic box must be lower-triangular (row lattice vectors "
+            "a=(ax,0,0), b=(bx,by,0), c=(cx,cy,cz)); rotate your cell")
+    if not (b[0, 0] > 0 and b[1, 1] > 0 and b[2, 2] > 0):
+        raise ValueError("triclinic box diagonal must be positive")
+    tol = 1e-9
+    if (abs(b[1, 0]) > 0.5 * b[0, 0] + tol
+            or abs(b[2, 0]) > 0.5 * b[0, 0] + tol
+            or abs(b[2, 1]) > 0.5 * b[1, 1] + tol):
+        raise ValueError(
+            "triclinic box is not in reduced form (|b_x|<=a_x/2, "
+            "|c_x|<=a_x/2, |c_y|<=b_y/2); subtract integer multiples of "
+            "earlier rows (lattice-preserving) to reduce it")
 
 
 def dispersion_tail_coefficient(sigma, epsilon, cutoff: float) -> float:
@@ -254,8 +292,43 @@ class ChargeFluxSystem:
         Growing the box only degrades Ewald accuracy gradually (kmax and
         the PME grid were tuned for the original volume).
         """
-        box = jnp.broadcast_to(jnp.asarray(box, self.box.dtype), (3,))
+        box = jnp.broadcast_to(jnp.asarray(box, self.box.dtype),
+                               self.box.shape)
         return dataclasses.replace(self, box=box)
+
+    def with_particle_parameters(self, q0=None, sigma=None,
+                                 epsilon=None) -> "ChargeFluxSystem":
+        """Same system with swapped per-particle parameters.
+
+        The OpenMM ``updateParametersInContext`` analog: parameters are
+        pytree *leaves*, so a same-shaped swap reuses the compiled energy
+        without retracing (free-energy perturbation, parameter fitting,
+        alchemical scans).  Shapes must match the original arrays.
+
+        When the dispersion tail correction is active and sigma/epsilon
+        change, the static tail coefficient is recomputed — this needs
+        concrete (non-traced) values and changes the StaticSpec, i.e. it
+        recompiles; call it outside jit in that case.
+        """
+        new = {}
+        for name, val in (("q0", q0), ("sigma", sigma), ("epsilon", epsilon)):
+            if val is None:
+                continue
+            old = getattr(self, name)
+            arr = jnp.asarray(val, old.dtype)
+            if arr.shape != old.shape:
+                raise ValueError(
+                    f"{name} shape {arr.shape} != {old.shape}; particle "
+                    f"count is a compile-time constant")
+            new[name] = arr
+        if self.spec.tail_coeff is not None and (
+                sigma is not None or epsilon is not None):
+            sig = np.asarray(new.get("sigma", self.sigma))
+            eps = np.asarray(new.get("epsilon", self.epsilon))
+            new["spec"] = dataclasses.replace(
+                self.spec, tail_coeff=dispersion_tail_coefficient(
+                    sig, eps, self.spec.cutoff))
+        return dataclasses.replace(self, **new)
 
 
 # ---------------------------------------------------------------------------
@@ -453,15 +526,35 @@ class CoulForce:
             raise ValueError(
                 "the dispersion tail correction needs a periodic box "
                 "(E_tail = C/V); disable it or enable PBC")
+        triclinic = False
         if self._pbc:
             if box is None:
                 raise ValueError("PBC system requires a box")
-            box_arr = np.asarray(box, dtype=np.float64).reshape(3)
+            box_arr = np.asarray(box, dtype=np.float64)
+            if box_arr.size == 9:
+                box_arr = box_arr.reshape(3, 3)
+                if np.all(box_arr == np.diag(np.diag(box_arr))):
+                    # a diagonal lattice matrix IS orthorhombic — collapse
+                    # so every fast path (cell walk, halo, PME cell) applies
+                    box_arr = np.diag(box_arr).copy()
+                else:
+                    triclinic = True
+                    _validate_reduced_box(box_arr)
+            else:
+                box_arr = box_arr.reshape(3)
+            # Ewald accuracy is set by the *perpendicular* widths (plane
+            # spacings); for an orthorhombic box these are the edge lengths.
+            widths = box_widths(box_arr)
+            if triclinic and self._cutoff > min(widths) / 2:
+                raise ValueError(
+                    f"cutoff {self._cutoff} exceeds half the smallest "
+                    f"perpendicular box width {min(widths) / 2:.4g}; the "
+                    f"reduced-form minimum image is only exact below it")
             alpha = ewald_alpha(self._cutoff, self._ewald_tol)
-            kmax = ewald_kmax(tuple(box_arr), alpha, self._ewald_tol)
+            kmax = ewald_kmax(tuple(widths), alpha, self._ewald_tol)
             from .pme import DEFAULT_ORDER, pme_grid_size
             pme_order = DEFAULT_ORDER
-            pme_grid = pme_grid_size(box_arr, alpha, self._ewald_tol,
+            pme_grid = pme_grid_size(widths, alpha, self._ewald_tol,
                                      pme_order)
         else:
             box_arr = np.zeros(3, dtype=np.float64)
@@ -475,6 +568,15 @@ class CoulForce:
         capacity = None
         method = direct_method
         if not self._pbc:
+            method = "dense"
+        elif triclinic:
+            # The roll-based cell walk (and everything downstream: halo
+            # sharding, PME cell spread, neighbor reuse) is orthorhombic;
+            # triclinic runs take the dense direct route.
+            if method == "cell":
+                raise ValueError(
+                    "direct_method='cell' supports orthorhombic boxes only; "
+                    "triclinic systems use the dense direct route")
             method = "dense"
         else:
             # Reserve skin_frac*cutoff of Verlet skin when sizing cells:
@@ -531,7 +633,8 @@ class CoulForce:
             else:
                 walk_chunks = grid[0]
 
-        if self._pbc and self._cutoff > float(np.min(box_arr)) / 2 and \
+        if self._pbc and not triclinic and \
+                self._cutoff > float(np.min(box_arr)) / 2 and \
                 method == "dense":
             import warnings
             warnings.warn(

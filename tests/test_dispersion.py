@@ -133,3 +133,22 @@ def test_serialization_roundtrip():
     assert back.getUseDispersionCorrection() is True
     assert CoulForce.from_dict(CoulForce().to_dict() | {
         "particles": [[0.0, 0.3, 0.5]]}).getUseDispersionCorrection() is False
+
+
+def test_with_particle_parameters_recomputes_tail():
+    sys_off, sys_on, x, box = _pair()
+    # q0 swap: no tail change, energy responds to the new charges
+    e0 = float(cf.energy(x, sys_on))
+    sys_q = sys_on.with_particle_parameters(q0=sys_on.q0 * 0.5)
+    assert float(cf.energy(x, sys_q)) != e0
+    assert sys_q.spec.tail_coeff == sys_on.spec.tail_coeff
+    # epsilon swap: static tail coefficient must track the new parameters
+    sys_e = sys_on.with_particle_parameters(epsilon=sys_on.epsilon * 2.0)
+    assert abs(sys_e.spec.tail_coeff - 2.0 * sys_on.spec.tail_coeff) \
+        <= 1e-9 * abs(sys_on.spec.tail_coeff)
+    try:
+        sys_on.with_particle_parameters(q0=jnp.zeros(3))
+    except ValueError as err:
+        assert "shape" in str(err)
+    else:
+        raise AssertionError("expected shape mismatch error")

@@ -457,6 +457,11 @@ def main():
     if not on_device:
         result["note"] = ("axon TPU tunnel down after retries; measured on "
                           "host CPU — not comparable to the TPU target")
+        # last same-code TPU measurements (BASELINE.md, Aug 17-18), so a
+        # tunnel outage at report time doesn't erase the known TPU state
+        last_tpu = {"30k": 2.79, "100k": 9.0, "4k": 0.37, "216": 0.074}
+        if config in last_tpu:
+            result["last_measured_tpu_ms"] = last_tpu[config]
     if config == "30k" and on_device:
         result["phases_ms"] = measure_phases(x, system)
         result["model_cutoff_nm"] = 0.8

@@ -152,3 +152,22 @@ def test_with_particle_parameters_recomputes_tail():
         assert "shape" in str(err)
     else:
         raise AssertionError("expected shape mismatch error")
+
+
+def test_halo_sharded_energy_includes_tail_once():
+    # the halo route adds the tail replicated (outside its psum) — must
+    # count once regardless of device count
+    from chargeflux_tpu.parallel.halo import halo_compatible, \
+        make_halo_energy_fn
+    force, pos, _, box = water_box(n_side=8, flux="bond_angle", cutoff=0.29,
+                                   seed=13)
+    force.setUseDispersionCorrection(True)
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell")
+    assert system.spec.tail_coeff is not None
+    assert halo_compatible(system, 8)
+    x = jnp.asarray(pos)
+    e_ref = float(cf.energy(x, system))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("space",))
+    e_halo = float(make_halo_energy_fn(system, mesh)(x))
+    assert abs(e_halo - e_ref) <= 1e-12 * max(abs(e_ref), 1.0)

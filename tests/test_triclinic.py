@@ -200,3 +200,27 @@ def test_validation_errors():
     force.setCutoffDistance(0.9)  # > half min perpendicular width
     with pytest.raises(ValueError, match="perpendicular"):
         force.create_system(box=_shear(box), dtype=jnp.float64)
+
+
+def test_npt_barostat_runs_on_triclinic():
+    # isotropic MC barostat over a triclinic lattice: box1 = s*B keeps the
+    # reduced form; volume/acceptance bookkeeping must use det, not prod
+    from chargeflux_tpu.models import water_bonded_params
+    from chargeflux_tpu.npt import npt_langevin_trajectory
+    force, pos, masses, box = water_box(n_side=3, flux="bond_angle",
+                                        cutoff=0.42, seed=9)
+    system = force.create_system(box=_shear(box), dtype=jnp.float64)
+    bonded = water_bonded_params(27, box=_shear(box), dtype=jnp.float64)
+    m = jnp.asarray(masses, jnp.float64)
+    key = jax.random.PRNGKey(4)
+    x, v, b, diag = npt_langevin_trajectory(
+        jnp.asarray(pos), jnp.zeros((81, 3), jnp.float64), system, m,
+        dt=5e-4, temperature=300.0, friction=5.0, pressure_bar=1.0,
+        key=key, n_steps=40, bonded=bonded, barostat_interval=20)
+    assert b.shape == (3, 3)
+    assert np.all(np.isfinite(np.asarray(diag["energies"])))
+    # scaling preserves the lattice shape ratios
+    b = np.asarray(b)
+    B0 = _shear(box)
+    s = b[0, 0] / B0[0, 0]
+    np.testing.assert_allclose(b, s * B0, rtol=1e-12)

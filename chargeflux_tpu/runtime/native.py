@@ -64,8 +64,30 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.cf_direct_energy.argtypes = [
         dptr, ctypes.c_int64, dptr, dptr, dptr, dptr,
         iptr, ctypes.c_int64, ctypes.c_double, ctypes.c_double, dptr, dptr]
+    lib.cf_dcd_open.restype = ctypes.c_void_p
+    lib.cf_dcd_open.argtypes = [ctypes.c_char_p, ctypes.c_int32,
+                                ctypes.c_double, ctypes.c_int32,
+                                ctypes.c_int32]
+    lib.cf_dcd_write_frame.restype = ctypes.c_int
+    lib.cf_dcd_write_frame.argtypes = [ctypes.c_void_p, dptr,
+                                       ctypes.c_void_p]
+    lib.cf_dcd_close.restype = ctypes.c_int
+    lib.cf_dcd_close.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
+
+
+def dcd_native_handle(path: str, n_atoms: int, dt_ps: float, nsavc: int,
+                      with_cell: bool):
+    """(lib, handle) for the native DCD writer, or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.cf_dcd_open(str(path).encode(), int(n_atoms), float(dt_ps),
+                        int(nsavc), int(bool(with_cell)))
+    if not h:
+        raise OSError(f"cannot open {path!r} for DCD writing")
+    return lib, h
 
 
 def native_available() -> bool:

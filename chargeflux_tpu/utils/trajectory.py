@@ -1,11 +1,14 @@
-"""Minimal trajectory output: XYZ frames (VMD/OVITO-readable).
+"""Trajectory IO: XYZ frames (human-readable) and binary DCD.
 
 The reference plugin inherits reporting from OpenMM (SURVEY §1 L0 — DCD /
-state-data reporters live in the host framework); a standalone engine
-needs at least a lowest-common-denominator visualizable format.  XYZ is
-deliberately chosen over DCD: zero dependencies, human-readable, and every
-viewer ingests it.  Coordinates convert nm -> Angstrom on write (the XYZ
-convention).
+state-data reporters live in the host framework); a standalone engine has
+to ship both: XYZ as the zero-dependency human-readable format, and
+CHARMM/NAMD DCD (:class:`DCDWriter`) so trajectories drop straight into
+the VMD / MDAnalysis / mdtraj stacks reference users already run.  The
+DCD path is backed by the native C++ runtime (csrc/chargeflux_host.cpp,
+buffered fwrite — the same division of labor as the reference's C++ host
+code) with a pure-Python fallback when no compiler is available.
+Coordinates convert nm -> Angstrom on write (both formats' convention).
 """
 
 from __future__ import annotations
@@ -98,3 +101,160 @@ def read_xyz(path: str):
         frames.append(rows)
         i += 2 + n
     return np.asarray(frames, np.float64) / 10.0, symbols, comments
+
+
+# ---------------------------------------------------------------------------
+# DCD (CHARMM/NAMD binary) — native-backed writer with Python fallback
+# ---------------------------------------------------------------------------
+
+
+def _cell_record(box) -> np.ndarray:
+    """[A, gamma, B, beta, alpha, C] in Angstrom/degrees from a [3] edge
+    vector or [3, 3] row-lattice matrix (the NAMD/MDAnalysis unit-cell
+    record convention)."""
+    b = np.asarray(box, np.float64)
+    if b.ndim == 2:
+        a_v, b_v, c_v = b * 10.0
+        la, lb, lc = (np.linalg.norm(v) for v in (a_v, b_v, c_v))
+
+        def ang(u, v):
+            return float(np.degrees(np.arccos(
+                np.clip(np.dot(u, v) / (np.linalg.norm(u)
+                                        * np.linalg.norm(v)), -1.0, 1.0))))
+
+        return np.array([la, ang(a_v, b_v), lb, ang(a_v, c_v),
+                         ang(b_v, c_v), lc])
+    L = b * 10.0
+    return np.array([L[0], 90.0, L[1], 90.0, 90.0, L[2]])
+
+
+class DCDWriter:
+    """Stream MD frames to a CHARMM/NAMD DCD file.
+
+    ``box``-carrying frames write unit-cell records ([A, gamma, B, beta,
+    alpha, C], degrees); pass ``with_cell=False`` for vacuum systems.
+    Positions are [N, 3] in nm (converted to the format's Angstrom).
+    Context-manager friendly; ``close()`` back-patches the frame/step
+    counts in the header.
+
+        with DCDWriter("run.dcd", n_atoms, dt_ps=dt, interval=100) as w:
+            for chunk in ...:
+                w.write(x, box=system.box)
+    """
+
+    def __init__(self, path, n_atoms: int, dt_ps: float = 0.001,
+                 interval: int = 1, with_cell: bool = True):
+        from ..runtime.native import dcd_native_handle
+
+        self.path = str(path)
+        self.n_atoms = int(n_atoms)
+        self.with_cell = bool(with_cell)
+        self.interval = int(interval)
+        self.n_frames = 0
+        self._native = dcd_native_handle(self.path, self.n_atoms, dt_ps,
+                                         self.interval, self.with_cell)
+        self._fh = None
+        if self._native is None:
+            self._fh = open(self.path, "wb")
+            self._write_header_py(dt_ps)
+
+    # -- pure-Python fallback (format mirror of csrc cf_dcd_*) -------------
+
+    def _rec(self, payload: bytes):
+        import struct
+        self._fh.write(struct.pack("<i", len(payload)) + payload
+                       + struct.pack("<i", len(payload)))
+
+    def _write_header_py(self, dt_ps):
+        import struct
+        ic = [0] * 20
+        ic[1] = ic[2] = self.interval
+        ic[10] = 1 if self.with_cell else 0
+        ic[19] = 24
+        hdr = b"CORD" + struct.pack("<9i", *ic[:9]) \
+            + struct.pack("<f", dt_ps / 0.04888821) \
+            + struct.pack("<10i", *ic[10:])
+        self._rec(hdr)
+        title = b"Created by chargeflux_tpu".ljust(80)
+        self._rec(struct.pack("<i", 1) + title)
+        self._rec(struct.pack("<i", self.n_atoms))
+
+    def write(self, positions, box=None) -> None:
+        x = np.ascontiguousarray(np.asarray(positions, np.float64) * 10.0)
+        if x.shape != (self.n_atoms, 3):
+            raise ValueError(f"expected [{self.n_atoms}, 3], got {x.shape}")
+        if self.with_cell:
+            if box is None:
+                raise ValueError("with_cell writer needs a box per frame")
+            cell = np.ascontiguousarray(_cell_record(box))
+        if self._native is not None:
+            lib, h = self._native
+            import ctypes
+            cptr = cell.ctypes.data_as(ctypes.c_void_p) if self.with_cell \
+                else None
+            rc = lib.cf_dcd_write_frame(h, x.reshape(-1), cptr)
+            if rc != 0:
+                raise OSError(f"native DCD write failed (rc={rc})")
+        else:
+            if self.with_cell:
+                self._rec(cell.astype("<f8").tobytes())
+            xf = x.astype("<f4")
+            for axis in range(3):
+                self._rec(np.ascontiguousarray(xf[:, axis]).tobytes())
+        self.n_frames += 1
+
+    def close(self) -> None:
+        import struct
+        if self._native is not None:
+            lib, h = self._native
+            self._native = None
+            lib.cf_dcd_close(h)
+        elif self._fh is not None:
+            self._fh.seek(8)
+            self._fh.write(struct.pack("<i", self.n_frames))
+            self._fh.seek(20)
+            self._fh.write(struct.pack("<i", self.n_frames * self.interval))
+            self._fh.close()
+            self._fh = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_dcd(path):
+    """Minimal DCD reader: (frames [F, N, 3] nm, cells [F, 6] or None).
+    Round-trip counterpart of DCDWriter (tests / quick analysis)."""
+    import struct
+
+    with open(path, "rb") as fh:
+        raw = fh.read()
+
+    off = [0]
+
+    def rec():
+        (n,) = struct.unpack_from("<i", raw, off[0])
+        data = raw[off[0] + 4:off[0] + 4 + n]
+        (n2,) = struct.unpack_from("<i", raw, off[0] + 4 + n)
+        if n2 != n:
+            raise ValueError("corrupt DCD record markers")
+        off[0] += 8 + n
+        return data
+
+    hdr = rec()
+    if hdr[:4] != b"CORD":
+        raise ValueError("not a DCD file")
+    ic = struct.unpack_from("<20i", hdr, 4)
+    nframes, with_cell = ic[0], bool(ic[10])
+    rec()                                   # titles
+    (natoms,) = struct.unpack("<i", rec())
+    frames, cells = [], []
+    for _ in range(nframes):
+        if with_cell:
+            cells.append(np.frombuffer(rec(), "<f8"))
+        xyz = [np.frombuffer(rec(), "<f4") for _ in range(3)]
+        frames.append(np.stack(xyz, axis=1))
+    return (np.asarray(frames, np.float64) / 10.0,
+            np.asarray(cells) if with_cell else None)

@@ -17,6 +17,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <vector>
 
@@ -188,5 +189,97 @@ double cf_direct_energy(const double* pos, int64_t n, const double* box,
     }
     return energy;
 }
+
+
+// --- DCD trajectory IO ------------------------------------------------
+//
+// CHARMM/NAMD-format binary trajectory writer (the format OpenMM's
+// DCDReporter emits and VMD / MDAnalysis ingest), so trajectories from
+// this engine drop into the reference users' existing analysis stacks.
+// Little-endian, Fortran record markers; unit-cell records as
+// [A, gamma, B, beta, alpha, C] (angles in degrees — the NAMD/MDAnalysis
+// convention).  Frame/step counts are rewritten on close.
+
+struct CfDcd {
+    FILE* f;
+    int32_t natoms;
+    int32_t nframes;
+    int32_t nsavc;
+    int32_t with_cell;
+    std::vector<float> buf;
+};
+
+static void cf_wrec(FILE* f, const void* data, int32_t nbytes) {
+    std::fwrite(&nbytes, 4, 1, f);
+    std::fwrite(data, 1, (size_t)nbytes, f);
+    std::fwrite(&nbytes, 4, 1, f);
+}
+
+void* cf_dcd_open(const char* path, int32_t natoms, double dt_ps,
+                  int32_t nsavc, int32_t with_cell) {
+    FILE* f = std::fopen(path, "wb");
+    if (!f) return nullptr;
+    char hdr[84];
+    std::memset(hdr, 0, sizeof hdr);
+    std::memcpy(hdr, "CORD", 4);
+    int32_t* ic = reinterpret_cast<int32_t*>(hdr + 4);
+    ic[0] = 0;              // nframes (rewritten on close)
+    ic[1] = nsavc;          // step of first frame
+    ic[2] = nsavc;          // steps between frames
+    ic[3] = 0;              // total steps (rewritten on close)
+    float delta = (float)(dt_ps / 0.04888821);  // ps -> AKMA time units
+    std::memcpy(&ic[9], &delta, 4);
+    ic[10] = with_cell ? 1 : 0;
+    ic[19] = 24;            // CHARMM version: unit-cell records honored
+    cf_wrec(f, hdr, 84);
+    char title[84];
+    std::memset(title, 0, sizeof title);
+    int32_t ntitle = 1;
+    std::memcpy(title, &ntitle, 4);
+    std::memcpy(title + 4, "Created by chargeflux_tpu", 25);
+    std::memset(title + 29, ' ', 84 - 29);
+    cf_wrec(f, title, 84);
+    cf_wrec(f, &natoms, 4);
+    CfDcd* h = new CfDcd{f, natoms, 0, nsavc, with_cell, {}};
+    h->buf.resize((size_t)natoms);
+    return h;
+}
+
+// xyz: double[natoms*3] in Angstrom (caller converts nm -> A);
+// cell: double[6] = [A, gamma, B, beta, alpha, C] or null when cell-less.
+int cf_dcd_write_frame(void* handle, const double* xyz, const double* cell) {
+    CfDcd* h = static_cast<CfDcd*>(handle);
+    if (!h || !h->f) return -1;
+    if (h->with_cell) {
+        if (!cell) return -2;
+        cf_wrec(h->f, cell, 48);
+    }
+    for (int axis = 0; axis < 3; ++axis) {
+        for (int64_t i = 0; i < h->natoms; ++i)
+            h->buf[(size_t)i] = (float)xyz[3 * i + axis];
+        cf_wrec(h->f, h->buf.data(), 4 * h->natoms);
+    }
+    h->nframes += 1;
+    return 0;
+}
+
+int cf_dcd_close(void* handle) {
+    CfDcd* h = static_cast<CfDcd*>(handle);
+    if (!h) return -1;
+    int rc = 0;
+    if (h->f) {
+        // record marker (4) + "CORD" (4) -> icntrl[0] at byte 8,
+        // icntrl[3] (total steps) at byte 8 + 3*4 = 20
+        int32_t steps = h->nframes * h->nsavc;
+        if (std::fseek(h->f, 8, SEEK_SET) == 0)
+            std::fwrite(&h->nframes, 4, 1, h->f);
+        if (std::fseek(h->f, 20, SEEK_SET) == 0)
+            std::fwrite(&steps, 4, 1, h->f);
+        rc = std::fclose(h->f);
+    }
+    delete h;
+    return rc;
+}
+
 
 }  // extern "C"

@@ -319,3 +319,41 @@ def test_diagnose_nan_collinear_flux_angle():
     # a healthy bent angle reads none
     x_ok = x.at[2].set(jnp.asarray([0.1, 0.1, 0.0]))
     assert diagnose_nan(x_ok, system)["cause"] == "none"
+
+
+def test_dcd_roundtrip_and_native_python_bit_equality(tmp_path, monkeypatch):
+    """DCDWriter: frames + unit cells round-trip; the native C++ writer and
+    the pure-Python fallback produce BIT-IDENTICAL files."""
+    import chargeflux_tpu.runtime.native as native
+    from chargeflux_tpu.utils import DCDWriter, read_dcd
+    from chargeflux_tpu.utils.trajectory import _cell_record
+
+    rng = np.random.default_rng(17)
+    frames = rng.standard_normal((3, 11, 3))
+    box = np.array([2.0, 2.5, 3.0])
+    tri = np.array([[2.0, 0.0, 0.0], [0.4, 2.5, 0.0], [0.2, -0.3, 3.0]])
+
+    def write(path):
+        with DCDWriter(path, 11, dt_ps=0.002, interval=10) as w:
+            w.write(frames[0], box=box)
+            w.write(frames[1], box=tri)
+            w.write(frames[2], box=box)
+        return path
+
+    p1 = write(str(tmp_path / "native.dcd"))
+    got, cells = read_dcd(p1)
+    assert got.shape == (3, 11, 3)
+    # coordinates survive at f32 resolution (format precision)
+    np.testing.assert_allclose(got, frames, atol=2e-7 * np.abs(frames).max())
+    np.testing.assert_allclose(cells[0], [20.0, 90.0, 25.0, 90.0, 90.0, 30.0])
+    np.testing.assert_allclose(cells[1], _cell_record(tri), rtol=1e-12)
+    # triclinic angles really are non-orthogonal
+    assert abs(cells[1][1] - 90.0) > 1.0
+
+    used_native = native.native_available()
+    monkeypatch.setattr(native, "dcd_native_handle", lambda *a: None)
+    p2 = write(str(tmp_path / "python.dcd"))
+    got2, cells2 = read_dcd(p2)
+    np.testing.assert_array_equal(got, got2)
+    if used_native:
+        assert open(p1, "rb").read() == open(p2, "rb").read()

@@ -311,27 +311,36 @@ def energy_fixed_charges(positions, q, system, nb=None) -> jax.Array:
 
 
 def _energy_components(positions, system) -> Dict[str, jax.Array]:
+    """Energy breakdown with effective charges: {self, [dispersion,]
+    reciprocal, direct, exclusion} under PBC, {pair} otherwise."""
     q = effective_charges(positions, system)
     return energy_components_fixed_charges(positions, q, system)
 
 
 def _energy(positions: jax.Array, system: ChargeFluxSystem,
             nb=None) -> jax.Array:
+    """Total potential energy (kJ/mol) with geometry-dependent charges;
+    ``nb`` is an optional reused neighbor state (neighbors.py)."""
     with phase_scope("cf_charges"):
         q = effective_charges(positions, system)
     return energy_fixed_charges(positions, q, system, nb=nb)
 
 
 def _forces(positions, system):
+    """F = -dE/dx including the charge-flux chain rule, via autodiff."""
     return -jax.grad(_energy)(positions, system)
 
 
 def _energy_and_forces(positions, system, nb=None):
+    """(energy, forces) in one fused value_and_grad pass."""
     e, g = jax.value_and_grad(_energy)(positions, system, nb)
     return e, -g
 
 
 def _forces_manual(positions: jax.Array, system: ChargeFluxSystem) -> jax.Array:
+    """Reference-algorithm force path: fixed-charge gradient + explicit
+    dedq.dqdx chain rule over the analytic sparse Jacobian
+    (ReferenceCoulKernels.cpp:493-499); equals :func:`forces` to 1e-12."""
     q = effective_charges(positions, system)
     gx, dedq = jax.grad(energy_fixed_charges, argnums=(0, 1))(positions, q, system)
     return -gx + apply_chain_rule(dedq, positions, system)

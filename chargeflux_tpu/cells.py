@@ -23,6 +23,16 @@ PBCForce.cu:86-751) — with a TPU-native scheme:
 Like the CUDA path (USE_EXCLUSIONS disabled, CudaCoulKernels.cpp:484), the
 kernel computes erfc+LJ for *all* in-range pairs including excluded ones;
 energy.py's exclusion correction subtracts them to land on the contract.
+
+Triclinic boxes (extension; the reference is orthorhombic-only,
+ReferenceCoulKernels.cpp:513-517): binning is fractional (f = x @ B^-1),
+the grid is sized against the lattice's perpendicular plane widths
+(system.py), and a boundary wrap along grid axis ``a`` contributes the full
+lattice row ``+-B[a]`` to the static image offsets
+(:func:`shift_image_offsets`).  With cell plane spacing >= cutoff the same
+half-shell walk covers every in-range pair exactly once at its unique
+minimum image (|any nonzero lattice combination| >= min plane width
+>= 2 rc).
 """
 
 from __future__ import annotations
@@ -37,6 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops.erfc import erf_over_r_eval, erfc_fast
+from .pairs import frac_coords
 from .units import ONE_4PI_EPS0
 
 # Half-shell shift set: (0,0,0) self + 13 lexicographically positive shifts.
@@ -49,15 +60,57 @@ assert len(HALF_SHELL) == 14
 
 
 
-def boundary_image_offset(axis_len: int, d: int, box_len, dtype):
-    """Static per-cell periodic image offset along one grid axis: +box_len
-    where a roll by ``d`` crosses the high boundary, -box_len across the
-    low one, 0 inside (trace-time NumPy; the ONE copy shared by the roll
-    walk, the concat tile, the explicit-shift builder and the halo
-    route)."""
+def _boundary_crossing(axis_len: int, d: int) -> np.ndarray:
+    """Static per-cell wrap indicator along one grid axis: +1 where a roll
+    by ``d`` crosses the high boundary, -1 across the low one, 0 inside
+    (trace-time NumPy [axis_len])."""
     c = np.arange(axis_len)
-    o = np.where(c + d >= axis_len, 1.0, np.where(c + d < 0, -1.0, 0.0))
-    return jnp.asarray(o, dtype) * box_len
+    return np.where(c + d >= axis_len, 1.0, np.where(c + d < 0, -1.0, 0.0))
+
+
+def boundary_image_offset(axis_len: int, d: int, box_len, dtype):
+    """Static per-cell periodic image offset along one grid axis:
+    ``+-box_len`` where a roll by ``d`` wraps, 0 inside (the ONE copy shared
+    by the roll walk, the concat tile, the explicit-shift builder and the
+    halo route)."""
+    return jnp.asarray(_boundary_crossing(axis_len, d), dtype) * box_len
+
+
+def shift_image_offsets(grid, shift, box, dtype):
+    """Cartesian image offsets of the j-slab for a half-shell ``shift``,
+    as three arrays (one per coordinate) broadcastable to [gx, gy, gz, 1].
+
+    Orthorhombic ([3] box): coordinate k shifts only where the roll wraps
+    along axis k — the classic per-axis ``+-L_k`` column.  Triclinic
+    ([3, 3] reduced row-vector lattice): wrapping along grid axis ``a``
+    adds the full lattice row ``+-B[a]``, so coordinate k collects the
+    crossings of every axis ``a >= k`` (lower-triangular) scaled by the
+    traced ``B[a, k]``."""
+    gx, gy, gz = grid
+    dx, dy, dz = shift
+    if box.ndim == 2:
+        cx = jnp.asarray(_boundary_crossing(gx, dx), dtype).reshape(
+            gx, 1, 1, 1)
+        cy = jnp.asarray(_boundary_crossing(gy, dy), dtype).reshape(
+            1, gy, 1, 1)
+        cz = jnp.asarray(_boundary_crossing(gz, dz), dtype).reshape(
+            1, 1, gz, 1)
+        return (cx * box[0, 0] + cy * box[1, 0] + cz * box[2, 0],
+                cy * box[1, 1] + cz * box[2, 1],
+                cz * box[2, 2])
+    return (boundary_image_offset(gx, dx, box[0], dtype).reshape(gx, 1, 1, 1),
+            boundary_image_offset(gy, dy, box[1], dtype).reshape(1, gy, 1, 1),
+            boundary_image_offset(gz, dz, box[2], dtype).reshape(1, 1, gz, 1))
+
+
+def wrap_offsets(positions: jax.Array, box: jax.Array) -> jax.Array:
+    """Lattice translation [N, 3] that wraps each position into the primary
+    cell (``positions - wrap_offsets`` has fractional coordinates in
+    [0, 1)).  ``box * floor(x / box)`` for an orthorhombic [3] box;
+    ``floor(f) @ B`` for a [3, 3] lattice."""
+    if box.ndim == 2:
+        return jnp.floor(frac_coords(positions, box)) @ box
+    return box * jnp.floor(positions / box)
 
 
 def neighbor_cell_table(grid) -> np.ndarray:
@@ -109,7 +162,7 @@ def build_cell_list_full(positions: jax.Array, box: jax.Array, grid,
     """
     n = positions.shape[0]
     gvec = jnp.asarray(np.asarray(grid), dtype=positions.dtype)
-    frac = positions / box
+    frac = frac_coords(positions, box)
     frac = frac - jnp.floor(frac)
     ci = jnp.clip((frac * gvec).astype(jnp.int32), 0,
                   jnp.asarray(np.asarray(grid) - 1, dtype=jnp.int32))
@@ -220,7 +273,7 @@ def suggest_capacity(positions, box, grid, margin: float = 1.25,
     positions = np.asarray(positions, dtype=np.float64)
     box = np.asarray(box, dtype=np.float64)
     grid = np.asarray(grid)
-    frac = positions / box
+    frac = positions @ np.linalg.inv(box) if box.ndim == 2 else positions / box
     frac -= np.floor(frac)
     ci = np.clip((frac * grid).astype(np.int64), 0, grid - 1)
     cid = (ci[:, 0] * grid[1] + ci[:, 1]) * grid[2] + ci[:, 2]
@@ -288,7 +341,7 @@ def cell_rows_direct_energy(positions, q, system, slots, nbr_ids, offsets,
     grid = np.asarray(spec.cell_grid)
 
     # Wrap once; per-(cell,shift) image offsets handle the rest statically.
-    pos_w = positions - box * jnp.floor(positions / box)
+    pos_w = positions - wrap_offsets(positions, box)
 
     pad = lambda a, fill: jnp.concatenate(
         [a, jnp.full((1,) + a.shape[1:], fill, a.dtype)], axis=0)
@@ -303,7 +356,12 @@ def cell_rows_direct_energy(positions, q, system, slots, nbr_ids, offsets,
     coords = np.stack([np.minimum(ids // (grid[1] * grid[2]), grid[0] - 1),
                        (ids // grid[2]) % grid[1],
                        ids % grid[2]], axis=-1)
-    centers_all = (jnp.asarray(coords, dtype) + 0.5) * (box / jnp.asarray(grid, dtype))
+    centers_frac = ((jnp.asarray(coords, dtype) + 0.5)
+                    / jnp.asarray(grid, dtype))
+    if box.ndim == 2:
+        centers_all = centers_frac @ box
+    else:
+        centers_all = centers_frac * box
 
     my_slots = jax.lax.dynamic_slice_in_dim(
         jnp.concatenate([slots, jnp.full((c_pad - slots.shape[0],
@@ -337,7 +395,10 @@ def cell_rows_direct_energy(positions, q, system, slots, nbr_ids, offsets,
     def shift_energy(carry, s_idx):
         j_cell = my_nbrs[:, s_idx]                      # [rows]
         j_slot = slots[j_cell]                          # [rows, cap]
-        shift = offs_f[:, s_idx, :] * box               # [rows, 3]
+        if box.ndim == 2:
+            shift = offs_f[:, s_idx, :] @ box           # [rows, 3]
+        else:
+            shift = offs_f[:, s_idx, :] * box
         pos_j = pos_p[j_slot] + shift[:, None, :] - centers[:, None, :]
         e = _pair_block_energy(
             pos_i, ni, q_i, hs_i, se_i, mask_i,
@@ -432,7 +493,7 @@ def blockify(positions: jax.Array, q: jax.Array, system, slots: jax.Array,
     # With neighbor-state reuse, wrap offsets are frozen at rebuild time
     # so coordinates stay continuous across the periodic boundary.
     if wrap is None:
-        pos_w = positions - box * jnp.floor(positions / box)
+        pos_w = positions - wrap_offsets(positions, box)
     else:
         pos_w = positions - wrap
     table = jnp.concatenate(
@@ -497,12 +558,9 @@ def _roll_block_energy(blocks: CellBlocks, ids: jax.Array, system) -> jax.Array:
         def f(cx, cy, cz):
             sh = (-dx, -dy, -dz)
             ax = (0, 1, 2)
-            # static boundary image offsets per axis
-            def off(axis_len, d, bk):
-                return boundary_image_offset(axis_len, d, bk, dtype)
-            ox = off(gx, dx, box[0]).reshape(gx, 1, 1, 1)
-            oy = off(gy, dy, box[1]).reshape(1, gy, 1, 1)
-            oz = off(gz, dz, box[2]).reshape(1, 1, gz, 1)
+            # static boundary image offsets (lattice rows when triclinic)
+            ox, oy, oz = shift_image_offsets((gx, gy, gz), (dx, dy, dz),
+                                             box, dtype)
             xj = [jnp.roll(cx, sh, ax) + ox,
                   jnp.roll(cy, sh, ax) + oy,
                   jnp.roll(cz, sh, ax) + oz]
@@ -610,13 +668,8 @@ def _roll_fused_walk(blocks: CellBlocks, ids: jax.Array, system):
     for (dx_, dy_, dz_) in HALF_SHELL[1:]:
         def f(cx, cy, cz, dxs=dx_, dys=dy_, dzs=dz_):
             sh = (-dxs, -dys, -dzs)
-
-            def off(axis_len, d, bk):
-                return boundary_image_offset(axis_len, d, bk, dtype)
-
-            ox = off(gx_, dxs, box[0]).reshape(gx_, 1, 1, 1)
-            oy = off(gy_, dys, box[1]).reshape(1, gy_, 1, 1)
-            oz = off(gz_, dzs, box[2]).reshape(1, 1, gz_, 1)
+            ox, oy, oz = shift_image_offsets((gx_, gy_, gz_),
+                                             (dxs, dys, dzs), box, dtype)
             xj = [jnp.roll(cx, sh, ax) + ox,
                   jnp.roll(cy, sh, ax) + oy,
                   jnp.roll(cz, sh, ax) + oz]
@@ -657,16 +710,15 @@ def _concat_slabs(blocks: CellBlocks, ids: jax.Array, system,
     box = system.box
     ax = (0, 1, 2)
 
-    def off(axis_len, d, bk):
-        return boundary_image_offset(axis_len, d, bk, dtype)
-
     xs, ys, zs, qs, hs_, ss, idss = [], [], [], [], [], [], []
     for (dx, dy, dz) in (HALF_SHELL if shifts is None else shifts):
         sh = (-dx, -dy, -dz)
         roll = lambda a: jnp.roll(a, sh, ax)
-        xs.append(roll(blocks.x) + off(gx, dx, box[0]).reshape(gx, 1, 1, 1))
-        ys.append(roll(blocks.y) + off(gy, dy, box[1]).reshape(1, gy, 1, 1))
-        zs.append(roll(blocks.z) + off(gz, dz, box[2]).reshape(1, 1, gz, 1))
+        ox, oy, oz = shift_image_offsets((gx, gy, gz), (dx, dy, dz), box,
+                                         dtype)
+        xs.append(roll(blocks.x) + ox)
+        ys.append(roll(blocks.y) + oy)
+        zs.append(roll(blocks.z) + oz)
         qs.append(roll(blocks.q))
         hs_.append(roll(blocks.hs))
         ss.append(roll(blocks.se))

@@ -34,7 +34,7 @@ from .charges import apply_chain_rule, effective_charges
 from .utils.profiling import phase_scope
 from .ewald import reciprocal_energy, self_energy
 from .ops.erfc import erf_over_r_eval, erfc_fast
-from .pairs import box_volume, displacement, pair_matrix_mask
+from .pairs import box_volume, displacement, pair_matrix_mask, plane_widths
 from .system import ChargeFluxSystem
 from .units import ONE_4PI_EPS0
 
@@ -220,8 +220,10 @@ def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
         # leaves force-only consumers quietly wrong.
         # Traced-box (barostat, system.with_box) safety: the static grid
         # was sized for the creation-time box; if the box shrinks until a
-        # cell edge is below the cutoff, the half-shell walk misses pairs.
-        edge = system.box / jnp.asarray(spec.cell_grid, positions.dtype)
+        # cell plane spacing is below the cutoff, the half-shell walk
+        # misses pairs.  (Plane spacing == edge for an orthorhombic box.)
+        edge = (plane_widths(system.box)
+                / jnp.asarray(spec.cell_grid, positions.dtype))
         bad = (overflow > 0) | jnp.any(edge < spec.cutoff)
         if nb is not None and spec.pme_grid is not None and (
                 spec.recip_method == "pme"
@@ -237,8 +239,8 @@ def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
             # exceeds the slack budget in current mesh units (exact, not
             # the conservative possible-drift bound: an unmoved system in
             # a grown box stays valid).
-            h = system.box / jnp.asarray(np.asarray(spec.pme_grid),
-                                         positions.dtype)
+            h = (plane_widths(system.box)
+                 / jnp.asarray(np.asarray(spec.pme_grid), positions.dtype))
             budget = jnp.min(
                 jnp.asarray(np.asarray(spec.pme_slack), positions.dtype)
                 * h)

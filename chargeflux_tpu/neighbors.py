@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .cells import build_cell_list_full
+from .cells import build_cell_list_full, wrap_offsets
+from .pairs import plane_widths
 
 
 class NeighborState(NamedTuple):
@@ -35,23 +36,25 @@ class NeighborState(NamedTuple):
 
     slots: jax.Array      # [n_cells, cap] int32, slot -> atom id
     inv_slot: jax.Array   # [N] int32, atom -> flat slot
-    wrap: jax.Array       # [N, 3] box*floor(x_ref/box) at rebuild
+    wrap: jax.Array       # [N, 3] lattice wrap offset at rebuild
     x_ref: jax.Array      # [N, 3] positions at rebuild
     overflow: jax.Array   # int32 dropped-atom count at rebuild
 
 
 def skin_radius(system) -> jax.Array:
-    """Free skin: smallest cell edge minus the cutoff (>= 0)."""
+    """Free skin: smallest cell plane spacing minus the cutoff (>= 0).
+    Plane spacings equal the cell edges for an orthorhombic box."""
     spec = system.spec
     grid = jnp.asarray(np.asarray(spec.cell_grid), system.box.dtype)
-    return jnp.maximum(jnp.min(system.box / grid) - spec.cutoff, 0.0)
+    return jnp.maximum(
+        jnp.min(plane_widths(system.box) / grid) - spec.cutoff, 0.0)
 
 
 def build_neighbor_state(positions: jax.Array, system) -> NeighborState:
     spec = system.spec
     slots, inv_slot, overflow = build_cell_list_full(
         positions, system.box, spec.cell_grid, spec.cell_capacity)
-    wrap = system.box * jnp.floor(positions / system.box)
+    wrap = wrap_offsets(positions, system.box)
     return NeighborState(slots=slots, inv_slot=inv_slot, wrap=wrap,
                          x_ref=positions, overflow=overflow)
 
@@ -96,8 +99,11 @@ def suggest_rebuild_interval(system, dt: float, max_speed: float = 4.0,
     ``max_speed`` (nm/ps; 4 is a generous bound for 300 K hydrogens) stay
     within skin/2.  At least 1 (rebuild every step when the grid leaves no
     skin); the e_fn guard still NaN-poisons if the bound is ever beaten."""
+    from .system import box_widths
+
     spec = system.spec
     box = np.asarray(jax.device_get(system.box), dtype=np.float64)
     grid = np.asarray(spec.cell_grid)
-    skin = max(float(np.min(box / grid)) - spec.cutoff, 0.0)
+    widths = np.asarray(box_widths(box))
+    skin = max(float(np.min(widths / grid)) - spec.cutoff, 0.0)
     return int(max(1, min(cap, np.floor(0.5 * skin / (max_speed * dt)))))

@@ -57,12 +57,41 @@ def box_volume(box: jax.Array) -> jax.Array:
     return box[0] * box[1] * box[2]
 
 
+def box_inverse(box: jax.Array) -> jax.Array:
+    """Closed-form inverse of the reduced lower-triangular [3, 3] lattice
+    matrix (row vectors).  Exact back-substitution — no linalg solve, safe
+    under jit with a traced box."""
+    b00, b11, b22 = box[0, 0], box[1, 1], box[2, 2]
+    i00 = 1.0 / b00
+    i11 = 1.0 / b11
+    i22 = 1.0 / b22
+    i10 = -box[1, 0] * (i00 * i11)
+    i21 = -box[2, 1] * (i11 * i22)
+    i20 = (box[1, 0] * box[2, 1] - box[2, 0] * b11) * (i00 * i11 * i22)
+    z = jnp.zeros_like(b00)
+    return jnp.stack([jnp.stack([i00, z, z]),
+                      jnp.stack([i10, i11, z]),
+                      jnp.stack([i20, i21, i22])])
+
+
 def frac_coords(x: jax.Array, box: jax.Array) -> jax.Array:
     """Fractional coordinates f with x = f @ box (rows = lattice vectors);
     for an orthorhombic [3] box this is x / box."""
     if box.ndim == 2:
-        return x @ jnp.linalg.inv(box)
+        return x @ box_inverse(box)
     return x / box
+
+
+def plane_widths(box: jax.Array) -> jax.Array:
+    """Perpendicular widths (lattice-plane spacings) as a traced [3] array:
+    the box itself for an orthorhombic [3] box; 1 / ||inv(B)[:, i]|| for a
+    [3, 3] row-vector lattice (traced analog of system.box_widths — used by
+    the in-jit cell-edge and PME-drift safety checks under a barostat-moved
+    box)."""
+    if box.ndim == 2:
+        inv = box_inverse(box)
+        return 1.0 / jnp.sqrt(jnp.sum(inv * inv, axis=0))
+    return box
 
 
 def reciprocal_metric(box: jax.Array, dtype) -> jax.Array:

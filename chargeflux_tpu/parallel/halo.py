@@ -42,11 +42,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..cells import HALF_SHELL, gather_rows
+from ..cells import (HALF_SHELL, _boundary_crossing, gather_rows,
+                     wrap_offsets)
 from ..charges import effective_charges
 from ..energy import dispersion_energy
 from ..ewald import reciprocal_energy_from_sf, self_energy, structure_factors
 from ..ops.erfc import erfc_fast
+from ..pairs import frac_coords
 from ..units import ONE_4PI_EPS0
 from .shard import _ceil_to, _excl_chunk_energy
 
@@ -66,7 +68,7 @@ def _local_bin(positions, system, dev, gxl):
     cap = spec.cell_capacity
     n = positions.shape[0]
     gvec = jnp.asarray(np.asarray(spec.cell_grid), positions.dtype)
-    frac = positions / system.box
+    frac = frac_coords(positions, system.box)
     frac = frac - jnp.floor(frac)
     ci = jnp.clip((frac * gvec).astype(jnp.int32), 0,
                   jnp.asarray(np.asarray(spec.cell_grid) - 1, jnp.int32))
@@ -141,7 +143,7 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
 
         # -- local blockify (row gather fwd / inverse row gather bwd) -------
         flat = slots.reshape(-1)
-        pos_w = positions - box * jnp.floor(positions / box)
+        pos_w = positions - wrap_offsets(positions, box)
         table = jnp.concatenate(
             [pos_w, q[:, None],
              0.5 * system.sigma.astype(dtype)[:, None],
@@ -159,8 +161,11 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
         # traffic (one wasted ppermute per step, found by HLO inspection).
         ring_bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
         halo_hi = jax.lax.ppermute(g8[0], axis_name, ring_bwd)
-        # crossing the global periodic boundary shifts x by +Lx
-        hi_shift = jnp.where(dev == ndev - 1, box[0], 0.0).astype(dtype)
+        # crossing the global periodic boundary shifts x by +Lx (for a
+        # reduced triclinic lattice the a row is (ax, 0, 0) — still a pure
+        # x translation)
+        lx = box[0, 0] if box.ndim == 2 else box[0]
+        hi_shift = jnp.where(dev == ndev - 1, lx, 0.0).astype(dtype)
         halo_hi = halo_hi.at[..., 0].add(hi_shift * halo_hi[..., 6])
         ext = jnp.concatenate([g8, halo_hi[None]], axis=0)
 
@@ -177,10 +182,20 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
         # VJP; here recomputation buys the same memory profile).
         yz_ax = (1, 2)
 
-        def off(axis_len, d, bk, shape):
-            from ..cells import boundary_image_offset
-            return boundary_image_offset(axis_len, d, bk, dtype).reshape(
-                shape)
+        def offs_yz(dy_, dz_):
+            # y/z boundary-wrap lattice offsets per coordinate (the x wrap
+            # is handled by the ext slicing + halo hi_shift above); a
+            # triclinic y/z wrap also shifts the x (and y) coordinate by
+            # the off-diagonal lattice entries
+            cy = jnp.asarray(_boundary_crossing(gy, dy_), dtype).reshape(
+                1, gy, 1, 1)
+            cz = jnp.asarray(_boundary_crossing(gz, dz_), dtype).reshape(
+                1, 1, gz, 1)
+            if box.ndim == 2:
+                return (cy * box[1, 0] + cz * box[2, 0],
+                        cy * box[1, 1] + cz * box[2, 1],
+                        cz * box[2, 2])
+            return (jnp.zeros((), dtype), cy * box[1], cz * box[2])
 
         def tile_energy(ext_in, ids_in):
             g8_in = jax.lax.slice_in_dim(ext_in, 0, gxl, axis=0)
@@ -191,9 +206,9 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
             for (dx_, dy_, dz_) in HALF_SHELL:
                 sl = jax.lax.slice_in_dim(ext_in, dx_, dx_ + gxl, axis=0)
                 sl = jnp.roll(sl, (-dy_, -dz_), yz_ax)
-                oy = off(gy, dy_, box[1], (1, gy, 1, 1))
-                oz = off(gz, dz_, box[2], (1, 1, gz, 1))
-                slabs.append((sl[..., 0], sl[..., 1] + oy, sl[..., 2] + oz,
+                ox, oy, oz = offs_yz(dy_, dz_)
+                slabs.append((sl[..., 0] + ox, sl[..., 1] + oy,
+                              sl[..., 2] + oz,
                               sl[..., 3], sl[..., 4], sl[..., 5],
                               sl[..., 6] > 0.5))
             cat = lambda k: jnp.concatenate([s[k] for s in slabs], axis=-1)

@@ -47,7 +47,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .pairs import box_volume, frac_coords, reciprocal_metric
+from .pairs import box_inverse, box_volume, frac_coords, reciprocal_metric
 from .units import ONE_4PI_EPS0
 
 # Order 8: in the dense/cell-blocked spread the spline order never enters a
@@ -376,6 +376,24 @@ def _spread_col_batch(n_col: int, wx: int, wyp: int, rows: int) -> int:
     return 1
 
 
+def _block_spread_coords(blocks, box):
+    """Per-axis spread coordinates for the cell-blocked routes, as three
+    (coord, length) pairs with u_axis = coord * (G_axis / length).
+
+    Orthorhombic: the Cartesian block coordinates against the edge lengths
+    (bit-identical to the historical path).  Triclinic: the B-spline mesh
+    lives on the unit cell, so the coordinates are fractional —
+    lower-triangular back-substitution f = x @ B^-1 on the block arrays
+    (cheap elementwise combinations) — against length 1."""
+    if box.ndim == 2:
+        inv = box_inverse(box)
+        fx = blocks.x * inv[0, 0] + blocks.y * inv[1, 0] + blocks.z * inv[2, 0]
+        fy = blocks.y * inv[1, 1] + blocks.z * inv[2, 1]
+        fz = blocks.z * inv[2, 2]
+        return (fx, 1.0), (fy, 1.0), (fz, 1.0)
+    return ((blocks.x, box[0]), (blocks.y, box[1]), (blocks.z, box[2]))
+
+
 def _pallas_spread_ok(spec, dtype) -> bool:
     """The Pallas column-spread kernel applies on the TPU f32 path when the
     patch windows are strictly narrower than the mesh (always true for
@@ -417,14 +435,15 @@ def pme_cell_pallas_reciprocal_energy(blocks, ids, system) -> jax.Array:
             cell_axis, order, dtype, transposed=True)
         return wl, org + order + spec.pme_slack[cell_axis], w
 
-    wlxt, opx, wx = compact_weights_t(blocks.x, ngx, gx, box[0], 0)
-    wlyt5, opy, wy = compact_weights_t(blocks.y, ngy, gy, box[1], 1)
+    (cx_, lx), (cy_, ly), (cz_, lz) = _block_spread_coords(blocks, box)
+    wlxt, opx, wx = compact_weights_t(cx_, ngx, gx, lx, 0)
+    wlyt5, opy, wy = compact_weights_t(cy_, ngy, gy, ly, 1)
 
     # compact z taps + int origins: each atom's order nonzero z weights,
     # expanded to the dense mod-wrapped [rows, Gz] form inside the kernel
     # (the dense tensor in HBM + its Gz-dense B-spline eval measured ~0.2 ms
     # of the 1.05 ms reciprocal at 30k — tools/pme_pieces.py)
-    uz = blocks.z * (gz / box[2])                 # [ngx, ngy, ngz, cap]
+    uz = cz_ * (gz / lz)                          # [ngx, ngy, ngz, cap]
     org_f = jax.lax.stop_gradient(jnp.floor(uz)) - (order - 1)
     tzk = (uz - org_f)[:, :, None, :, :] - jnp.arange(
         order, dtype=dtype).reshape(1, 1, order, 1, 1)
@@ -483,9 +502,10 @@ def pme_cell_reciprocal_energy(blocks, ids, system) -> jax.Array:
                                    spec.pme_slack[cell_axis], cell_axis,
                                    order, dtype)
 
-    wlx, orx, wx = axis_weights(blocks.x, ngx, gx, box[0], 0)
-    wly, ory, wy = axis_weights(blocks.y, ngy, gy, box[1], 1)
-    wlz, orz, wz = axis_weights(blocks.z, ngz, gz, box[2], 2)
+    (cx_, lx), (cy_, ly), (cz_, lz) = _block_spread_coords(blocks, box)
+    wlx, orx, wx = axis_weights(cx_, ngx, gx, lx, 0)
+    wly, ory, wy = axis_weights(cy_, ngy, gy, ly, 1)
+    wlz, orz, wz = axis_weights(cz_, ngz, gz, lz, 2)
 
     nc = ngx * ngy * ngz
     qwlx = (qv[..., None] * wlx).reshape(nc, cap, wx)
@@ -561,10 +581,25 @@ def pme_halo_local_mesh(g8, ids, system, dev,
     qv = jnp.where(ids < n, g8[..., 3], 0.0)
     ex, ey, ez = spec.pme_slack
 
+    # spread coordinates: Cartesian/edge-lengths for orthorhombic;
+    # fractional/unit for triclinic (same convention as
+    # _block_spread_coords — the g8 layout carries Cartesian wrapped
+    # coordinates either way)
+    if box.ndim == 2:
+        inv = box_inverse(box)
+        cx_ = (g8[..., 0] * inv[0, 0] + g8[..., 1] * inv[1, 0]
+               + g8[..., 2] * inv[2, 0])
+        cy_ = g8[..., 1] * inv[1, 1] + g8[..., 2] * inv[2, 1]
+        cz_ = g8[..., 2] * inv[2, 2]
+        lx = ly = lz = 1.0
+    else:
+        cx_, cy_, cz_ = g8[..., 0], g8[..., 1], g8[..., 2]
+        lx, ly, lz = box[0], box[1], box[2]
+
     # x: uniform local origins (c * stride - order - ex) + one dynamic slab
     # offset folded into the spline argument
     wx = stride + order + 2 + 2 * ex
-    ux = g8[..., 0] * (gmx / box[0])
+    ux = cx_ * (gmx / lx)
     base = (dev * (gxl * stride)).astype(dtype)
     orgx = np.arange(gxl) * stride - order - ex
     tx = ux[..., None] - (base
@@ -576,8 +611,8 @@ def pme_halo_local_mesh(g8, ids, system, dev,
         return _cell_patch_weights(coord, n_cells, grid_n, length, extra,
                                    cell_axis, order, dtype)
 
-    wly, orgy, wy = yz_weights(g8[..., 1], ngy, gmy, box[1], ey, 1)
-    wlz, orgz, wz = yz_weights(g8[..., 2], ngz, gmz, box[2], ez, 2)
+    wly, orgy, wy = yz_weights(cy_, ngy, gmy, ly, ey, 1)
+    wlz, orgz, wz = yz_weights(cz_, ngz, gmz, lz, ez, 2)
 
     nc = gxl * ngy * ngz
     qwlx = (qv[..., None] * wlx).reshape(nc, cap, wx)

@@ -22,8 +22,11 @@ Two layers:
 Boxes are length-3 vectors of edge lengths in nm (orthorhombic — the
 reference's hard assumption, ReferenceCoulKernels.cpp:513-517), or, as an
 extension beyond the reference, a [3, 3] matrix of row lattice vectors in
-reduced lower-triangular form (triclinic; dense direct route + classical
-Ewald / dense PME reciprocal — the cell walk stays orthorhombic).
+reduced lower-triangular form (triclinic).  Every production route takes
+triclinic lattices: fractional-coordinate cell walk with lattice-row image
+offsets (cells.py), classical Ewald / PME reciprocal (Gram-matrix k^2,
+fractional spread), halo sharding, and the dense routes; cell grids are
+sized against the lattice's perpendicular plane widths.
 """
 
 from __future__ import annotations
@@ -569,31 +572,26 @@ class CoulForce:
         method = direct_method
         if not self._pbc:
             method = "dense"
-        elif triclinic:
-            # The roll-based cell walk (and everything downstream: halo
-            # sharding, PME cell spread, neighbor reuse) is orthorhombic;
-            # triclinic runs take the dense direct route.
-            if method == "cell":
-                raise ValueError(
-                    "direct_method='cell' supports orthorhombic boxes only; "
-                    "triclinic systems use the dense direct route")
-            method = "dense"
         else:
             # Reserve skin_frac*cutoff of Verlet skin when sizing cells:
             # slightly larger cells (more pair candidates) buy reusable
             # binning across ~skin/(2*v*dt) MD steps (neighbors.py).  A grid
             # sized exactly to the cutoff leaves zero skin and forces a
-            # rebuild (and its gather/sort cost) every step.
+            # rebuild (and its gather/sort cost) every step.  Cells divide
+            # the lattice fractionally, so the coverage bound is on the
+            # *perpendicular plane spacing* per cell (width/ncells >= eff)
+            # — for an orthorhombic box that is the edge length.
             eff = self._cutoff * (1.0 + skin_frac)
-            ncells = tuple(int(np.floor(b / eff)) for b in box_arr)
+            ncells = tuple(int(np.floor(w / eff)) for w in widths)
             cell_ok = all(c >= 3 for c in ncells)
             if method == "auto":
                 method = "cell" if (cell_ok and n > 2048) else "dense"
             if method == "cell":
                 if not cell_ok:
                     raise ValueError(
-                        f"box {tuple(box_arr)} too small for a cell list at "
-                        f"cutoff {self._cutoff} (need >=3 cells per axis)")
+                        f"box (plane widths {tuple(widths)}) too small for "
+                        f"a cell list at cutoff {self._cutoff} (need >=3 "
+                        f"cells per axis)")
                 grid = ncells
                 if cell_capacity is None:
                     n_total_cells = ncells[0] * ncells[1] * ncells[2]
@@ -693,10 +691,10 @@ class CoulForce:
 
         pme_slack = (0, 0, 0)
         if self._pbc and grid is not None and pme_grid is not None:
-            skin = max(float(min(box_arr[a] / grid[a] for a in range(3)))
+            skin = max(float(min(widths[a] / grid[a] for a in range(3)))
                        - self._cutoff, 0.0)
             pme_slack = tuple(
-                int(math.ceil(0.5 * skin / (box_arr[a] / pme_grid[a])))
+                int(math.ceil(0.5 * skin / (widths[a] / pme_grid[a])))
                 for a in range(3))
 
         spec = StaticSpec(

@@ -194,12 +194,123 @@ def test_validation_errors():
     unreduced = _shear(box, bx=0.9)  # |b_x| > a_x/2
     with pytest.raises(ValueError, match="reduced"):
         force.create_system(box=unreduced, dtype=jnp.float64)
-    with pytest.raises(ValueError, match="orthorhombic"):
+    # the 3-side box's perpendicular widths fit < 3 cells at this cutoff,
+    # so the (now triclinic-capable) cell route must refuse loudly
+    with pytest.raises(ValueError, match="too small for a cell list"):
         force.create_system(box=_shear(box), dtype=jnp.float64,
                             direct_method="cell")
     force.setCutoffDistance(0.9)  # > half min perpendicular width
     with pytest.raises(ValueError, match="perpendicular"):
         force.create_system(box=_shear(box), dtype=jnp.float64)
+
+
+# ---------------------------------------------------------------------------
+# triclinic cell route (fractional binning + lattice-row image offsets)
+# ---------------------------------------------------------------------------
+
+
+def _big_system(direct_method, recip_method="xla", **kw):
+    """6^3-water box (648 atoms) — large enough for a >=3-cell grid on the
+    sheared lattice's perpendicular widths."""
+    force, pos, masses, box = water_box(n_side=6, flux="water", cutoff=0.42,
+                                        seed=3)
+    B = _shear(box)
+    system = force.create_system(box=B, dtype=jnp.float64,
+                                 direct_method=direct_method,
+                                 recip_method=recip_method, **kw)
+    return force, system, jnp.asarray(pos), masses, B
+
+
+def test_cell_walk_matches_dense_on_triclinic():
+    # the fractional-binned half-shell walk with lattice-row image offsets
+    # must reproduce the (independently validated) dense min-image route
+    _, s_dense, x, _, _ = _big_system("dense")
+    _, s_cell, x2, _, _ = _big_system("cell")
+    assert s_cell.spec.cell_grid is not None
+    e_d = float(cf.energy(x, s_dense))
+    e_c = float(cf.energy(x2, s_cell))
+    assert abs(e_c - e_d) <= 1e-12 * abs(e_d)
+    f_d = np.asarray(cf.forces(x, s_dense))
+    f_c = np.asarray(cf.forces(x, s_cell))
+    rms = np.sqrt(np.mean(f_d ** 2))
+    assert np.sqrt(np.mean((f_c - f_d) ** 2)) / rms < 1e-13
+
+
+def test_cell_shift_layout_matches_on_triclinic():
+    _, s_dense, x, _, _ = _big_system("dense")
+    _, s_shift, _, _, _ = _big_system("cell", walk_layout="shift")
+    e_d = float(cf.energy(x, s_dense))
+    e_s = float(cf.energy(x, s_shift))
+    assert abs(e_s - e_d) <= 1e-11 * abs(e_d)
+
+
+def test_pme_cell_spread_matches_dense_spread_on_triclinic():
+    # the cell-blocked fractional spread and the dense fractional spread
+    # are the same algorithm on the same mesh — reduction-order rounding
+    from chargeflux_tpu import cells
+    from chargeflux_tpu.charges import effective_charges
+    from chargeflux_tpu.pme import (pme_cell_reciprocal_energy,
+                                    pme_reciprocal_energy)
+
+    _, system, x, _, _ = _big_system("cell", recip_method="pme")
+    spec = system.spec
+    q = effective_charges(x, system)
+    slots, inv_slot, _ = cells.build_cell_list_full(
+        x, system.box, spec.cell_grid, spec.cell_capacity)
+    blocks = cells.blockify(x, q, system, slots, inv_slot)
+    ids = slots.reshape(blocks.x.shape)
+    e_cell = float(pme_cell_reciprocal_energy(blocks, ids, system))
+    e_dense = float(pme_reciprocal_energy(x, q, system.box, spec.alpha,
+                                          spec.pme_grid, spec.pme_order))
+    assert abs(e_cell - e_dense) <= 1e-10 * abs(e_dense)
+
+
+def test_halo_sharding_matches_on_triclinic():
+    from chargeflux_tpu.parallel.halo import (halo_compatible,
+                                              make_halo_energy_fn)
+
+    _, system, x, _, _ = _big_system("cell")
+    ndev = 4
+    assert halo_compatible(system, ndev)
+    mesh = Mesh(np.array(jax.devices()[:ndev]), ("space",))
+    e_ref = float(cf.energy(x, system))
+    e_fn = make_halo_energy_fn(system, mesh)
+    e_h = float(e_fn(x))
+    assert abs(e_h - e_ref) <= 1e-12 * abs(e_ref)
+    f_ref = np.asarray(cf.forces(x, system))
+    f_h = np.asarray(-jax.jit(jax.grad(e_fn))(x))
+    rms = np.sqrt(np.mean(f_ref ** 2))
+    assert np.sqrt(np.mean((f_h - f_ref) ** 2)) / rms < 1e-13
+
+
+def test_nve_neighbor_reuse_on_triclinic():
+    # neighbor-reuse driver across rebuild boundaries: frozen triclinic
+    # wrap offsets must keep the reused binning exact — the cell-route
+    # trajectory must match the dense-route trajectory step for step
+    # (the lattice cold-start's own energy drift is physical and
+    # identical on both routes, so it cancels out of this comparison)
+    from chargeflux_tpu.integrate import (init_state, init_state_nb,
+                                          make_energy_fn, make_nb_energy_fn,
+                                          nve_trajectory, nve_trajectory_nb)
+    from chargeflux_tpu.models import water_bonded_params
+
+    force, system, x, masses, B = _big_system("cell")
+    s_dense = force.create_system(box=B, dtype=jnp.float64,
+                                  direct_method="dense", recip_method="xla")
+    bonded = water_bonded_params(216, box=B, dtype=jnp.float64)
+    m = jnp.asarray(masses, jnp.float64)
+    v0 = jnp.zeros_like(x)
+
+    e_nb, init_nb = make_nb_energy_fn(system, bonded=bonded)
+    s = init_state_nb(x, v0, e_nb, init_nb)
+    _, etot_nb = nve_trajectory_nb(s, e_nb, init_nb, m, dt=5e-4, n_steps=20,
+                                   rebuild_every=5)
+    e_fn = make_energy_fn(s_dense, bonded=bonded)
+    _, etot_d = nve_trajectory(init_state(x, v0, e_fn), e_fn, m, 5e-4, 20)
+
+    e_nb_arr = np.asarray(etot_nb)
+    assert np.all(np.isfinite(e_nb_arr))
+    np.testing.assert_allclose(e_nb_arr, np.asarray(etot_d), rtol=1e-12)
 
 
 def test_npt_barostat_runs_on_triclinic():

@@ -6,7 +6,8 @@ chip; BASELINE.md target <= 2 ms/step), plus ns/day at the benchmark
 timestep and a per-phase breakdown.  vs_baseline = target_ms / measured_ms
 (>1 beats the target).
 
-Usage: python bench.py [216|4k|30k|100k|replicas|respa|rigid]
+Usage: python bench.py [216|4k|30k|tri30k|100k|replicas|respa|rigid]
+(tri30k = the 30k box on a sheared reduced-triclinic lattice)
 
 Methodology for the tunneled TPU platform (CLAUDE.md): dispatch is async
 and block_until_ready does not wait for remote completion, so a single-step
@@ -36,13 +37,18 @@ TARGET_MS = 2.0
 def build(config: str, cutoff: float = None):
     from chargeflux_tpu.models import water_box
 
-    n_side = {"216": 6, "4k": 11, "30k": 22, "100k": 32}.get(config)
+    # tri30k: the 30k box on a sheared (reduced triclinic) lattice — same
+    # cell+PME production route, fractional binning + lattice-row image
+    # offsets (cells.py); measures the triclinic overhead vs plain 30k
+    tri = config.startswith("tri")
+    base = config[3:] if tri else config
+    n_side = {"216": 6, "4k": 11, "30k": 22, "100k": 32}.get(base)
     if n_side is None:
         raise SystemExit(f"unknown config {config!r}")
     # 216 stays dense (box too small for >=3 cells/axis); every larger
     # config uses the cell+PME route — with the concat walk it beats dense
     # from 4k up (0.43 vs 0.87 ms at 4k, measured round 2)
-    method = "dense" if config == "216" else "cell"
+    method = "dense" if base == "216" else "cell"
     # Work-balanced model cutoff for the cell+PME configs: rc = 0.8 nm is
     # the measured TPU optimum (BASELINE.md cutoff scan; Ewald accuracy is
     # pinned by the tolerance at any rc, and rc is a user model knob in the
@@ -53,6 +59,11 @@ def build(config: str, cutoff: float = None):
         cutoff = 0.8 if method == "cell" else 0.9
     force, pos, masses, box = water_box(n_side=n_side, flux="bond_angle",
                                         cutoff=cutoff)
+    if tri:
+        L = np.asarray(box, np.float64)
+        box = np.array([[L[0], 0.0, 0.0],
+                        [0.15 * L[0], L[1], 0.0],
+                        [0.10 * L[0], -0.12 * L[1], L[2]]])
     system = force.create_system(box=box, dtype=jnp.float32,
                                  direct_method=method)
     if method == "cell":

@@ -52,6 +52,7 @@ from .nosehoover import (NHChain, nhc_conserved, nhc_init,
                          nose_hoover_step, nose_hoover_trajectory,
                          nose_hoover_trajectory_nb)
 from .npt import (instantaneous_pressure, molecule_index,
+                  npt_anisotropic_langevin_trajectory,
                   npt_langevin_trajectory)
 from .units import ONE_4PI_EPS0, BOLTZ
 
@@ -76,6 +77,7 @@ __all__ = [
     "kinetic_energy", "temperature", "maxwell_velocities",
     "NHChain", "nhc_init", "nhc_conserved", "nose_hoover_step",
     "nose_hoover_trajectory", "nose_hoover_trajectory_nb",
-    "instantaneous_pressure", "molecule_index", "npt_langevin_trajectory",
+    "instantaneous_pressure", "molecule_index",
+    "npt_anisotropic_langevin_trajectory", "npt_langevin_trajectory",
     "ONE_4PI_EPS0", "BOLTZ",
 ]

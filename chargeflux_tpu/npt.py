@@ -172,36 +172,20 @@ def instantaneous_pressure(positions, velocities, system, masses,
     return p_internal / BAR_TO_KJ_MOL_NM3
 
 
-def npt_langevin_trajectory(positions, velocities, system, masses,
-                            dt: float, temperature: float, friction: float,
-                            pressure_bar: float, key, n_steps: int,
-                            bonded=None, barostat_interval: int = 20,
-                            dv_frac: float = 0.01,
-                            extra_mol_idx: tuple = ()):
-    """NPT via BAOAB Langevin dynamics + an MC barostat attempt every
-    ``barostat_interval`` steps (n_steps must be a multiple of it).
-
-    On the cell route the neighbor state is rebuilt once per chunk and
-    reused inside (the same amortization as nve_trajectory_nb), with the
-    freshness guard poisoning a too-long interval to NaN.  Returns
-    ``(x, v, box, diag)`` with ``diag = {"energies" [n_steps] total E,
-    "boxes" [n_attempts, 3], "accepts" [n_attempts] bool,
-    "poisoned" [n_attempts] bool, "dv" scalar}``; ``poisoned`` marks
-    proposals whose energy NaN-poisoned (cell overflow or grid-validity
-    at the proposed box) — many of them means the equilibrium box is
-    outside the static grid's validity and the run needs a recreated
-    system (larger capacity / different grid), not more steps.
-    """
+def _npt_langevin_driver(positions, velocities, system, masses,
+                         dt: float, temperature: float, friction: float,
+                         key, n_steps: int, bonded,
+                         barostat_interval: int, make_attempt, dv0):
+    """Shared NPT machinery: BAOAB chunks at fixed box + one barostat
+    attempt per chunk, all in one lax.scan.  ``make_attempt(e_pot)``
+    returns ``attempt(x, box, dv, e_old, k) -> (x, box, dv, e_cur, ok,
+    poisoned, extras)`` — the proposal/acceptance policy (isotropic or
+    anisotropic); ``dv0`` is its initial adaptive proposal width (scalar
+    or per-axis)."""
     n_outer, rem = divmod(n_steps, barostat_interval)
     if rem or n_outer == 0:
         raise ValueError("n_steps must be a positive multiple of "
                          "barostat_interval")
-    if bonded is not None and extra_mol_idx == ():
-        extra_mol_idx = tuple(
-            np.asarray(a) for a in (bonded.bond_idx, bonded.angle_idx,
-                                    bonded.torsion_idx) if a is not None)
-    mol_id, first_idx, counts = molecule_index(system, extra_mol_idx)
-    n_mol = first_idx.shape[0]
 
     from .neighbors import build_neighbor_state, neighbor_state_fresh
 
@@ -220,8 +204,6 @@ def npt_langevin_trajectory(positions, velocities, system, masses,
                 "freshness guard will NaN-poison the trajectory if atom "
                 "displacement outruns the skin — use a smaller interval")
     dtype = positions.dtype
-    kt = BOLTZ * temperature
-    p_int = pressure_bar * BAR_TO_KJ_MOL_NM3
     inv_m = (1.0 / jnp.asarray(masses, dtype))[:, None]
     c1, c2 = baoab_coeffs(dt, friction, temperature, dtype)
 
@@ -233,29 +215,7 @@ def npt_langevin_trajectory(positions, velocities, system, masses,
                 bonded, box=jnp.asarray(box, bonded.box.dtype)))
         return e
 
-    def attempt(xx, box, dv, e_old, k):
-        ku, ka = jax.random.split(k)
-        v0 = box_volume(box)
-        dvol = dv * (2.0 * jax.random.uniform(ku, dtype=dtype) - 1.0)
-        v1 = v0 + dvol
-        s = jnp.cbrt(v1 / v0)
-        c = molecule_centroids(xx, box, mol_id, first_idx, counts)
-        x1 = xx + (s - 1.0) * c[mol_id]
-        box1 = box * s
-        e_new = e_pot(x1, box1)     # fresh binning at the proposed box
-        w = e_new - e_old + p_int * dvol - n_mol * kt * jnp.log(v1 / v0)
-        # NaN w (poisoned e_new: grid validity or overflow) compares False
-        ok = jax.random.uniform(ka, dtype=dtype) < jnp.exp(-w / kt)
-        # a poisoned proposal must stay VISIBLE (CLAUDE.md invariant), not
-        # melt into ordinary rejections — report it so a box pinned at the
-        # static grid's validity bound is diagnosable from diag["poisoned"]
-        poisoned = ~jnp.isfinite(e_new)
-        xx = jnp.where(ok, x1, xx)
-        box = jnp.where(ok, box1, box)
-        e_cur = jnp.where(ok, e_new, e_old)
-        dv = jnp.clip(jnp.where(ok, dv * 1.03, dv / 1.03),
-                      1e-5 * v0, 0.1 * v0)
-        return xx, box, dv, e_cur, ok, poisoned
+    attempt = make_attempt(e_pot)
 
     def chunk(xx, vv, box, k):
         """barostat_interval BAOAB steps at fixed box with one nb build."""
@@ -289,18 +249,168 @@ def npt_langevin_trajectory(positions, velocities, system, masses,
     def outer(carry, _):
         x, v, box, dv, e_cur, k = carry
         k, kb, kc = jax.random.split(k, 3)
-        x, box, dv, e_cur, ok, poisoned = attempt(x, box, dv, e_cur, kb)
+        x, box, dv, e_cur, ok, poisoned, extras = attempt(x, box, dv,
+                                                          e_cur, kb)
         x, v, e_cur, etot = chunk(x, v, box, kc)
-        return (x, v, box, dv, e_cur, k), (etot, box, ok, poisoned)
+        return (x, v, box, dv, e_cur, k), (etot, box, ok, poisoned, extras)
 
     e0 = e_pot(positions, jnp.asarray(system.box, dtype))
     carry0 = (jnp.asarray(positions, dtype), jnp.asarray(velocities, dtype),
-              jnp.asarray(system.box, dtype),
-              jnp.asarray(dv_frac, dtype) * jnp.prod(
-                  jnp.asarray(system.box, dtype)),
+              jnp.asarray(system.box, dtype), jnp.asarray(dv0, dtype),
               e0, key)
-    (x, v, box, dv, _e, _k), (etot, boxes, accepts, poisoned) = \
+    (x, v, box, dv, _e, _k), (etot, boxes, accepts, poisoned, extras) = \
         jax.lax.scan(outer, carry0, None, length=n_outer)
     diag = {"energies": etot.reshape(-1), "boxes": boxes,
             "accepts": accepts, "poisoned": poisoned, "dv": dv}
+    diag.update(extras)
     return x, v, box, diag
+
+
+def npt_langevin_trajectory(positions, velocities, system, masses,
+                            dt: float, temperature: float, friction: float,
+                            pressure_bar: float, key, n_steps: int,
+                            bonded=None, barostat_interval: int = 20,
+                            dv_frac: float = 0.01,
+                            extra_mol_idx: tuple = ()):
+    """NPT via BAOAB Langevin dynamics + an isotropic MC barostat attempt
+    every ``barostat_interval`` steps (n_steps must be a multiple of it).
+
+    On the cell route the neighbor state is rebuilt once per chunk and
+    reused inside (the same amortization as nve_trajectory_nb), with the
+    freshness guard poisoning a too-long interval to NaN.  Returns
+    ``(x, v, box, diag)`` with ``diag = {"energies" [n_steps] total E,
+    "boxes" [n_attempts, ...], "accepts" [n_attempts] bool,
+    "poisoned" [n_attempts] bool, "dv" scalar}``; ``poisoned`` marks
+    proposals whose energy NaN-poisoned (cell overflow or grid-validity
+    at the proposed box) — many of them means the equilibrium box is
+    outside the static grid's validity and the run needs a recreated
+    system (larger capacity / different grid), not more steps.
+    """
+    if bonded is not None and extra_mol_idx == ():
+        extra_mol_idx = tuple(
+            np.asarray(a) for a in (bonded.bond_idx, bonded.angle_idx,
+                                    bonded.torsion_idx) if a is not None)
+    mol_id, first_idx, counts = molecule_index(system, extra_mol_idx)
+    n_mol = first_idx.shape[0]
+    dtype = jnp.asarray(positions).dtype
+    kt = BOLTZ * temperature
+    p_int = pressure_bar * BAR_TO_KJ_MOL_NM3
+
+    def make_attempt(e_pot):
+        def attempt(xx, box, dv, e_old, k):
+            ku, ka = jax.random.split(k)
+            v0 = box_volume(box)
+            dvol = dv * (2.0 * jax.random.uniform(ku, dtype=dtype) - 1.0)
+            v1 = v0 + dvol
+            s = jnp.cbrt(v1 / v0)
+            c = molecule_centroids(xx, box, mol_id, first_idx, counts)
+            x1 = xx + (s - 1.0) * c[mol_id]
+            box1 = box * s
+            e_new = e_pot(x1, box1)   # fresh binning at the proposed box
+            w = (e_new - e_old + p_int * dvol
+                 - n_mol * kt * jnp.log(v1 / v0))
+            # NaN w (poisoned e_new: grid validity or overflow) compares
+            # False
+            ok = jax.random.uniform(ka, dtype=dtype) < jnp.exp(-w / kt)
+            # a poisoned proposal must stay VISIBLE (CLAUDE.md invariant),
+            # not melt into ordinary rejections — report it so a box pinned
+            # at the static grid's validity bound is diagnosable from
+            # diag["poisoned"]
+            poisoned = ~jnp.isfinite(e_new)
+            xx = jnp.where(ok, x1, xx)
+            box = jnp.where(ok, box1, box)
+            e_cur = jnp.where(ok, e_new, e_old)
+            dv = jnp.clip(jnp.where(ok, dv * 1.03, dv / 1.03),
+                          1e-5 * v0, 0.1 * v0)
+            return xx, box, dv, e_cur, ok, poisoned, {}
+        return attempt
+
+    box0 = jnp.asarray(system.box, dtype)
+    dv0 = jnp.asarray(dv_frac, dtype) * jnp.asarray(box_volume(box0), dtype)
+    return _npt_langevin_driver(positions, velocities, system, masses, dt,
+                                temperature, friction, key, n_steps, bonded,
+                                barostat_interval, make_attempt, dv0)
+
+
+def npt_anisotropic_langevin_trajectory(
+        positions, velocities, system, masses, dt: float,
+        temperature: float, friction: float, pressure_bar: float, key,
+        n_steps: int, bonded=None, barostat_interval: int = 20,
+        dv_frac: float = 0.01, scale_axes=(True, True, True),
+        extra_mol_idx: tuple = ()):
+    """NPT with an *anisotropic* MC barostat: each attempt scales ONE
+    lattice axis (chosen uniformly among the ``scale_axes`` marked True),
+    with an independently adapted proposal width per axis — the analog of
+    OpenMM's MonteCarloAnisotropicBarostat, which the reference relies on
+    its host framework for.  ``scale_axes=(True, True, False)`` gives the
+    semi-isotropic membrane-style ensemble with a fixed z axis.
+
+    Axis scaling is lattice-aware: scaling axis ``a`` scales lattice row
+    ``B[a]`` and moves each molecule centroid by ``(s-1) f_a B[a]`` with
+    ``f_a`` its fractional coordinate — for an orthorhombic box this is
+    the familiar per-coordinate scaling, and for a triclinic box it
+    preserves the reduced form (row rescaling keeps the lower-triangular
+    structure; the off-diagonal reduced-form bounds shrink/grow with
+    their diagonals only for axis 0, so extreme per-axis drift can in
+    principle leave reduced form — recreate the system if diag reports
+    persistent poisoning).  Acceptance weight, chunking, poison
+    visibility and the diag layout match :func:`npt_langevin_trajectory`;
+    ``diag["axes"]`` records the attempted axis per barostat attempt and
+    ``diag["dv"]`` is the final [3] per-axis proposal width.
+    """
+    from .pairs import frac_coords
+
+    allowed = np.array([a for a in range(3) if scale_axes[a]], np.int32)
+    if allowed.size == 0:
+        raise ValueError("scale_axes must enable at least one axis")
+    if bonded is not None and extra_mol_idx == ():
+        extra_mol_idx = tuple(
+            np.asarray(a) for a in (bonded.bond_idx, bonded.angle_idx,
+                                    bonded.torsion_idx) if a is not None)
+    mol_id, first_idx, counts = molecule_index(system, extra_mol_idx)
+    n_mol = first_idx.shape[0]
+    dtype = jnp.asarray(positions).dtype
+    kt = BOLTZ * temperature
+    p_int = pressure_bar * BAR_TO_KJ_MOL_NM3
+
+    def make_attempt(e_pot):
+        def attempt(xx, box, dv, e_old, k):
+            kx, ku, ka = jax.random.split(k, 3)
+            ai = jax.random.randint(kx, (), 0, allowed.size)
+            axis = jnp.asarray(allowed)[ai]
+            onehot = (jnp.arange(3) == axis).astype(dtype)
+            v0 = box_volume(box)
+            dva = jnp.sum(dv * onehot)
+            dvol = dva * (2.0 * jax.random.uniform(ku, dtype=dtype) - 1.0)
+            v1 = v0 + dvol
+            s = v1 / v0                       # single-axis scale factor
+            c = molecule_centroids(xx, box, mol_id, first_idx, counts)
+            fa = jnp.sum(frac_coords(c, box) * onehot, axis=-1)   # [M]
+            if box.ndim == 2:
+                row = jnp.sum(box * onehot[:, None], axis=0)      # B[a]
+                box1 = box * (1.0 + (s - 1.0) * onehot)[:, None]
+            else:
+                row = onehot * box
+                box1 = box * (1.0 + (s - 1.0) * onehot)
+            x1 = xx + (s - 1.0) * fa[mol_id, None] * row[None, :]
+            e_new = e_pot(x1, box1)
+            w = (e_new - e_old + p_int * dvol
+                 - n_mol * kt * jnp.log(v1 / v0))
+            ok = jax.random.uniform(ka, dtype=dtype) < jnp.exp(-w / kt)
+            poisoned = ~jnp.isfinite(e_new)
+            xx = jnp.where(ok, x1, xx)
+            box = jnp.where(ok, box1, box)
+            e_cur = jnp.where(ok, e_new, e_old)
+            dva_new = jnp.clip(jnp.where(ok, dva * 1.03, dva / 1.03),
+                               1e-5 * v0, 0.1 * v0)
+            dv = dv * (1.0 - onehot) + dva_new * onehot
+            return xx, box, dv, e_cur, ok, poisoned, {"axes": axis}
+        return attempt
+
+    box0 = jnp.asarray(system.box, dtype)
+    dv0 = (jnp.asarray(dv_frac, dtype)
+           * jnp.asarray(box_volume(box0), dtype)
+           * jnp.ones((3,), dtype))
+    return _npt_langevin_driver(positions, velocities, system, masses, dt,
+                                temperature, friction, key, n_steps, bonded,
+                                barostat_interval, make_attempt, dv0)

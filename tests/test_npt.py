@@ -309,3 +309,68 @@ def test_with_box_scaled_cell_route_oracle_parity(scale):
     assert abs(e - e_ref) <= 1e-10 * abs(e_ref)
     fs = np.abs(f_ref).max()
     np.testing.assert_allclose(f / fs, f_ref / fs, atol=1e-10)
+
+
+def test_npt_anisotropic_semi_isotropic():
+    """Anisotropic MC barostat: per-axis scaling moves only the attempted
+    axis; scale_axes=(True, True, False) (membrane-style semi-isotropic)
+    never touches z."""
+    from chargeflux_tpu.npt import npt_anisotropic_langevin_trajectory
+
+    system, x, masses, bonded = _npt_setup(3)
+    v = jnp.zeros_like(x)
+    x1, v1, box1, diag = npt_anisotropic_langevin_trajectory(
+        x, v, system, masses, dt=2e-4, temperature=300.0, friction=5.0,
+        pressure_bar=1.0, key=jax.random.PRNGKey(7), n_steps=100,
+        bonded=bonded, barostat_interval=20,
+        scale_axes=(True, True, False))
+    assert np.all(np.isfinite(np.asarray(diag["energies"])))
+    boxes = np.asarray(diag["boxes"])
+    axes = np.asarray(diag["axes"])
+    accepts = np.asarray(diag["accepts"])
+    assert boxes.shape == (5, 3) and axes.shape == (5,)
+    assert set(np.unique(axes)).issubset({0, 1})       # z never attempted
+    # z axis exactly unchanged throughout
+    z0 = float(np.asarray(system.box)[2])
+    assert np.all(boxes[:, 2] == z0) and float(box1[2]) == z0
+    # an accepted attempt changed exactly its own axis
+    prev = np.asarray(system.box)
+    for i in range(boxes.shape[0]):
+        changed = np.nonzero(boxes[i] != prev)[0]
+        if accepts[i]:
+            assert changed.tolist() == [int(axes[i])]
+        else:
+            assert changed.size == 0
+        prev = boxes[i]
+    assert diag["dv"].shape == (3,)
+
+
+def test_npt_anisotropic_triclinic_row_scaling():
+    """On a triclinic lattice the anisotropic barostat scales whole lattice
+    ROWS (reduced form preserved; off-diagonals move with their row)."""
+    from chargeflux_tpu.npt import npt_anisotropic_langevin_trajectory
+
+    force, positions, masses, box = water_box(n_side=3, seed=9,
+                                              flux="bond_angle",
+                                              cutoff=0.42)
+    L = np.asarray(box, np.float64)
+    B = np.array([[L[0], 0.0, 0.0],
+                  [0.15 * L[0], L[1], 0.0],
+                  [0.10 * L[0], -0.12 * L[1], L[2]]])
+    system = force.create_system(box=B, dtype=jnp.float64)
+    bonded = water_bonded_params(27, box=B, dtype=jnp.float64)
+    m = jnp.asarray(np.asarray(masses), jnp.float64)
+    x = jnp.asarray(positions)
+    x1, v1, b1, diag = npt_anisotropic_langevin_trajectory(
+        x, jnp.zeros_like(x), system, m, dt=2e-4, temperature=300.0,
+        friction=5.0, pressure_bar=1.0, key=jax.random.PRNGKey(3),
+        n_steps=100, bonded=bonded, barostat_interval=20)
+    assert np.all(np.isfinite(np.asarray(diag["energies"])))
+    b1 = np.asarray(b1)
+    assert b1.shape == (3, 3)
+    # still lower-triangular, and each row is a scalar multiple of the
+    # original row (row scaling preserves direction)
+    assert b1[0, 1] == 0.0 and b1[0, 2] == 0.0 and b1[1, 2] == 0.0
+    for a in range(3):
+        s = b1[a, a] / B[a, a]
+        np.testing.assert_allclose(b1[a], s * B[a], rtol=1e-12, atol=1e-15)

@@ -53,7 +53,7 @@ from .nosehoover import (NHChain, nhc_conserved, nhc_init,
                          nose_hoover_trajectory_nb)
 from .npt import (instantaneous_pressure, molecule_index,
                   npt_anisotropic_langevin_trajectory,
-                  npt_langevin_trajectory)
+                  npt_langevin_trajectory, pressure_tensor)
 from .units import ONE_4PI_EPS0, BOLTZ
 
 __version__ = "0.1.0"
@@ -79,5 +79,6 @@ __all__ = [
     "nose_hoover_trajectory", "nose_hoover_trajectory_nb",
     "instantaneous_pressure", "molecule_index",
     "npt_anisotropic_langevin_trajectory", "npt_langevin_trajectory",
+    "pressure_tensor",
     "ONE_4PI_EPS0", "BOLTZ",
 ]

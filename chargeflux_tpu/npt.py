@@ -139,37 +139,85 @@ def instantaneous_pressure(positions, velocities, system, masses,
     truncation family, slower backward (fine off the step path).
     """
     dtype = positions.dtype
-    spec = system.spec
 
     def e_scaled(s):
-        sysb = system.with_box(system.box * s)
-        xs = positions * s
-        if spec.pbc and spec.direct_method == "cell":
-            from .cells import cell_roll_direct_energy
-            from .charges import effective_charges
-            from .energy import _exclusion_correction
-            from .ewald import reciprocal_energy, self_energy
-            q = effective_charges(xs, sysb)
-            e = (self_energy(q, spec.alpha)
-                 + _exclusion_correction(xs, q, sysb, subtract_direct=True)
-                 + cell_roll_direct_energy(xs, q, sysb)
-                 + reciprocal_energy(xs, q, sysb.box, spec.alpha,
-                                     spec.kmax, method="xla"))
-            if spec.tail_coeff is not None:
-                from .energy import dispersion_energy
-                e = e + dispersion_energy(sysb.box, spec, dtype)
-        else:
-            e = _energy(xs, sysb)
-        if bonded is not None:
-            e = e + bonded_energy(xs, dataclasses.replace(
-                bonded, box=jnp.asarray(sysb.box, bonded.box.dtype)))
-        return e
+        return _box_grad_potential(positions * s,
+                                   system.with_box(system.box * s),
+                                   system, bonded)
 
     de_ds = jax.grad(e_scaled)(jnp.asarray(1.0, dtype))
     vol = box_volume(system.box)
     ke = kinetic_energy(velocities, masses)
     p_internal = (2.0 * ke - de_ds) / (3.0 * vol)    # kJ/mol/nm^3
     return p_internal / BAR_TO_KJ_MOL_NM3
+
+
+def _box_grad_potential(xs, sysb, system, bonded):
+    """Potential assembly safe to differentiate through the *box*: the
+    plain-autodiff cell/classical paths (the MD path's fused custom-VJP
+    walk defines position/charge cotangents only — see
+    instantaneous_pressure's accuracy note)."""
+    spec = system.spec
+    if spec.pbc and spec.direct_method == "cell":
+        from .cells import cell_roll_direct_energy
+        from .charges import effective_charges
+        from .energy import _exclusion_correction
+        from .ewald import reciprocal_energy, self_energy
+        q = effective_charges(xs, sysb)
+        e = (self_energy(q, spec.alpha)
+             + _exclusion_correction(xs, q, sysb, subtract_direct=True)
+             + cell_roll_direct_energy(xs, q, sysb)
+             + reciprocal_energy(xs, q, sysb.box, spec.alpha,
+                                 spec.kmax, method="xla"))
+        if spec.tail_coeff is not None:
+            from .energy import dispersion_energy
+            e = e + dispersion_energy(sysb.box, spec, xs.dtype)
+    else:
+        e = _energy(xs, sysb)
+    if bonded is not None:
+        e = e + bonded_energy(xs, dataclasses.replace(
+            bonded, box=jnp.asarray(sysb.box, bonded.box.dtype)))
+    return e
+
+
+def pressure_tensor(positions, velocities, system, masses,
+                    bonded=None) -> jax.Array:
+    """Instantaneous internal pressure TENSOR [3, 3] in bar (the per-axis
+    observable behind the anisotropic barostat; its trace/3 is
+    :func:`instantaneous_pressure` up to the same Ewald-truncation
+    caveat).
+
+    Strain-derivative formulation (TPU-native, no per-kernel virial
+    plumbing): deform positions and lattice rows by ``F = I + tril(eps)``
+    (lower-triangular strain keeps a reduced lattice lower-triangular, so
+    every traced triclinic code path stays valid) and autodiff at
+    ``eps = 0``:
+
+        P_ab V = sum_i m_i v_ia v_ib - dE/d eps_ab .
+
+    The Cauchy stress of a rotation-invariant potential is symmetric, so
+    the lower triangle determines the tensor; the result is mirrored to
+    full symmetric form.  Same accuracy note as
+    :func:`instantaneous_pressure`: build with ``ewald_tol <= 1e-6`` for
+    quantitative stress.
+    """
+    dtype = positions.dtype
+    box0 = system.box
+    b_mat = jnp.diag(box0) if box0.ndim == 1 else box0
+
+    def e_strained(eps):
+        f = jnp.eye(3, dtype=dtype) + jnp.tril(eps)
+        return _box_grad_potential(positions @ f,
+                                   system.with_box(b_mat @ f),
+                                   system, bonded)
+
+    de = jax.grad(e_strained)(jnp.zeros((3, 3), dtype))
+    v = jnp.asarray(velocities, dtype)
+    m = jnp.asarray(masses, dtype)
+    kin = jnp.einsum("i,ia,ib->ab", m, v, v)
+    p_l = kin - de                                   # lower triangle valid
+    p_sym = jnp.tril(p_l) + jnp.tril(p_l, -1).T
+    return p_sym / (box_volume(box0) * BAR_TO_KJ_MOL_NM3)
 
 
 def _npt_langevin_driver(positions, velocities, system, masses,

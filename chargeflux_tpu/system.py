@@ -294,9 +294,15 @@ class ChargeFluxSystem:
         ~5% Verlet-skin reserve in the grid sizing is the shrink budget.
         Growing the box only degrades Ewald accuracy gradually (kmax and
         the PME grid were tuned for the original volume).
+
+        A [3, 3] lattice matrix may be passed for a system built with an
+        orthorhombic box (e.g. the strain-derivative pressure tensor,
+        npt.pressure_tensor) — the shape change retraces, so do that
+        outside a hot loop.
         """
-        box = jnp.broadcast_to(jnp.asarray(box, self.box.dtype),
-                               self.box.shape)
+        box = jnp.asarray(box, self.box.dtype)
+        if box.shape != self.box.shape and box.shape != (3, 3):
+            box = jnp.broadcast_to(box, self.box.shape)
         return dataclasses.replace(self, box=box)
 
     def with_particle_parameters(self, q0=None, sigma=None,

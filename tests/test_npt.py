@@ -374,3 +374,52 @@ def test_npt_anisotropic_triclinic_row_scaling():
     for a in range(3):
         s = b1[a, a] / B[a, a]
         np.testing.assert_allclose(b1[a], s * B[a], rtol=1e-12, atol=1e-15)
+
+
+def test_pressure_tensor_trace_and_symmetry():
+    """The strain-derivative pressure tensor is symmetric and its trace/3
+    equals the isotropic virial pressure to machine precision (both are
+    autodiff of the same assembly — isotropic strain vs full strain)."""
+    from chargeflux_tpu.npt import pressure_tensor
+
+    force, positions, masses, box = water_box(n_side=3, seed=9,
+                                              flux="bond_angle",
+                                              cutoff=0.42)
+    system = force.create_system(box=box, dtype=jnp.float64)
+    x = jnp.asarray(positions)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(0.3 * rng.standard_normal(x.shape))
+    m = jnp.asarray(np.asarray(masses), jnp.float64)
+    p_iso = float(instantaneous_pressure(x, v, system, m))
+    P = np.asarray(pressure_tensor(x, v, system, m))
+    assert np.allclose(P, P.T)
+    np.testing.assert_allclose(np.trace(P) / 3.0, p_iso, rtol=1e-12)
+
+
+def test_pressure_tensor_offdiagonal_finite_difference():
+    """Off-diagonal stress components match a central finite difference of
+    the strained potential (independent of the autodiff path)."""
+    from chargeflux_tpu.npt import (BAR_TO_KJ_MOL_NM3, _box_grad_potential,
+                                    pressure_tensor)
+    from chargeflux_tpu.pairs import box_volume
+
+    force, positions, masses, box = water_box(n_side=3, seed=9,
+                                              flux="bond_angle",
+                                              cutoff=0.42)
+    system = force.create_system(box=box, dtype=jnp.float64)
+    x = jnp.asarray(positions)
+    m = jnp.asarray(np.asarray(masses), jnp.float64)
+    P = np.asarray(pressure_tensor(x, jnp.zeros_like(x), system, m))
+
+    def e_of(eps):
+        f = jnp.eye(3, dtype=jnp.float64) + jnp.tril(jnp.asarray(eps))
+        return float(_box_grad_potential(
+            x @ f, system.with_box(jnp.diag(system.box) @ f), system, None))
+
+    h = 1e-6
+    vol = float(box_volume(system.box))
+    for (a, b) in [(2, 0), (2, 1)]:
+        ep = np.zeros((3, 3)); ep[a, b] = h
+        em = np.zeros((3, 3)); em[a, b] = -h
+        fd = -(e_of(ep) - e_of(em)) / (2 * h) / (vol * BAR_TO_KJ_MOL_NM3)
+        np.testing.assert_allclose(P[a, b], fd, rtol=5e-6)

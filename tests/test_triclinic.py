@@ -335,3 +335,29 @@ def test_npt_barostat_runs_on_triclinic():
     B0 = _shear(box)
     s = b[0, 0] / B0[0, 0]
     np.testing.assert_allclose(b, s * B0, rtol=1e-12)
+
+
+@pytest.mark.parametrize("recip", ["pme", "xla"])
+def test_f32_force_rmse_budget_triclinic_cell(recip):
+    """f32 production path on the TRICLINIC cell route: force RMSE vs the
+    f64 classical reference <= 1e-4 relative — pins the precision choices
+    (BF16_BF16_F32_X3 dots, erfc polynomial) through the fractional
+    binning, lattice-row offsets and fractional PME spread."""
+    from chargeflux_tpu.energy import _energy_and_forces
+
+    force, pos, _, box = water_box(n_side=7, flux="bond_angle", cutoff=0.65,
+                                   seed=13)
+    B = _shear(box)
+    sys64 = force.create_system(box=B, dtype=jnp.float64,
+                                direct_method="cell")
+    x64 = jnp.asarray(pos, jnp.float64)
+    _, f64 = _energy_and_forces(x64, sys64)
+    rms = np.sqrt(np.mean(np.asarray(f64) ** 2))
+
+    sys32 = force.create_system(box=B, dtype=jnp.float32,
+                                direct_method="cell", recip_method=recip)
+    x32 = jnp.asarray(pos, jnp.float32)
+    _, f32 = _energy_and_forces(x32, sys32)
+    err = np.sqrt(np.mean((np.asarray(f32, np.float64)
+                           - np.asarray(f64)) ** 2)) / rms
+    assert err < 1e-4, err

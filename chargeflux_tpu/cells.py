@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops.erfc import erf_over_r_eval, erfc_fast
-from .pairs import frac_coords
+from .pairs import frac_coords, lattice_cart
 from .units import ONE_4PI_EPS0
 
 # Half-shell shift set: (0,0,0) self + 13 lexicographically positive shifts.
@@ -107,9 +107,10 @@ def wrap_offsets(positions: jax.Array, box: jax.Array) -> jax.Array:
     """Lattice translation [N, 3] that wraps each position into the primary
     cell (``positions - wrap_offsets`` has fractional coordinates in
     [0, 1)).  ``box * floor(x / box)`` for an orthorhombic [3] box;
-    ``floor(f) @ B`` for a [3, 3] lattice."""
+    ``floor(f) @ B`` for a [3, 3] lattice (elementwise-expanded — see
+    pairs.frac_coords' f32 matmul precision note)."""
     if box.ndim == 2:
-        return jnp.floor(frac_coords(positions, box)) @ box
+        return lattice_cart(jnp.floor(frac_coords(positions, box)), box)
     return box * jnp.floor(positions / box)
 
 
@@ -358,10 +359,7 @@ def cell_rows_direct_energy(positions, q, system, slots, nbr_ids, offsets,
                        ids % grid[2]], axis=-1)
     centers_frac = ((jnp.asarray(coords, dtype) + 0.5)
                     / jnp.asarray(grid, dtype))
-    if box.ndim == 2:
-        centers_all = centers_frac @ box
-    else:
-        centers_all = centers_frac * box
+    centers_all = lattice_cart(centers_frac, box)
 
     my_slots = jax.lax.dynamic_slice_in_dim(
         jnp.concatenate([slots, jnp.full((c_pad - slots.shape[0],
@@ -395,10 +393,7 @@ def cell_rows_direct_energy(positions, q, system, slots, nbr_ids, offsets,
     def shift_energy(carry, s_idx):
         j_cell = my_nbrs[:, s_idx]                      # [rows]
         j_slot = slots[j_cell]                          # [rows, cap]
-        if box.ndim == 2:
-            shift = offs_f[:, s_idx, :] @ box           # [rows, 3]
-        else:
-            shift = offs_f[:, s_idx, :] * box
+        shift = lattice_cart(offs_f[:, s_idx, :], box)  # [rows, 3]
         pos_j = pos_p[j_slot] + shift[:, None, :] - centers[:, None, :]
         e = _pair_block_energy(
             pos_i, ni, q_i, hs_i, se_i, mask_i,

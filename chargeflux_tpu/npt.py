@@ -205,16 +205,19 @@ def pressure_tensor(positions, velocities, system, masses,
     box0 = system.box
     b_mat = jnp.diag(box0) if box0.ndim == 1 else box0
 
+    hp = jax.lax.Precision.HIGHEST   # f32 dots on an observable path
+
     def e_strained(eps):
         f = jnp.eye(3, dtype=dtype) + jnp.tril(eps)
-        return _box_grad_potential(positions @ f,
-                                   system.with_box(b_mat @ f),
+        return _box_grad_potential(jnp.matmul(positions, f, precision=hp),
+                                   system.with_box(
+                                       jnp.matmul(b_mat, f, precision=hp)),
                                    system, bonded)
 
     de = jax.grad(e_strained)(jnp.zeros((3, 3), dtype))
     v = jnp.asarray(velocities, dtype)
     m = jnp.asarray(masses, dtype)
-    kin = jnp.einsum("i,ia,ib->ab", m, v, v)
+    kin = jnp.einsum("i,ia,ib->ab", m, v, v, precision=hp)
     p_l = kin - de                                   # lower triangle valid
     p_sym = jnp.tril(p_l) + jnp.tril(p_l, -1).T
     return p_sym / (box_volume(box0) * BAR_TO_KJ_MOL_NM3)

@@ -76,10 +76,31 @@ def box_inverse(box: jax.Array) -> jax.Array:
 
 def frac_coords(x: jax.Array, box: jax.Array) -> jax.Array:
     """Fractional coordinates f with x = f @ box (rows = lattice vectors);
-    for an orthorhombic [3] box this is x / box."""
+    for an orthorhombic [3] box this is x / box.
+
+    The triclinic transform is expanded ELEMENTWISE (not an [N,3]@[3,3]
+    dot): the default TPU f32 matmul demotes to bf16, which would put
+    ~2^-9-relative error straight into coordinates on an accuracy-relevant
+    path (repo precision rule, CLAUDE.md)."""
     if box.ndim == 2:
-        return x @ box_inverse(box)
+        inv = box_inverse(box)
+        f0 = x[..., 0] * inv[0, 0] + x[..., 1] * inv[1, 0] \
+            + x[..., 2] * inv[2, 0]
+        f1 = x[..., 1] * inv[1, 1] + x[..., 2] * inv[2, 1]
+        f2 = x[..., 2] * inv[2, 2]
+        return jnp.stack([f0, f1, f2], axis=-1)
     return x / box
+
+
+def lattice_cart(n: jax.Array, box: jax.Array) -> jax.Array:
+    """Cartesian coordinates of lattice/fractional vectors ``n`` (last axis
+    3): ``n @ box`` for a [3, 3] row-vector lattice, ``n * box`` for an
+    orthorhombic [3] box — expanded elementwise for the same f32 matmul
+    precision reason as :func:`frac_coords`."""
+    if box.ndim == 2:
+        return (n[..., 0:1] * box[0] + n[..., 1:2] * box[1]
+                + n[..., 2:3] * box[2])
+    return n * box
 
 
 def plane_widths(box: jax.Array) -> jax.Array:

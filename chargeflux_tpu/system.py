@@ -301,8 +301,14 @@ class ChargeFluxSystem:
         outside a hot loop.
         """
         box = jnp.asarray(box, self.box.dtype)
-        if box.shape != self.box.shape and box.shape != (3, 3):
-            box = jnp.broadcast_to(box, self.box.shape)
+        if box.shape != self.box.shape:
+            if box.shape == (3,) and self.box.shape == (3, 3):
+                # orthorhombic intent on a triclinic-built system: a raw
+                # broadcast would fabricate a sheared lattice with three
+                # identical rows — diagonalize instead
+                box = jnp.diag(box)
+            elif box.shape != (3, 3):
+                box = jnp.broadcast_to(box, self.box.shape)
         return dataclasses.replace(self, box=box)
 
     def with_particle_parameters(self, q0=None, sigma=None,

@@ -32,7 +32,7 @@ def max_cell_occupancy(positions, system) -> int:
     x = np.asarray(jax.device_get(positions), dtype=np.float64)
     box = np.asarray(jax.device_get(system.box), dtype=np.float64)
     grid = np.asarray(spec.cell_grid)
-    frac = x / box
+    frac = x @ np.linalg.inv(box) if box.ndim == 2 else x / box
     frac -= np.floor(frac)
     ci = np.clip((frac * grid).astype(np.int64), 0, grid - 1)
     flat = (ci[:, 0] * grid[1] + ci[:, 1]) * grid[2] + ci[:, 2]
@@ -145,7 +145,13 @@ def _min_flux_angle_sine(positions, system):
     def delta(a, b):
         d = x[a] - x[b]
         if box is not None:
-            d -= box * np.floor(d / box + 0.5)
+            if box.ndim == 2:
+                # sequential reduced-form wrap (pairs.delta_periodic)
+                for ax in (2, 1, 0):
+                    d -= box[ax] * np.floor(
+                        d[:, ax:ax + 1] / box[ax, ax] + 0.5)
+            else:
+                d -= box * np.floor(d / box + 0.5)
         return d
 
     d21 = delta(idx[:, 0], idx[:, 1])

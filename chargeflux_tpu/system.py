@@ -497,6 +497,7 @@ class CoulForce:
         recip_method: str = "auto",
         skin_frac: float = 0.05,
         walk_layout: str = "auto",
+        halo_devices: Optional[int] = None,
     ) -> ChargeFluxSystem:
         """Compile the builder into an immutable pytree system.
 
@@ -505,7 +506,9 @@ class CoulForce:
         at trace time, from (cutoff, tolerance, box).
 
         Args:
-          box: orthorhombic box edge lengths [3] in nm; required iff PBC.
+          box: orthorhombic box edge lengths [3] in nm, or a [3, 3]
+            reduced lower-triangular lattice matrix (triclinic); required
+            iff PBC.
           dtype: float dtype for parameter arrays.
           direct_method: "dense", "cell", or "auto" (cell list for large
             periodic systems when the box admits >=3 cells per axis).
@@ -515,6 +518,10 @@ class CoulForce:
             units, so hot or unequilibrated runs can overflow it (the
             energy NaN-poisons — visibly, never silently).  Triage with
             utils.diagnose_nan, which suggests a capacity.
+          halo_devices: size the x cell axis to a multiple of this device
+            count (rounding DOWN — wider cells keep cutoff coverage) so
+            the ppermute halo-sharded route (parallel/halo.py) applies
+            even when the natural grid doesn't divide the mesh.
         """
         n = len(self._charges)
         if n == 0:
@@ -595,6 +602,22 @@ class CoulForce:
             # — for an orthorhombic box that is the edge length.
             eff = self._cutoff * (1.0 + skin_frac)
             ncells = tuple(int(np.floor(w / eff)) for w in widths)
+            if halo_devices is not None and halo_devices > 1:
+                # Halo sharding (parallel/halo.py) slab-decomposes the x
+                # cell axis and needs cell_grid[0] % ndev == 0.  Round gx
+                # DOWN to a multiple (wider x cells keep coverage; rounding
+                # up would shrink cells below the cutoff).  Costs extra
+                # pair candidates single-chip; buys the ppermute halo path
+                # instead of the work-sharding fallback's full per-device
+                # rebuild.
+                gx_halo = (ncells[0] // halo_devices) * halo_devices
+                if gx_halo < max(3, halo_devices):
+                    raise ValueError(
+                        f"halo_devices={halo_devices}: the box fits only "
+                        f"{ncells[0]} x-cells at cutoff {self._cutoff} — "
+                        f"cannot make a >=3-cell grid divisible by the "
+                        f"device count")
+                ncells = (gx_halo,) + ncells[1:]
             cell_ok = all(c >= 3 for c in ncells)
             if method == "auto":
                 method = "cell" if (cell_ok and n > 2048) else "dense"

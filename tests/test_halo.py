@@ -161,3 +161,36 @@ def test_halo_md_trajectory_matches_single_chip():
     np.testing.assert_allclose(np.asarray(finals["halo"].positions),
                                np.asarray(finals["single"].positions),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_halo_devices_grid_rounding():
+    """create_system(halo_devices=D) rounds the x cell axis down to a
+    multiple of D (wider cells keep cutoff coverage), unlocking the
+    ppermute halo path for boxes whose natural grid doesn't divide the
+    mesh; energies match the natural-grid system and the sharded route
+    matches single-chip."""
+    import chargeflux_tpu as cf
+    from chargeflux_tpu.models import water_box
+    from chargeflux_tpu.parallel.halo import (halo_compatible,
+                                              make_halo_energy_fn)
+
+    force, pos, _, box = water_box(n_side=8, flux="water", cutoff=0.42,
+                                   seed=3)
+    x = jnp.asarray(pos)
+    s_nat = force.create_system(box=box, dtype=jnp.float64,
+                                direct_method="cell")
+    assert s_nat.spec.cell_grid[0] % 4 != 0          # the case that matters
+    assert not halo_compatible(s_nat, 4)
+    s_halo = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell", halo_devices=4)
+    assert s_halo.spec.cell_grid[0] % 4 == 0
+    assert halo_compatible(s_halo, 4)
+    e_ref = float(cf.energy(x, s_nat))
+    assert abs(float(cf.energy(x, s_halo)) - e_ref) <= 1e-12 * abs(e_ref)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("space",))
+    e_h = float(make_halo_energy_fn(s_halo, mesh)(x))
+    assert abs(e_h - e_ref) <= 1e-12 * abs(e_ref)
+    # impossible rounding refuses loudly
+    with pytest.raises(ValueError, match="halo_devices"):
+        force.create_system(box=box, dtype=jnp.float64,
+                            direct_method="cell", halo_devices=8)

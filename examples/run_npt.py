@@ -8,9 +8,14 @@ from OpenMM's MonteCarloBarostat; here it is native (volume moves ride the
 *traced* box through the already-compiled energy — no recompiles).
 
     python examples/run_npt.py [n_side] [n_steps] [pressure_bar] [--cpu]
+                               [--anisotropic]
 
 ``--cpu`` forces the CPU backend (the env var alone is overridden by the
 axon plugin's sitecustomize; the config update is authoritative).
+``--anisotropic`` swaps in the per-axis barostat
+(npt_anisotropic_langevin_trajectory — the MonteCarloAnisotropicBarostat
+analog) and reports the per-axis box and the virial pressure TENSOR
+diagonal instead of the scalar.
 """
 
 import os
@@ -26,11 +31,17 @@ if "--cpu" in sys.argv:
     sys.argv.remove("--cpu")
     jax.config.update("jax_platforms", "cpu")
 
+ANISO = "--anisotropic" in sys.argv
+if ANISO:
+    sys.argv.remove("--anisotropic")
+
 import jax.numpy as jnp
 
 import chargeflux_tpu as cf
 from chargeflux_tpu.models import water_bonded_params, water_box
-from chargeflux_tpu.npt import instantaneous_pressure, npt_langevin_trajectory
+from chargeflux_tpu.npt import (instantaneous_pressure,
+                                npt_anisotropic_langevin_trajectory,
+                                npt_langevin_trajectory, pressure_tensor)
 
 # water: 18.015 g/mol -> kg per molecule x molecules per nm^3 = kg/m^3
 _KG_M3_PER_MOL_NM3 = 18.015 / 0.602214076
@@ -53,7 +64,9 @@ def main():
     v0 = cf.maxwell_velocities(masses_j, temperature, jax.random.PRNGKey(1))
     x0 = jnp.asarray(pos, jnp.float32)
 
-    x1, v1, box1, diag = npt_langevin_trajectory(
+    driver = (npt_anisotropic_langevin_trajectory if ANISO
+              else npt_langevin_trajectory)
+    x1, v1, box1, diag = driver(
         x0, v0, system, masses_j, dt=dt, temperature=temperature,
         friction=2.0, pressure_bar=pressure, key=jax.random.PRNGKey(0),
         n_steps=n_steps, bonded=bonded, barostat_interval=interval)
@@ -73,6 +86,12 @@ def main():
     e_last = float(np.asarray(diag["energies"])[-1])
     print(f"final total E {e_last:.1f} kJ/mol | instantaneous virial "
           f"pressure {p_inst:.0f} bar (single-config; NPT average ~ P_ext)")
+    if ANISO:
+        P = np.asarray(pressure_tensor(x1, v1, system.with_box(box1),
+                                       masses_j, bonded=bonded))
+        print(f"final box diag {np.round(np.asarray(box1), 4)} | stress "
+              f"diag {np.round(np.diag(P), 0)} bar | attempted axes "
+              f"{np.asarray(diag['axes'])}")
     assert np.isfinite(e_last)
 
     # final-frame structure + a viewable trajectory frame

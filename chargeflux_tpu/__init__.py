@@ -51,6 +51,7 @@ from .integrate import (
 from .nosehoover import (NHChain, nhc_conserved, nhc_init,
                          nose_hoover_step, nose_hoover_trajectory,
                          nose_hoover_trajectory_nb)
+from .csvr import csvr_trajectory, csvr_trajectory_nb
 from .npt import (instantaneous_pressure, molecule_index,
                   npt_anisotropic_langevin_trajectory,
                   npt_langevin_trajectory, pressure_tensor)
@@ -77,6 +78,7 @@ __all__ = [
     "kinetic_energy", "temperature", "maxwell_velocities",
     "NHChain", "nhc_init", "nhc_conserved", "nose_hoover_step",
     "nose_hoover_trajectory", "nose_hoover_trajectory_nb",
+    "csvr_trajectory", "csvr_trajectory_nb",
     "instantaneous_pressure", "molecule_index",
     "npt_anisotropic_langevin_trajectory", "npt_langevin_trajectory",
     "pressure_tensor",

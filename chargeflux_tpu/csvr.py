@@ -125,7 +125,11 @@ def csvr_trajectory(state, energy_fn, masses, dt: float, temperature: float,
     """Dense-route CSVR driver (no neighbor reuse): velocity-Verlet + one
     global rescale per step.  Returns ``(final_state, diag)`` with the
     same ``{"etot", "kinetic", "work"}`` series as
-    :func:`csvr_trajectory_nb` (``etot - work`` conserved)."""
+    :func:`csvr_trajectory_nb` (``etot - work`` conserved).
+
+    Exactly resumable with ``advance_key(key, n_steps)`` — the key is
+    chained one split per step, the same convention as the dense
+    ``integrate.langevin_trajectory``."""
     from .integrate import MDState
 
     masses = jnp.asarray(masses)
@@ -134,8 +138,9 @@ def csvr_trajectory(state, energy_fn, masses, dt: float, temperature: float,
     inv_m = (0.5 * dt / masses)[:, None]
     grad_e = jax.value_and_grad(energy_fn)
 
-    def body(carry, kk):
-        x, v, f, w = carry
+    def body(carry, _):
+        x, v, f, w, k = carry
+        k, kk = jax.random.split(k)
         v_half = v + f * inv_m
         x_new = x + dt * v_half
         e, g = grad_e(x_new)
@@ -144,13 +149,12 @@ def csvr_trajectory(state, energy_fn, masses, dt: float, temperature: float,
         kin = kinetic_energy(v_new, masses)
         alpha, dk = csvr_scale(kin, n_dof, dt, tau, temperature, kk, dtype)
         v_new = alpha * v_new
-        return ((x_new, v_new, f_new, w + dk),
+        return ((x_new, v_new, f_new, w + dk, k),
                 (e + kin + dk, kin + dk, w + dk))
 
-    keys = jax.random.split(key, n_steps)
-    (x, v, f, _w), (etot, kes, ws) = jax.lax.scan(
+    (x, v, f, _w, _k), (etot, kes, ws) = jax.lax.scan(
         body, (state.positions, state.velocities, state.forces,
-               jnp.zeros((), dtype)), keys)
+               jnp.zeros((), dtype), key), None, length=n_steps)
     e_pot = energy_fn(x)
     return MDState(x, v, f, e_pot), {"etot": etot, "kinetic": kes,
                                      "work": ws}

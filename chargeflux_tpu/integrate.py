@@ -197,9 +197,10 @@ def advance_key(key, n_chunks: int):
     consuming ``n_chunks`` links of its split chain.  Applies to the
     drivers that do one ``k, sub = split(k)`` per chunk:
     ``langevin_trajectory_nb`` / ``rattle_langevin_trajectory_nb`` /
-    ``respa_langevin_trajectory_nb`` / ``npt_langevin_trajectory`` (one
-    link per outer rebuild interval) and the dense
-    ``langevin_trajectory`` (one link per step).  It does NOT reproduce
+    ``respa_langevin_trajectory_nb`` / ``csvr.csvr_trajectory_nb`` /
+    ``npt_langevin_trajectory`` (one link per outer rebuild interval)
+    and the dense ``langevin_trajectory`` /
+    ``csvr.csvr_trajectory`` (one link per step).  It does NOT reproduce
     ``constraints.rattle_langevin_trajectory``'s stream — that dense
     driver does a flat ``split(key, n_steps)`` upfront; resume it with a
     fresh key or use the ``_nb`` variant.

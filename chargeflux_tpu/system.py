@@ -620,7 +620,19 @@ class CoulForce:
                 ncells = (gx_halo,) + ncells[1:]
             cell_ok = all(c >= 3 for c in ncells)
             if method == "auto":
-                method = "cell" if (cell_ok and n > 2048) else "dense"
+                # an explicit halo_devices request means the caller will
+                # run the halo route — force the cell method it requires
+                # rather than silently dropping the sizing on small N
+                if halo_devices is not None and halo_devices > 1:
+                    method = "cell"
+                else:
+                    method = "cell" if (cell_ok and n > 2048) else "dense"
+            elif method == "dense" and halo_devices is not None \
+                    and halo_devices > 1:
+                raise ValueError(
+                    "halo_devices requires the cell route "
+                    "(direct_method='cell' or 'auto'); the dense route "
+                    "has no cell grid to size")
             if method == "cell":
                 if not cell_ok:
                     raise ValueError(

@@ -123,3 +123,21 @@ def test_nb_driver_exact_resume():
                                   np.asarray(s_resumed.positions))
     np.testing.assert_array_equal(np.asarray(s_full.velocities),
                                   np.asarray(s_resumed.velocities))
+
+
+def test_dense_driver_exact_resume():
+    """The dense driver chains its key one split per step, so
+    advance_key(key, n_steps) resumes it bitwise (same convention as the
+    dense langevin_trajectory)."""
+    s0, e_fn, m = _ideal_gas(seed=11)
+    key = jax.random.PRNGKey(12)
+    _, d_full = csvr_trajectory(s0, e_fn, m, dt=1e-3, temperature=300.0,
+                                tau=0.02, key=key, n_steps=40)
+    s_half, d_a = csvr_trajectory(s0, e_fn, m, dt=1e-3, temperature=300.0,
+                                  tau=0.02, key=key, n_steps=20)
+    _, d_b = csvr_trajectory(s_half, e_fn, m, dt=1e-3, temperature=300.0,
+                             tau=0.02, key=advance_key(key, 20), n_steps=20)
+    np.testing.assert_array_equal(
+        np.asarray(d_full["kinetic"]),
+        np.concatenate([np.asarray(d_a["kinetic"]),
+                        np.asarray(d_b["kinetic"])]))

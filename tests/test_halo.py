@@ -194,3 +194,17 @@ def test_halo_devices_grid_rounding():
     with pytest.raises(ValueError, match="halo_devices"):
         force.create_system(box=box, dtype=jnp.float64,
                             direct_method="cell", halo_devices=8)
+
+
+def test_halo_devices_forces_cell_route():
+    """An explicit halo_devices request must never be silently dropped:
+    auto resolves to the cell route even below the auto-threshold atom
+    count, and an explicit dense request conflicts loudly."""
+    force, pos, _, box = water_box(n_side=6, flux="water", cutoff=0.42,
+                                   seed=3)   # 648 atoms < auto threshold
+    s = force.create_system(box=box, dtype=jnp.float64, halo_devices=2)
+    assert s.spec.direct_method == "cell"
+    assert s.spec.cell_grid[0] % 2 == 0
+    with pytest.raises(ValueError, match="halo_devices"):
+        force.create_system(box=box, dtype=jnp.float64,
+                            direct_method="dense", halo_devices=2)

@@ -52,6 +52,8 @@ from .nosehoover import (NHChain, nhc_conserved, nhc_init,
                          nose_hoover_step, nose_hoover_trajectory,
                          nose_hoover_trajectory_nb)
 from .csvr import csvr_trajectory, csvr_trajectory_nb
+from .rbe import (make_rbe_nb_energy_fn, rbe_langevin_trajectory_nb,
+                  rbe_reciprocal_energy, rbe_tables)
 from .npt import (instantaneous_pressure, molecule_index,
                   npt_anisotropic_langevin_trajectory,
                   npt_langevin_trajectory, pressure_tensor)
@@ -79,6 +81,8 @@ __all__ = [
     "NHChain", "nhc_init", "nhc_conserved", "nose_hoover_step",
     "nose_hoover_trajectory", "nose_hoover_trajectory_nb",
     "csvr_trajectory", "csvr_trajectory_nb",
+    "make_rbe_nb_energy_fn", "rbe_langevin_trajectory_nb",
+    "rbe_reciprocal_energy", "rbe_tables",
     "instantaneous_pressure", "molecule_index",
     "npt_anisotropic_langevin_trajectory", "npt_langevin_trajectory",
     "pressure_tensor",

@@ -180,10 +180,17 @@ def _exclusion_correction(positions, q, system: ChargeFluxSystem,
 
 def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
                                     system: ChargeFluxSystem,
-                                    nb=None) -> Dict[str, jax.Array]:
+                                    nb=None,
+                                    include_recip: bool = True,
+                                    ) -> Dict[str, jax.Array]:
     """Energy breakdown treating the effective charges as an independent
     input.  grad wrt ``q`` of the sum is exactly the reference's dedq vector
-    (ReferenceCoulKernels.cpp:458-459, 509, 546, 588-589, 615-616)."""
+    (ReferenceCoulKernels.cpp:458-459, 509, 546, 588-589, 615-616).
+
+    ``include_recip=False`` skips the reciprocal term entirely (for
+    callers substituting their own k-space estimator, e.g. rbe.py —
+    computing-then-discarding it would waste the whole PME/classical
+    cost)."""
     spec = system.spec
     if not spec.pbc:
         return {"pair": _dense_pair_energy(positions, q, system)}
@@ -261,6 +268,8 @@ def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,
                 positions, q, system, subtract_direct=False)
 
     # -- reciprocal space ----------------------------------------------------
+    if not include_recip:
+        return comps
     recip_method = spec.recip_method
     if recip_method == "auto":
         # On TPU f32: the cell-blocked PME spread (shares the direct walk's

@@ -18,7 +18,9 @@ from .energy import (
     forces,
     forces_manual,
 )
-from .bonded import BondedParams, bonded_energy
+from .bonded import (BondedParams, bonded_energy,
+                     flat_bottom_restraint_energy,
+                     position_restraint_energy)
 from .constraints import (
     RigidWaterParams,
     project_positions,
@@ -44,6 +46,7 @@ from .integrate import (
     nve_step_nb,
     nve_trajectory,
     nve_trajectory_nb,
+    remove_com_motion,
     respa_langevin_trajectory_nb,
     respa_trajectory_nb,
     temperature,
@@ -67,12 +70,13 @@ __all__ = [
     "effective_charges", "charge_jacobian_values", "jacobian_index_layout",
     "energy", "energy_and_forces", "energy_components", "energy_fixed_charges",
     "forces", "forces_manual",
-    "BondedParams", "bonded_energy",
+    "BondedParams", "bonded_energy", "flat_bottom_restraint_energy",
+    "position_restraint_energy",
     "RigidWaterParams", "project_positions", "project_velocities",
     "rattle_verlet_step", "rattle_nve_trajectory",
     "rattle_langevin_trajectory", "rattle_langevin_trajectory_nb",
     "make_energy_fn", "nve_step", "nve_trajectory", "init_state",
-    "make_nb_energy_fn", "nve_step_nb", "nve_trajectory_nb", "init_state_nb",
+    "make_nb_energy_fn", "nve_step_nb", "nve_trajectory_nb", "remove_com_motion", "init_state_nb",
     "langevin_step", "langevin_trajectory", "langevin_trajectory_nb",
     "make_respa_force_fns", "respa_trajectory_nb",
     "respa_langevin_trajectory_nb",

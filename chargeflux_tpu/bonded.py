@@ -193,3 +193,30 @@ class BondedParams:
             template=template,
             **tor,
         )
+
+
+def position_restraint_energy(positions, idx, k, x0) -> jax.Array:
+    """Harmonic position restraints: ``E = sum 0.5 k_i |x[idx_i] - x0_i|^2``
+    (the OpenMM ``CustomExternalForce('0.5*k*periodicdistance(...)^2')``
+    equilibration staple — the reference relies on its host framework for
+    restraints, SURVEY §1 L0).  Absolute-space (no minimum image): a
+    restraint pins a lab-frame site, so x0 should live in the same
+    unwrapped frame as the trajectory.  ``idx`` [R] int, ``k`` [R] or
+    scalar (kJ/mol/nm^2), ``x0`` [R, 3]."""
+    d = positions[idx] - x0
+    return 0.5 * jnp.sum(jnp.asarray(k) * jnp.sum(d * d, axis=-1))
+
+
+def flat_bottom_restraint_energy(positions, idx, k, x0,
+                                 radius) -> jax.Array:
+    """Flat-bottom position restraints: zero inside ``radius``, harmonic
+    in the overshoot outside — ``E = sum 0.5 k_i max(0, |d_i| - r_i)^2``.
+    The standard pocket/backbone restraint; grad-safe at |d| = 0 (the
+    double-where trick keeps the sqrt branch finite)."""
+    d = positions[idx] - x0
+    r2 = jnp.sum(d * d, axis=-1)
+    nonzero = r2 > 0
+    r = jnp.sqrt(jnp.where(nonzero, r2, 1.0))
+    over = jnp.maximum(jnp.where(nonzero, r, 0.0) - jnp.asarray(radius),
+                       0.0)
+    return 0.5 * jnp.sum(jnp.asarray(k) * over * over)

@@ -621,3 +621,15 @@ def minimize_fire(positions, energy_fn, n_steps: int = 200, dt_start: float = 1e
             jnp.asarray(alpha_start, positions.dtype), jnp.asarray(0))
     (x, *_), _ = jax.lax.scan(body, init, None, length=n_steps)
     return x, energy_fn(x)
+
+
+def remove_com_motion(velocities, masses) -> jax.Array:
+    """Zero the center-of-mass momentum (OpenMM CMMotionRemover analog).
+
+    Langevin/CSVR noise injects a random walk into the total momentum;
+    call this between chunks (or on checkpoints) to keep the box from
+    drifting.  NVE and RATTLE dynamics conserve momentum and never need
+    it."""
+    m = jnp.asarray(masses, velocities.dtype)
+    p = jnp.sum(velocities * m[:, None], axis=0)
+    return velocities - (p / jnp.sum(m))[None, :]

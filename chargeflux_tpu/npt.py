@@ -226,13 +226,17 @@ def pressure_tensor(positions, velocities, system, masses,
 def _npt_langevin_driver(positions, velocities, system, masses,
                          dt: float, temperature: float, friction: float,
                          key, n_steps: int, bonded,
-                         barostat_interval: int, make_attempt, dv0):
+                         barostat_interval: int, make_attempt, dv0,
+                         constraints=None):
     """Shared NPT machinery: BAOAB chunks at fixed box + one barostat
     attempt per chunk, all in one lax.scan.  ``make_attempt(e_pot)``
     returns ``attempt(x, box, dv, e_old, k) -> (x, box, dv, e_cur, ok,
     poisoned, extras)`` — the proposal/acceptance policy (isotropic or
     anisotropic); ``dv0`` is its initial adaptive proposal width (scalar
-    or per-axis)."""
+    or per-axis).  ``constraints`` (a constraints.RigidWaterParams)
+    switches the MD chunk to RATTLE-projected BAOAB — the barostat move
+    itself needs no projection because molecule-centroid scaling
+    translates each molecule rigidly."""
     n_outer, rem = divmod(n_steps, barostat_interval)
     if rem or n_outer == 0:
         raise ValueError("n_steps must be a positive multiple of "
@@ -268,6 +272,9 @@ def _npt_langevin_driver(positions, velocities, system, masses,
 
     attempt = make_attempt(e_pot)
 
+    if constraints is not None:
+        from .constraints import project_positions, project_velocities
+
     def chunk(xx, vv, box, k):
         """barostat_interval BAOAB steps at fixed box with one nb build."""
         sb = system.with_box(box)
@@ -280,18 +287,41 @@ def _npt_langevin_driver(positions, velocities, system, masses,
         # fresh forces at the chunk head (the box may just have moved)
         _, g0 = jax.value_and_grad(e_of)(xx)
 
-        def body(carry, kk):
-            x, v, f = carry
-            x, v = baoab_pre_force(x, v, f, inv_m, dt, c1, c2, kk)
+        def guarded_force(x):
             e, g = jax.value_and_grad(e_of)(x)
             if has_cells:
                 bad = jnp.where(neighbor_state_fresh(nb, x, sb), 1.0,
                                 jnp.asarray(jnp.nan, e.dtype))
                 e = e * bad
                 g = g * bad
-            f = -g
-            v = v + 0.5 * dt * f * inv_m                            # B
-            return (x, v, f), (e, e + kinetic_energy(v, masses))
+            return e, -g
+
+        if constraints is None:
+            def body(carry, kk):
+                x, v, f = carry
+                x, v = baoab_pre_force(x, v, f, inv_m, dt, c1, c2, kk)
+                e, f = guarded_force(x)
+                v = v + 0.5 * dt * f * inv_m                        # B
+                return (x, v, f), (e, e + kinetic_energy(v, masses))
+        else:
+            def a_half(x, v):
+                x_new = project_positions(x, x + 0.5 * dt * v, constraints)
+                return x_new, (x_new - x) / (0.5 * dt)
+
+            def body(carry, kk):
+                x, v, f = carry
+                v = project_velocities(x, v + 0.5 * dt * f * inv_m,
+                                       constraints)                 # B
+                x, v = a_half(x, v)                                 # A
+                noise = jax.random.normal(kk, v.shape, dtype=v.dtype)
+                v = project_velocities(
+                    x, c1 * v + c2 * jnp.sqrt(inv_m) * noise,
+                    constraints)                                    # O
+                x, v = a_half(x, v)                                 # A
+                e, f = guarded_force(x)
+                v = project_velocities(x, v + 0.5 * dt * f * inv_m,
+                                       constraints)                 # B
+                return (x, v, f), (e, e + kinetic_energy(v, masses))
 
         keys = jax.random.split(k, barostat_interval)
         (xx, vv, _f), (es, etot) = jax.lax.scan(body, (xx, vv, -g0), keys)
@@ -306,7 +336,11 @@ def _npt_langevin_driver(positions, velocities, system, masses,
         return (x, v, box, dv, e_cur, k), (etot, box, ok, poisoned, extras)
 
     e0 = e_pot(positions, jnp.asarray(system.box, dtype))
-    carry0 = (jnp.asarray(positions, dtype), jnp.asarray(velocities, dtype),
+    v_init = jnp.asarray(velocities, dtype)
+    if constraints is not None:
+        v_init = project_velocities(jnp.asarray(positions, dtype), v_init,
+                                    constraints)
+    carry0 = (jnp.asarray(positions, dtype), v_init,
               jnp.asarray(system.box, dtype), jnp.asarray(dv0, dtype),
               e0, key)
     (x, v, box, dv, _e, _k), (etot, boxes, accepts, poisoned, extras) = \
@@ -322,7 +356,8 @@ def npt_langevin_trajectory(positions, velocities, system, masses,
                             pressure_bar: float, key, n_steps: int,
                             bonded=None, barostat_interval: int = 20,
                             dv_frac: float = 0.01,
-                            extra_mol_idx: tuple = ()):
+                            extra_mol_idx: tuple = (),
+                            constraints=None):
     """NPT via BAOAB Langevin dynamics + an isotropic MC barostat attempt
     every ``barostat_interval`` steps (n_steps must be a multiple of it).
 
@@ -380,7 +415,8 @@ def npt_langevin_trajectory(positions, velocities, system, masses,
     dv0 = jnp.asarray(dv_frac, dtype) * jnp.asarray(box_volume(box0), dtype)
     return _npt_langevin_driver(positions, velocities, system, masses, dt,
                                 temperature, friction, key, n_steps, bonded,
-                                barostat_interval, make_attempt, dv0)
+                                barostat_interval, make_attempt, dv0,
+                                constraints=constraints)
 
 
 def npt_anisotropic_langevin_trajectory(
@@ -388,7 +424,7 @@ def npt_anisotropic_langevin_trajectory(
         temperature: float, friction: float, pressure_bar: float, key,
         n_steps: int, bonded=None, barostat_interval: int = 20,
         dv_frac: float = 0.01, scale_axes=(True, True, True),
-        extra_mol_idx: tuple = ()):
+        extra_mol_idx: tuple = (), constraints=None):
     """NPT with an *anisotropic* MC barostat: each attempt scales ONE
     lattice axis (chosen uniformly among the ``scale_axes`` marked True),
     with an independently adapted proposal width per axis — the analog of
@@ -464,4 +500,5 @@ def npt_anisotropic_langevin_trajectory(
            * jnp.ones((3,), dtype))
     return _npt_langevin_driver(positions, velocities, system, masses, dt,
                                 temperature, friction, key, n_steps, bonded,
-                                barostat_interval, make_attempt, dv0)
+                                barostat_interval, make_attempt, dv0,
+                                constraints=constraints)

@@ -167,3 +167,55 @@ def test_rattle_langevin_nb_resume_exact(tmp_path):
     np.testing.assert_allclose(np.asarray(res.velocities),
                                np.asarray(ref.velocities),
                                rtol=1e-10, atol=1e-10)
+
+
+def test_remove_com_motion():
+    from chargeflux_tpu.integrate import (kinetic_energy,
+                                          remove_com_motion)
+
+    rng = np.random.default_rng(0)
+    m = jnp.asarray(rng.uniform(1.0, 16.0, 50))
+    v = jnp.asarray(rng.standard_normal((50, 3)))
+    v1 = remove_com_motion(v, m)
+    p = np.asarray(jnp.sum(v1 * m[:, None], axis=0))
+    np.testing.assert_allclose(p, 0.0, atol=1e-12)
+    # relative velocities unchanged (a rigid boost)
+    dv = np.asarray(v - v1)
+    assert np.max(np.abs(dv - dv[0][None, :])) < 1e-12
+    # removing drift can only lower the kinetic energy
+    assert float(kinetic_energy(v1, m)) <= float(kinetic_energy(v, m))
+    # idempotent
+    np.testing.assert_allclose(np.asarray(remove_com_motion(v1, m)),
+                               np.asarray(v1), atol=1e-12)
+
+
+def test_position_restraints():
+    from chargeflux_tpu.bonded import (flat_bottom_restraint_energy,
+                                       position_restraint_energy)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((20, 3)))
+    idx = jnp.asarray([2, 5, 11], jnp.int32)
+    x0 = x[idx] + jnp.asarray([[0.1, 0.0, 0.0],
+                               [0.0, -0.2, 0.0],
+                               [0.0, 0.0, 0.05]])
+    k = 100.0
+    e = float(position_restraint_energy(x, idx, k, x0))
+    np.testing.assert_allclose(
+        e, 0.5 * 100.0 * (0.1 ** 2 + 0.2 ** 2 + 0.05 ** 2), rtol=1e-12)
+    # dE/dx on a restrained atom = k (x - x0) = -k * offset; others zero
+    g = np.asarray(jax.grad(
+        lambda xx: position_restraint_energy(xx, idx, k, x0))(x))
+    np.testing.assert_allclose(g[2], [-100.0 * 0.1, 0.0, 0.0], atol=1e-10)
+    assert np.all(g[0] == 0.0)
+
+    # flat-bottom: zero inside the radius, harmonic in the overshoot
+    e_in = float(flat_bottom_restraint_energy(x, idx, k, x0, 0.5))
+    assert e_in == 0.0
+    e_out = float(flat_bottom_restraint_energy(x, idx, k, x0, 0.05))
+    expect = 0.5 * k * ((0.1 - 0.05) ** 2 + (0.2 - 0.05) ** 2 + 0.0)
+    np.testing.assert_allclose(e_out, expect, rtol=1e-10)
+    # grad-safe at zero displacement
+    g0 = np.asarray(jax.grad(lambda xx: flat_bottom_restraint_energy(
+        xx, idx, k, xx[idx], 0.1))(x))
+    assert np.all(np.isfinite(g0))

@@ -93,12 +93,21 @@ def refresh_neighbor_state(state: NeighborState, positions: jax.Array,
     )
 
 
-def suggest_rebuild_interval(system, dt: float, max_speed: float = 4.0,
+def suggest_rebuild_interval(system, dt: float, max_speed: float = 8.0,
                              cap: int = 50) -> int:
     """Steps between unconditional rebuilds such that atoms moving at
-    ``max_speed`` (nm/ps; 4 is a generous bound for 300 K hydrogens) stay
-    within skin/2.  At least 1 (rebuild every step when the grid leaves no
-    skin); the e_fn guard still NaN-poisons if the bound is ever beaten."""
+    ``max_speed`` (nm/ps) stay within skin/2.  At least 1 (rebuild every
+    step when the grid leaves no skin); the e_fn guard still NaN-poisons
+    if the bound is ever beaten.
+
+    The default bound is 8, NOT the thermal mean: what matters is the
+    *fastest* atom in the box over the whole interval.  A 300 K hydrogen
+    has per-component sigma = sqrt(kB T / m) ~ 1.6 nm/ps, so ~0.2 % of
+    hydrogens exceed 6 nm/ps at any instant and the max over 1e4-1e5
+    atoms sits near 7 (measured 8.3 nm/ps in the 30k bench box during its
+    lattice-relaxation transient — the historical default of 4 "generous
+    for 300 K" tripped the NaN guard there).  Pass a larger bound for hot
+    or non-equilibrated systems, or measure max |v| and add margin."""
     from .system import box_widths
 
     spec = system.spec

@@ -284,10 +284,12 @@ def bench_respa(n_inner: int = 4):
     v0 = maxwell_velocities(masses, 300.0, jax.random.PRNGKey(0),
                             dtype=jnp.float32)
     s0 = init_state_nb(x, v0, e_fn, init_nb)
+    re_b = suggest_rebuild_interval(system, DT_PS, cap=10)
+    n_burn = -(-400 // re_b) * re_b   # round up to a rebuild multiple
     s_eq, kes0 = langevin_trajectory_nb(
         s0, e_fn, init_nb, masses, dt=DT_PS, temperature=300.0,
-        friction=20.0, key=jax.random.PRNGKey(1), n_steps=400,
-        rebuild_every=suggest_rebuild_interval(system, DT_PS, cap=10))
+        friction=20.0, key=jax.random.PRNGKey(1), n_steps=n_burn,
+        rebuild_every=re_b)
     assert np.all(np.isfinite(np.asarray(kes0))), "burn-in NaN"
 
     slow_fn, fast_fn, init_nb2 = make_respa_force_fns(system, bonded)

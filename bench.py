@@ -520,11 +520,15 @@ def main():
     if config == "30k" and on_device:
         result["phases_ms"] = measure_phases(x, system)
         result["model_cutoff_nm"] = 0.8
-        # rounds 1-2 model config (rc 0.9), for round-over-round comparison
-        x9, sys9, m9 = build(config, cutoff=0.9)
-        ms9, e9 = measure_md_step(x9, sys9, m9)
-        assert np.isfinite(e9)
-        result["ms_per_md_step_rc09"] = round(ms9, 4)
+        # rounds 1-2 model config (rc 0.9), for round-over-round comparison.
+        # Side measurement only: never let it sink the headline metric.
+        try:
+            x9, sys9, m9 = build(config, cutoff=0.9)
+            ms9, e9 = measure_md_step(x9, sys9, m9)
+            assert np.isfinite(e9)
+            result["ms_per_md_step_rc09"] = round(ms9, 4)
+        except Exception as exc:  # pragma: no cover - TPU-only side leg
+            result["rc09_error"] = f"{type(exc).__name__}: {exc}"[:120]
     print(json.dumps(result))
     print(f"# config={config} atoms={system.n_atoms} "
           f"device={jax.devices()[0].device_kind} compile={compile_s:.1f}s "

@@ -4,8 +4,10 @@ from .water import (
     water_bonded_params,
     water_box,
     water_cluster,
+    water_system_from_pdb,
     WATER_MASSES,
 )
 
 __all__ = ["salt_water_box", "rigid_water_box", "water_bonded_params",
-           "water_box", "water_cluster", "WATER_MASSES"]
+           "water_box", "water_cluster", "water_system_from_pdb",
+           "WATER_MASSES"]

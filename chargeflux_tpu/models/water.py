@@ -165,6 +165,54 @@ def water_cluster(n_side: int = 5, spacing: float = 0.31, flux: str = "bond_angl
     return force, positions, masses
 
 
+def water_system_from_pdb(path: str, flux: str = "bond_angle",
+                          cutoff: float = 0.9, ewald_tol: float = 1e-4):
+    """Build a flux-water system from a water-box PDB file — the on-ramp
+    for reference users whose workflow starts at ``PDBFile`` + OpenMM
+    topology (SURVEY §3.1; the reference itself never parses files, its
+    host framework does).
+
+    Waters are recognized by residue (HOH/WAT/SOL/TIP3/TIP/H2O), each
+    needing one O and two H; atoms are reordered to the engine's
+    (O, H1, H2) molecule template.  Returns (force, positions, masses,
+    box, order) where ``positions[order] == pdb order`` maps results back
+    to file order, and ``box`` is the PDB's CRYST1 cell ([3] nm or
+    triclinic [3, 3]; None for a vacuum cluster).
+    """
+    from ..utils.trajectory import read_pdb
+
+    pdb = read_pdb(path)
+    water_res = {"HOH", "WAT", "SOL", "TIP3", "TIP", "H2O"}
+    groups = {}
+    for i, (rn, rs) in enumerate(zip(pdb.resnames, pdb.resseq)):
+        if rn.upper() not in water_res:
+            raise ValueError(
+                f"atom {i}: residue {rn!r} is not a recognized water "
+                f"residue ({sorted(water_res)}); this builder handles "
+                f"pure water boxes")
+        groups.setdefault((rn, rs), []).append(i)
+    perm = []
+    for key, idx in groups.items():
+        sym = [pdb.symbols[i].upper() for i in idx]
+        o_idx = [i for i, s in zip(idx, sym) if s.startswith("O")]
+        h_idx = [i for i, s in zip(idx, sym) if s.startswith("H")]
+        if len(o_idx) != 1 or len(h_idx) != 2:
+            raise ValueError(f"residue {key}: expected 1 O + 2 H, got "
+                             f"{sym}")
+        perm.extend([o_idx[0], h_idx[0], h_idx[1]])
+    perm = np.asarray(perm)
+    n_w = len(perm) // 3
+    force = CoulForce()
+    if pdb.box is not None:
+        force.setUsesPeriodicBoundaryConditions(True)
+        force.setCutoffDistance(cutoff)
+        force.setEwaldErrorTolerance(ewald_tol)
+    _build(force, n_w, flux)
+    positions = pdb.positions[perm]
+    masses = np.tile(np.array(WATER_MASSES), n_w)
+    return force, positions, masses, pdb.box, perm
+
+
 def water_box(n_side: int = 6, flux: str = "bond_angle", cutoff: float = 0.9,
               ewald_tol: float = 1e-4, density_spacing: float = 0.3107,
               seed: int = 0):

@@ -1,4 +1,4 @@
-"""Trajectory IO: XYZ frames (human-readable) and binary DCD.
+"""Trajectory IO: XYZ frames (human-readable), PDB, and binary DCD.
 
 The reference plugin inherits reporting from OpenMM (SURVEY §1 L0 — DCD /
 state-data reporters live in the host framework); a standalone engine has
@@ -101,6 +101,149 @@ def read_xyz(path: str):
         frames.append(rows)
         i += 2 + n
     return np.asarray(frames, np.float64) / 10.0, symbols, comments
+
+
+# ---------------------------------------------------------------------------
+# PDB — the OpenMM ecosystem's interchange format
+# ---------------------------------------------------------------------------
+#
+# The reference plugin's users hand OpenMM a PDB (simtk PDBFile) and build
+# the CoulForce from its topology; a standalone engine needs the same
+# on-ramp.  Reader/writer cover the subset MD tools produce: CRYST1
+# (orthorhombic or triclinic), ATOM/HETATM, MODEL/ENDMDL multi-frame.
+# Coordinates convert nm <-> Angstrom at the boundary.
+
+
+class PDBFile:
+    """Parsed PDB: ``frames`` [F, N, 3] nm, per-atom ``symbols`` /
+    ``names`` / ``resnames`` / ``resseq``, and ``box`` (None, [3] nm
+    edge vector when orthorhombic, or the reduced [3, 3] row-vector
+    lattice when triclinic)."""
+
+    def __init__(self, frames, symbols, names, resnames, resseq, box):
+        self.frames = frames
+        self.symbols = symbols
+        self.names = names
+        self.resnames = resnames
+        self.resseq = resseq
+        self.box = box
+
+    @property
+    def positions(self):
+        """First frame, [N, 3] nm."""
+        return self.frames[0]
+
+
+def _lattice_from_cryst1(a, b, c, alpha, beta, gamma):
+    """Reduced row-vector lattice (nm) from CRYST1 lengths (Angstrom) and
+    angles (degrees) — the standard crystallographic frame: a along x,
+    b in the xy plane."""
+    a, b, c = a / 10.0, b / 10.0, c / 10.0
+    al, be, ga = (np.radians(v) for v in (alpha, beta, gamma))
+    if max(abs(alpha - 90), abs(beta - 90), abs(gamma - 90)) < 1e-6:
+        return np.array([a, b, c])
+    cx = c * np.cos(be)
+    cy = c * (np.cos(al) - np.cos(be) * np.cos(ga)) / np.sin(ga)
+    cz = np.sqrt(max(c * c - cx * cx - cy * cy, 0.0))
+    return np.array([[a, 0.0, 0.0],
+                     [b * np.cos(ga), b * np.sin(ga), 0.0],
+                     [cx, cy, cz]])
+
+
+def write_pdb(path: str, frames, box=None,
+              symbols: Optional[Sequence[str]] = None,
+              masses: Optional[Sequence[float]] = None,
+              names: Optional[Sequence[str]] = None,
+              resnames: Optional[Sequence[str]] = None,
+              resseq: Optional[Sequence[int]] = None) -> int:
+    """Write [N, 3] nm coordinates (or an [F, N, 3] stack as
+    MODEL/ENDMDL frames) as PDB.  ``box`` ([3] or [3, 3] nm) emits a
+    CRYST1 record.  Atom ``names``/``resnames``/``resseq`` default to the
+    element symbol / 'MOL' / residue 1; serials past the fixed-width
+    columns wrap (readers key on order, not serial).  Returns the number
+    of frames written."""
+    frames = np.asarray(frames, dtype=np.float64)
+    if frames.ndim == 2:
+        frames = frames[None]
+    if frames.ndim != 3 or frames.shape[-1] != 3:
+        raise ValueError(f"expected [N,3] or [F,N,3] frames, got "
+                         f"{frames.shape}")
+    n = frames.shape[1]
+    if symbols is None:
+        symbols = (symbols_from_masses(masses) if masses is not None
+                   else ["X"] * n)
+    names = list(names) if names is not None else list(symbols)
+    resnames = list(resnames) if resnames is not None else ["MOL"] * n
+    resseq = list(resseq) if resseq is not None else [1] * n
+    for label, seq in (("symbols", symbols), ("names", names),
+                       ("resnames", resnames), ("resseq", resseq)):
+        if len(seq) != n:
+            raise ValueError(f"{len(seq)} {label} for {n} atoms")
+    multi = frames.shape[0] > 1
+    with open(path, "w") as fh:
+        if box is not None:
+            rec = _cell_record(box)      # [A, gamma, B, beta, alpha, C]
+            fh.write(f"CRYST1{rec[0]:9.3f}{rec[2]:9.3f}{rec[5]:9.3f}"
+                     f"{rec[4]:7.2f}{rec[3]:7.2f}{rec[1]:7.2f} P 1\n")
+        for f, frame in enumerate(frames):
+            if multi:
+                fh.write(f"MODEL {f + 1:8d}\n")
+            ang = frame * 10.0
+            for i in range(n):
+                nm = names[i][:4]
+                nm = f" {nm:<3s}" if len(nm) < 4 else nm
+                fh.write(
+                    f"ATOM  {(i % 99999) + 1:5d} {nm} {resnames[i][:3]:<3s} "
+                    f"A{(resseq[i] - 1) % 9999 + 1:4d}    "
+                    f"{ang[i, 0]:8.3f}{ang[i, 1]:8.3f}{ang[i, 2]:8.3f}"
+                    f"  1.00  0.00          {symbols[i][:2]:>2s}\n")
+            fh.write("ENDMDL\n" if multi else "END\n")
+    return frames.shape[0]
+
+
+def read_pdb(path: str) -> PDBFile:
+    """Parse a PDB file (ATOM/HETATM, CRYST1, MODEL/ENDMDL).  Atom
+    metadata comes from the first frame; all frames must have the same
+    atom count."""
+    frames, cur = [], []
+    names, resnames, resseq, symbols = [], [], [], []
+    box = None
+    first = True
+    with open(path) as fh:
+        for line in fh:
+            tag = line[:6]
+            if tag == "CRYST1":
+                a, b, c = (float(line[6:15]), float(line[15:24]),
+                           float(line[24:33]))
+                al, be, ga = (float(line[33:40]), float(line[40:47]),
+                              float(line[47:54]))
+                box = _lattice_from_cryst1(a, b, c, al, be, ga)
+            elif tag in ("ATOM  ", "HETATM"):
+                cur.append([float(line[30:38]), float(line[38:46]),
+                            float(line[46:54])])
+                if first:
+                    names.append(line[12:16].strip())
+                    resnames.append(line[17:20].strip())
+                    try:
+                        resseq.append(int(line[22:26]))
+                    except ValueError:
+                        resseq.append(len(resseq) + 1)
+                    el = line[76:78].strip() if len(line) >= 78 else ""
+                    if not el:
+                        raw = line[12:16].strip()
+                        el = next((ch for ch in raw if ch.isalpha()), "X")
+                    symbols.append(el[:1].upper() + el[1:].lower())
+            elif tag.startswith(("ENDMDL", "MODEL")) and cur:
+                frames.append(cur)
+                cur, first = [], False
+    if cur:
+        frames.append(cur)
+    if not frames:
+        raise ValueError(f"no ATOM records in {path}")
+    if any(len(f) != len(frames[0]) for f in frames):
+        raise ValueError("inconsistent atom counts across MODEL frames")
+    return PDBFile(np.asarray(frames, np.float64) / 10.0, symbols, names,
+                   resnames, resseq, box)
 
 
 # ---------------------------------------------------------------------------

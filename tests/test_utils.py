@@ -357,3 +357,74 @@ def test_dcd_roundtrip_and_native_python_bit_equality(tmp_path, monkeypatch):
     np.testing.assert_array_equal(got, got2)
     if used_native:
         assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_pdb_round_trip_ortho_and_triclinic(tmp_path):
+    """write_pdb -> read_pdb round-trips coordinates (to the format's
+    1e-3 Angstrom column precision), CRYST1 boxes (orthorhombic -> [3],
+    sheared -> reduced [3, 3] lattice), and multi-frame MODEL records."""
+    from chargeflux_tpu.utils import read_pdb, write_pdb
+
+    rng = np.random.default_rng(3)
+    frames = rng.uniform(0.0, 1.8, (2, 6, 3))
+    names = ["O", "H1", "H2", "O", "H1", "H2"]
+    res = [1, 1, 1, 2, 2, 2]
+    path = str(tmp_path / "box.pdb")
+    n = write_pdb(path, frames, box=np.array([1.9, 2.1, 2.3]),
+                  masses=[15.999, 1.008, 1.008] * 2, names=names,
+                  resnames=["HOH"] * 6, resseq=res)
+    assert n == 2
+    pdb = read_pdb(path)
+    assert pdb.frames.shape == (2, 6, 3)
+    # format stores Angstroms at 1e-3 -> 1e-4 nm quantization
+    np.testing.assert_allclose(pdb.frames, frames, atol=1.5e-4)
+    assert pdb.symbols == ["O", "H", "H", "O", "H", "H"]
+    assert pdb.names == names and pdb.resseq == res
+    np.testing.assert_allclose(pdb.box, [1.9, 2.1, 2.3], atol=1e-4)
+
+    lat = np.array([[2.0, 0.0, 0.0], [0.5, 2.2, 0.0], [0.3, -0.2, 2.4]])
+    p2 = str(tmp_path / "tri.pdb")
+    write_pdb(p2, frames[0], box=lat, symbols=pdb.symbols)
+    back = read_pdb(p2)
+    assert back.frames.shape == (1, 6, 3)
+    # CRYST1 keeps lengths/angles only: the reduced lattice is recovered
+    # up to the crystallographic frame; compare the Gram matrix.
+    np.testing.assert_allclose(back.box @ back.box.T, lat @ lat.T,
+                               rtol=2e-3)
+
+
+def test_water_system_from_pdb_matches_builder(tmp_path):
+    """A water box written to PDB (with scrambled within-residue atom
+    order) rebuilds into a system with identical energy/forces to the
+    direct builder."""
+    from chargeflux_tpu.models import water_box, water_system_from_pdb
+    from chargeflux_tpu.utils import write_pdb
+
+    force, pos, masses, box = water_box(n_side=2)
+    n_w = len(masses) // 3
+    # scramble each residue to (H1, O, H2) order in the file
+    perm_file = np.arange(3 * n_w).reshape(-1, 3)[:, [1, 0, 2]].reshape(-1)
+    path = str(tmp_path / "w.pdb")
+    write_pdb(path, pos[perm_file], box=box,
+              masses=np.asarray(masses)[perm_file],
+              names=["H1", "O", "H2"] * n_w, resnames=["HOH"] * (3 * n_w),
+              resseq=np.repeat(np.arange(1, n_w + 1), 3))
+    force2, pos2, masses2, box2, order = water_system_from_pdb(path)
+    np.testing.assert_allclose(box2, box, atol=1e-4)
+    np.testing.assert_allclose(pos2, pos, atol=1.5e-4)
+    np.testing.assert_array_equal(masses2, masses)
+    # order maps engine order back to file order (exact: both sides are
+    # the file's quantized coordinates)
+    from chargeflux_tpu.utils import read_pdb
+    np.testing.assert_array_equal(np.asarray(pos2)[np.argsort(order)],
+                                  read_pdb(path).positions)
+
+    sys_a = force.create_system(box=box)
+    sys_b = force2.create_system(box=box2)
+    e_a = float(cf.energy(jnp.asarray(pos), sys_a))
+    e_b = float(cf.energy(jnp.asarray(pos2), sys_b))
+    # identical topology; only the 1e-4 nm PDB quantization separates them
+    assert abs(e_a - e_b) < 5e-2 * max(1.0, abs(e_a))
+
+    with pytest.raises(ValueError):
+        write_pdb(str(tmp_path / "bad.pdb"), pos, names=["O"])

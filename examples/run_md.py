@@ -4,7 +4,10 @@ Builds a periodic water box, runs velocity-Verlet NVE with the full
 charge-flux Ewald potential + harmonic bonded terms, checkpoints the final
 state, and reports energy conservation.
 
-    python examples/run_md.py [n_side] [n_steps] [--cpu]
+    python examples/run_md.py [n_side] [n_steps] [--cpu] [--pdb file.pdb]
+
+``--pdb`` starts from a water-box PDB file instead of the generated
+lattice (models.water_system_from_pdb; the OpenMM PDBFile workflow).
 """
 
 import os
@@ -36,8 +39,17 @@ def main():
     temperature = 150.0  # K
     dt = 5e-5            # ps
 
-    force, pos, masses, box = water_box(n_side=n_side, flux="bond_angle")
-    n_w = n_side ** 3
+    if "--pdb" in sys.argv:
+        from chargeflux_tpu.models import water_system_from_pdb
+        path = sys.argv[sys.argv.index("--pdb") + 1]
+        force, pos, masses, box, _ = water_system_from_pdb(path)
+        if box is None:
+            raise SystemExit("--pdb input needs a CRYST1 periodic cell")
+        n_w = len(masses) // 3
+    else:
+        force, pos, masses, box = water_box(n_side=n_side,
+                                            flux="bond_angle")
+        n_w = n_side ** 3
     system = force.create_system(box=box, dtype=jnp.float32)
     if system.spec.direct_method == "cell":
         # lattice starts alias against the cell grid; size the capacity

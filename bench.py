@@ -35,7 +35,7 @@ PLATFORM_SUFFIX = ""   # set to "_CPU_FALLBACK" when the tunnel is down
 TARGET_MS = 2.0
 
 
-def build(config: str, cutoff: float = None):
+def build_full(config: str, cutoff: float = None):
     from chargeflux_tpu.models import water_box
 
     # tri30k: the 30k box on a sheared (reduced triclinic) lattice — same
@@ -79,7 +79,12 @@ def build(config: str, cutoff: float = None):
                                          direct_method=method,
                                          cell_capacity=cap)
     return (jnp.asarray(pos, jnp.float32), system,
-            jnp.asarray(np.asarray(masses), jnp.float32))
+            jnp.asarray(np.asarray(masses), jnp.float32), force)
+
+
+def build(config: str, cutoff: float = None):
+    """3-tuple form (tools/ unpack this shape)."""
+    return build_full(config, cutoff)[:3]
 
 
 def _timed_scan(run, x0, k1, k2, reps=7, warm_s=10.0):
@@ -104,57 +109,90 @@ def _timed_scan(run, x0, k1, k2, reps=7, warm_s=10.0):
     return float(np.median(diffs)) / (k2 - k1) * 1e3
 
 
-def measure_md_step(x, system, masses):
-    """ms per NVE velocity-Verlet step with neighbor-state reuse."""
+def _with_capacity(force, system, cap):
+    return force.create_system(
+        box=np.asarray(jax.device_get(system.box)), dtype=jnp.float32,
+        direct_method="cell", cell_capacity=cap)
+
+
+def measure_md_step(x, system, masses, force=None):
+    """ms per NVE velocity-Verlet step with neighbor-state reuse.
+
+    Returns (ms_per_step, finite_check_energy, system) — ``system`` may
+    carry a larger cell capacity than the input when ``force`` is given:
+    capacity is re-provisioned from the *relaxed* state's measured
+    occupancy (the lattice-derived margin underestimates equilibrium
+    density fluctuations — the rc 0.9 30k config NaN-poisoned its burn-in
+    at cap 128 with relaxed peak occupancy rising past it, Aug 19).
+    """
     from chargeflux_tpu.integrate import (init_state_nb,
                                           make_nb_energy_fn,
                                           make_packed_nve_chunk)
     from chargeflux_tpu.models import water_bonded_params
+    from chargeflux_tpu.neighbors import suggest_rebuild_interval
 
     bonded = water_bonded_params(system.n_atoms // 3, box=np.asarray(
         jnp.asarray(system.box)), dtype=jnp.float32)
-    e_fn, init_nb = make_nb_energy_fn(system, bonded=bonded)
-    s0 = init_state_nb(x, jnp.zeros_like(x), e_fn, init_nb)
 
-    from chargeflux_tpu.neighbors import suggest_rebuild_interval
+    def bind(sys_):
+        e_fn, init_nb = make_nb_energy_fn(sys_, bonded=bonded)
 
-    def make_run(rebuild_every):
-        # packed [N, 9] x|v|f carry: three separate [N, 3] carries cost
-        # ~0.3 ms/step of per-carry layout overhead at 30k
-        # (tools/step_pieces.py)
-        pack, _unpack, outer = make_packed_nve_chunk(
-            e_fn, init_nb, masses, DT_PS, rebuild_every)
+        def make_run(rebuild_every):
+            # packed [N, 9] x|v|f carry: three separate [N, 3] carries
+            # cost ~0.3 ms/step of per-carry layout overhead at 30k
+            # (tools/step_pieces.py)
+            pack, _unpack, outer = make_packed_nve_chunk(
+                e_fn, init_nb, masses, DT_PS, rebuild_every)
 
-        @partial(jax.jit, static_argnums=(1,))
-        def run(p, k):
-            p_k, es = jax.lax.scan(outer, p, None, length=k)
-            # es[-1,-1] + sum(p_k): any NaN anywhere in the window (guard
-            # poison or physics) reaches the returned scalar
-            return es[-1, -1] + 0.0 * jnp.sum(p_k), p_k
-        return pack, run
+            @partial(jax.jit, static_argnums=(1,))
+            def run(p, k):
+                p_k, es = jax.lax.scan(outer, p, None, length=k)
+                # es[-1,-1] + sum(p_k): any NaN anywhere in the window
+                # (guard poison or physics) reaches the returned scalar
+                return es[-1, -1] + 0.0 * jnp.sum(p_k), p_k
+            return pack, run
+        return e_fn, init_nb, make_run
 
     if system.spec.direct_method != "cell":
+        e_fn, init_nb, make_run = bind(system)
+        s0 = init_state_nb(x, jnp.zeros_like(x), e_fn, init_nb)
         pack, run = make_run(10)
         p0 = pack(s0)
         ms_chunk = _timed_scan(lambda p, k: run(p, k)[0], p0, 1, 6, reps=7)
-        return ms_chunk / 10, float(run(p0, 6)[0])
+        return ms_chunk / 10, float(run(p0, 6)[0]), system
 
     # --- burn in the lattice-relaxation transient before timing ---
     # The jittered-lattice start relaxes violently from rest (measured
-    # max |v| 8.3 nm/ps within 13 steps at 30k, ~80 MJ/mol potential
+    # max |v| 13.5 nm/ps within ~10 steps at 30k, ~80 MJ/mol potential
     # drop); timing that transient with a thermal-bound rebuild interval
-    # trips the freshness guard.  Burn ~240 steps with a conservative
-    # 16 nm/ps bound, rescaling velocities to 300 K at every chunk
-    # boundary (host-side Berendsen-style quench — setup only), then pick
-    # the production interval from the *measured* post-burn max speed.
+    # trips the freshness guard, and its density fluctuations can beat a
+    # lattice-derived cell capacity.  Burn ~240 steps on a generously
+    # provisioned twin (capacity margin 1.35, 24 nm/ps rebuild bound),
+    # rescaling velocities to 300 K at every chunk boundary (host-side
+    # Berendsen-style quench — setup only); then provision the production
+    # system from the *measured* relaxed occupancy and pick its rebuild
+    # interval from the *measured* post-burn max speed.
+    from chargeflux_tpu.cells import suggest_capacity
+    from chargeflux_tpu.utils import max_cell_occupancy
+
     kB = 0.00831446261815324  # kJ/mol/K
     n_dof = 3.0 * system.n_atoms
     m_np = np.asarray(masses, np.float64)
 
-    re_burn = suggest_rebuild_interval(system, DT_PS, max_speed=16.0,
+    burn_sys = system
+    if force is not None:
+        cap_burn = suggest_capacity(
+            np.asarray(x), np.asarray(jax.device_get(system.box)),
+            system.spec.cell_grid, margin=1.35)
+        if cap_burn > system.spec.cell_capacity:
+            burn_sys = _with_capacity(force, system, cap_burn)
+    e_fn_b, init_nb_b, make_run_b = bind(burn_sys)
+    s0 = init_state_nb(x, jnp.zeros_like(x), e_fn_b, init_nb_b)
+    re_burn = suggest_rebuild_interval(burn_sys, DT_PS, max_speed=24.0,
                                        cap=40)
-    pack_b, run_b = make_run(re_burn)
+    pack_b, run_b = make_run_b(re_burn)
     p = pack_b(s0)
+    occ_hist = []
     for _ in range(max(1, int(np.ceil(240 / re_burn)))):
         e_last, p = run_b(p, 1)
         assert np.isfinite(float(e_last)), "burn-in chunk NaN-poisoned"
@@ -163,25 +201,35 @@ def measure_md_step(x, system, masses):
         t_cur = float(np.sum(m_np[:, None] * v * v)) / (n_dof * kB)
         p[:, 3:6] = (v * math.sqrt(300.0 / max(t_cur, 1.0))).astype(
             p.dtype)
+        occ_hist.append(max_cell_occupancy(p[:, :3], system))
         p = jnp.asarray(p)
 
-    vmax = float(np.max(np.linalg.norm(np.asarray(p)[:, 3:6], axis=-1)))
+    # production capacity: 1.05 over the relaxed-half peak occupancy
+    # (rounded to 8), never below the lattice-derived value; the in-jit
+    # NaN guard stays as the backstop for the remaining tail risk
+    occ_eq = max(occ_hist[len(occ_hist) // 2:])
+    cap_eq = -(-int(math.ceil(occ_eq * 1.05)) // 8) * 8
+    if force is not None and cap_eq > system.spec.cell_capacity:
+        system = _with_capacity(force, system, cap_eq)
+
+    xr, vr = p[:, :3], p[:, 3:6]
+    e_fn, init_nb, make_run = bind(system)
+    s1 = init_state_nb(jnp.asarray(xr), jnp.asarray(vr), e_fn, init_nb)
+    vmax = float(np.max(np.linalg.norm(np.asarray(vr), axis=-1)))
     # 1.2x margin over the observed max speed: displacement over a window
     # runs well below the ballistic bound (the fastest atom oscillates —
     # measured ~0.5x), and the full-window NaN check below is the backstop
     rebuild_every = suggest_rebuild_interval(
         system, DT_PS, max_speed=max(8.0, 1.2 * vmax), cap=40)
-    if rebuild_every == re_burn:
-        run = run_b
-    else:
-        _, run = make_run(rebuild_every)
+    pack, run = make_run(rebuild_every)
+    p = pack(s1)
 
     k1 = max(1, 10 // rebuild_every)
     ms_chunk = _timed_scan(lambda pp, k: run(pp, k)[0], p, k1, 6 * k1,
                            reps=7)
     # the NaN check covers the FULL longest timed window (a poison in a
     # later chunk must fail the bench, not just one in chunk 1)
-    return ms_chunk / rebuild_every, float(run(p, 6 * k1)[0])
+    return ms_chunk / rebuild_every, float(run(p, 6 * k1)[0]), system
 
 
 def measure_phases(x, system):
@@ -273,24 +321,42 @@ def bench_respa(n_inner: int = 4):
     from chargeflux_tpu.models import water_bonded_params
     from chargeflux_tpu.neighbors import suggest_rebuild_interval
 
-    x, system, masses = build("30k")
+    x, system, masses, force = build_full("30k")
     dt_out = DT_PS * n_inner
     bonded = water_bonded_params(system.n_atoms // 3, box=np.asarray(
         jnp.asarray(system.box)), dtype=jnp.float32)
 
-    # on-device burn-in at the plain 0.5 fs step
+    # on-device burn-in at the plain 0.5 fs step, on a generously
+    # provisioned twin (the lattice-derived capacity margin is too thin
+    # for the relaxed liquid's density fluctuations — overflow-NaN'd at
+    # 300 K, Aug 19); production capacity comes from the relaxed state
+    from chargeflux_tpu.cells import suggest_capacity
     from chargeflux_tpu.integrate import langevin_trajectory_nb
-    e_fn, init_nb = make_nb_energy_fn(system, bonded=bonded)
+    from chargeflux_tpu.utils import max_cell_occupancy
+
+    cap_burn = suggest_capacity(
+        np.asarray(x), np.asarray(jax.device_get(system.box)),
+        system.spec.cell_grid, margin=1.35)
+    burn_sys = (_with_capacity(force, system, cap_burn)
+                if cap_burn > system.spec.cell_capacity else system)
+    e_fn, init_nb = make_nb_energy_fn(burn_sys, bonded=bonded)
     v0 = maxwell_velocities(masses, 300.0, jax.random.PRNGKey(0),
                             dtype=jnp.float32)
     s0 = init_state_nb(x, v0, e_fn, init_nb)
-    re_b = suggest_rebuild_interval(system, DT_PS, cap=10)
+    re_b = suggest_rebuild_interval(burn_sys, DT_PS, cap=10)
     n_burn = -(-400 // re_b) * re_b   # round up to a rebuild multiple
     s_eq, kes0 = langevin_trajectory_nb(
         s0, e_fn, init_nb, masses, dt=DT_PS, temperature=300.0,
         friction=20.0, key=jax.random.PRNGKey(1), n_steps=n_burn,
         rebuild_every=re_b)
     assert np.all(np.isfinite(np.asarray(kes0))), "burn-in NaN"
+
+    # 1.10 margin over a single relaxed occupancy sample (vs 1.05 over a
+    # 30-sample max in measure_md_step); the in-jit NaN guard backstops
+    occ_eq = max_cell_occupancy(s_eq.positions, system)
+    cap_eq = -(-int(math.ceil(occ_eq * 1.10)) // 8) * 8
+    if cap_eq > system.spec.cell_capacity:
+        system = _with_capacity(force, system, cap_eq)
 
     slow_fn, fast_fn, init_nb2 = make_respa_force_fns(system, bonded)
     rebuild_every = suggest_rebuild_interval(system, dt_out, cap=40)
@@ -321,6 +387,7 @@ def bench_respa(n_inner: int = 4):
         "dt_outer_fs": dt_out * 1e3,
         "n_inner": n_inner,
         "rebuild_every": rebuild_every,
+        "cell_capacity": system.spec.cell_capacity,
     }))
     assert np.isfinite(ke_check), "RESPA benchmark trajectory produced NaN"
 
@@ -343,6 +410,7 @@ def bench_rigid():
     system = force.create_system(box=box, dtype=jnp.float32,
                                  direct_method="cell")
     from chargeflux_tpu.cells import suggest_capacity
+    from chargeflux_tpu.utils import max_cell_occupancy
     cap = suggest_capacity(pos, box, system.spec.cell_grid, margin=1.1)
     if cap != system.spec.cell_capacity:
         system = force.create_system(box=box, dtype=jnp.float32,
@@ -350,23 +418,36 @@ def bench_rigid():
                                      cell_capacity=cap)
     x = jnp.asarray(pos, jnp.float32)
     m = jnp.asarray(np.asarray(masses), jnp.float32)
-    e_fn, init_nb = make_nb_energy_fn(system)
+    # burn on a generously provisioned twin; production capacity from the
+    # relaxed state (lattice margins underestimate liquid fluctuations)
+    cap_burn = suggest_capacity(pos, box, system.spec.cell_grid,
+                                margin=1.35)
+    burn_sys = (_with_capacity(force, system, cap_burn)
+                if cap_burn > system.spec.cell_capacity else system)
+    e_fn_b, init_nb_b = make_nb_energy_fn(burn_sys)
     # the lattice-start transient spikes H velocities to ~10 nm/ps
     # (measured): rebuild on a 12 nm/ps budget while hot, 8 in production
     # (the freshness guard NaN-poisons if either bound is ever beaten)
-    rebuild_hot = suggest_rebuild_interval(system, dt, max_speed=12.0,
+    rebuild_hot = suggest_rebuild_interval(burn_sys, dt, max_speed=12.0,
                                            cap=10)
-    rebuild_every = suggest_rebuild_interval(system, dt, max_speed=8.0,
-                                             cap=40)
     v0 = maxwell_velocities(m, 300.0, jax.random.PRNGKey(0),
                             dtype=jnp.float32)
-    s0 = init_state_nb(x, v0, e_fn, init_nb)
+    s0 = init_state_nb(x, v0, e_fn_b, init_nb_b)
     # on-device burn-in: relax the lattice transient before timing
     s_eq, kes0 = rattle_langevin_trajectory_nb(
-        s0, e_fn, init_nb, m, dt=dt, temperature=300.0, friction=20.0,
+        s0, e_fn_b, init_nb_b, m, dt=dt, temperature=300.0, friction=20.0,
         key=jax.random.PRNGKey(1), n_steps=200 * rebuild_hot,
         rebuild_every=rebuild_hot, params=params)
     assert np.all(np.isfinite(np.asarray(kes0))), "rigid burn-in NaN"
+
+    occ_eq = max_cell_occupancy(s_eq.positions, system)
+    cap_eq = -(-int(math.ceil(occ_eq * 1.10)) // 8) * 8
+    if cap_eq > system.spec.cell_capacity:
+        system = _with_capacity(force, system, cap_eq)
+    e_fn, init_nb = make_nb_energy_fn(system)
+    rebuild_every = suggest_rebuild_interval(system, dt, max_speed=8.0,
+                                             cap=40)
+    s_eq = init_state_nb(s_eq.positions, s_eq.velocities, e_fn, init_nb)
 
     def chunk(k):
         s, kes = rattle_langevin_trajectory_nb(
@@ -395,6 +476,7 @@ def bench_rigid():
         "dt_fs": dt * 1e3,
         "rebuild_every": rebuild_every,
         "atoms": system.n_atoms,
+        "cell_capacity": system.spec.cell_capacity,
     }))
     assert np.isfinite(ke_check), "rigid benchmark trajectory produced NaN"
 
@@ -493,10 +575,10 @@ def main():
     if config == "rigid":
         bench_rigid()
         return
-    x, system, masses = build(config)
+    x, system, masses, force = build_full(config)
 
     t0 = time.perf_counter()
-    ms, e_check = measure_md_step(x, system, masses)
+    ms, e_check, system = measure_md_step(x, system, masses, force=force)
     compile_s = time.perf_counter() - t0
 
     ns_day = DT_PS * 1e-3 * 86400.0 * 1000.0 / ms
@@ -523,10 +605,11 @@ def main():
         # rounds 1-2 model config (rc 0.9), for round-over-round comparison.
         # Side measurement only: never let it sink the headline metric.
         try:
-            x9, sys9, m9 = build(config, cutoff=0.9)
-            ms9, e9 = measure_md_step(x9, sys9, m9)
+            x9, sys9, m9, f9 = build_full(config, cutoff=0.9)
+            ms9, e9, sys9 = measure_md_step(x9, sys9, m9, force=f9)
             assert np.isfinite(e9)
             result["ms_per_md_step_rc09"] = round(ms9, 4)
+            result["rc09_cell_capacity"] = sys9.spec.cell_capacity
         except Exception as exc:  # pragma: no cover - TPU-only side leg
             result["rc09_error"] = f"{type(exc).__name__}: {exc}"[:120]
     print(json.dumps(result))

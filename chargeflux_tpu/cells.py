@@ -742,37 +742,15 @@ def _concat_tile(comp, qc, hc, sc, ids, xj, qj, hj, sj, idsj, system,
     alpha = spec.alpha
     cutoff2 = spec.cutoff * spec.cutoff
 
-    # MXU-offload variants (f32 only; the f64 parity path stays on the
-    # exact elementwise formulation):
-    #   concat_hyb — gradient contractions as w@xj / w^T@xi matmuls
-    #   concat_mxu — additionally r^2 via |xi'|^2+|xj'|^2-2 xi'.xj' cross
-    #                dot, coords re-centered per i-cell so the f32
-    #                difference-of-squares stays in budget
-    # (tools/walk_mxu_ab.py is the measuring harness for these.)
-    layout = spec.walk_layout
-    mode = (layout if layout in ("concat_mxu", "concat_hyb") else "concat")
-    if dtype == jnp.float64:
-        mode = "concat"
-    if mode != "concat":
-        # chunk-safe per-i-cell centers: masked mean of the cell's own
-        # atoms (self-contained — no absolute grid indices needed)
-        vf = valid.astype(dtype)
-        cnt = jnp.maximum(jnp.sum(vf, axis=-1, keepdims=True), 1.0)
-        ctr = [jnp.sum(c * vf, axis=-1, keepdims=True) / cnt for c in comp]
-        xi3 = jnp.stack([c - t for c, t in zip(comp, ctr)], axis=-1)
-        xj3 = jnp.stack([c - t for c, t in zip(xj, ctr)], axis=-1)
-    if mode == "concat_mxu":
-        ni = jnp.sum(xi3 * xi3, axis=-1)
-        nj = jnp.sum(xj3 * xj3, axis=-1)
-        cross = jnp.einsum("...ik,...jk->...ij", xi3, xj3,
-                           precision=jax.lax.Precision.HIGHEST)
-        r2 = ni[..., :, None] + nj[..., None, :] - 2.0 * cross
-        dx = dy = dz = None
-    else:
-        dx = comp[0][..., :, None] - xj[0][..., None, :]
-        dy = comp[1][..., :, None] - xj[1][..., None, :]
-        dz = comp[2][..., :, None] - xj[2][..., None, :]
-        r2 = dx * dx + dy * dy + dz * dz
+    # The walk is pure VPU elementwise math by measurement: MXU-offload
+    # variants (gradient contractions as w@xj matmuls; r^2 via a
+    # re-centered cross dot) measured 2.81 / 3.85 ms fused-tile vs 1.48
+    # for this form at the 30k shapes and were deleted (BASELINE.md,
+    # round-3 A/B; git history holds the implementations).
+    dx = comp[0][..., :, None] - xj[0][..., None, :]
+    dy = comp[1][..., :, None] - xj[1][..., None, :]
+    dz = comp[2][..., :, None] - xj[2][..., None, :]
+    r2 = dx * dx + dy * dy + dz * dz
     # Self slab (first cap columns): ordered pairs i<j by global atom id;
     # the 13 rolled slabs take every in-range pair.  Computed inline so the
     # bool tensor stays inside the fused elementwise chain.
@@ -811,22 +789,8 @@ def _concat_tile(comp, qc, hc, sc, ids, xj, qj, hj, sj, idsj, system,
         return e
     dlj_over_r = -epr * sig6 * (12.0 * sig6 - 6.0) * (inv_r * inv_r)
     dEdr_over_r = jnp.where(mask, dcoul_over_r + dlj_over_r, 0.0)
-    if mode != "concat":
-        # gi = sum_j w (xi - xj) = xi rowsum(w) - w @ xj (any common
-        # shift cancels); gj symmetric with the transposed dot
-        w = dEdr_over_r
-        rows = jnp.sum(w, axis=-1)
-        cols = jnp.sum(w, axis=-2)
-        hp = jax.lax.Precision.HIGHEST
-        gi3 = xi3 * rows[..., None] - jnp.einsum("...ij,...jk->...ik",
-                                                 w, xj3, precision=hp)
-        gj3 = xj3 * cols[..., None] - jnp.einsum("...ij,...ik->...jk",
-                                                 w, xi3, precision=hp)
-        gi = [gi3[..., k] for k in range(3)]
-        gj = [gj3[..., k] for k in range(3)]
-    else:
-        gi = [jnp.sum(dEdr_over_r * d, axis=-1) for d in (dx, dy, dz)]
-        gj = [-jnp.sum(dEdr_over_r * d, axis=-2) for d in (dx, dy, dz)]
+    gi = [jnp.sum(dEdr_over_r * d, axis=-1) for d in (dx, dy, dz)]
+    gj = [-jnp.sum(dEdr_over_r * d, axis=-2) for d in (dx, dy, dz)]
     ec = jnp.where(mask, kern, 0.0) * ONE_4PI_EPS0
     dqi = jnp.sum(ec * qj[..., None, :], axis=-1)
     dqj = jnp.sum(ec * qc[..., :, None], axis=-2)

@@ -183,16 +183,24 @@ def water_system_from_pdb(path: str, flux: str = "bond_angle",
 
     pdb = read_pdb(path)
     water_res = {"HOH", "WAT", "SOL", "TIP3", "TIP", "H2O"}
-    groups = {}
+    # Group by CONTIGUOUS (resname, resseq) runs, not a global dict key:
+    # PDB resseq wraps at 9999 (and chain ids are discarded by the
+    # reader), so any box >9999 waters would collide keys under a dict
+    # (the 30k bench box is 10648 waters).
+    groups = []
+    prev = None
     for i, (rn, rs) in enumerate(zip(pdb.resnames, pdb.resseq)):
         if rn.upper() not in water_res:
             raise ValueError(
                 f"atom {i}: residue {rn!r} is not a recognized water "
                 f"residue ({sorted(water_res)}); this builder handles "
                 f"pure water boxes")
-        groups.setdefault((rn, rs), []).append(i)
+        if (rn, rs) != prev:
+            groups.append(((rn, rs), []))
+            prev = (rn, rs)
+        groups[-1][1].append(i)
     perm = []
-    for key, idx in groups.items():
+    for key, idx in groups:
         sym = [pdb.symbols[i].upper() for i in idx]
         o_idx = [i for i, s in zip(idx, sym) if s.startswith("O")]
         h_idx = [i for i, s in zip(idx, sym) if s.startswith("H")]

@@ -535,13 +535,12 @@ class CoulForce:
             raise ValueError(
                 f"unknown recip_method {recip_method!r}: expected 'auto', "
                 f"'xla', 'pallas' or 'pme'")
-        if walk_layout not in ("auto", "shift", "concat", "concat_mxu",
-                               "concat_hyb"):
+        if walk_layout not in ("auto", "shift", "concat"):
             raise ValueError(
                 f"unknown walk_layout {walk_layout!r}: expected 'auto', "
-                f"'shift', 'concat', 'concat_mxu' or 'concat_hyb' "
-                f"('ifull' — a full-shell i-centered tile — was measured "
-                f"45% slower and removed, BASELINE.md)")
+                f"'shift' or 'concat' ('ifull', 'concat_mxu' and "
+                f"'concat_hyb' were measured slower and removed, "
+                f"BASELINE.md)")
         if walk_layout == "auto":
             walk_layout = "concat"
         if self._use_dispersion and not self._pbc:

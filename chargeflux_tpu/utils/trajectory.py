@@ -134,6 +134,32 @@ class PDBFile:
         return self.frames[0]
 
 
+# Two-letter elements a force field plausibly names in the atom-name
+# field (ions, metals); used only by the element fallback when PDB
+# columns 77-78 are empty.
+_TWO_LETTER_ELEMENTS = frozenset((
+    "Na", "Cl", "Mg", "Ca", "Zn", "Fe", "Br", "Mn", "Cu", "Se", "Li",
+    "Al", "Si", "Ni", "Co", "Cd", "Hg", "Pb", "Ba", "Sr", "Cs", "Rb"))
+
+
+def _element_from_name(name4: str) -> str:
+    """Element from the 4-char PDB atom-name field when cols 77-78 are
+    empty.  PDB right-justifies one-letter elements at column 14 (so
+    ``name4[0]`` is blank or a digit); a name starting at column 13 is a
+    two-letter element candidate — accepted only when the capitalized
+    pair is a known element, so 'HW1'/'HB2' stay H, 'CL'/'NA' become
+    Cl/Na (ADVICE round 2: first-char-only misread Cl/Na/Mg as C/N/M)."""
+    stripped = name4.strip().lstrip("0123456789")
+    if not stripped or not stripped[0].isalpha():
+        return "X"
+    if name4[0] not in " 0123456789" and len(stripped) >= 2 \
+            and stripped[1].isalpha():
+        two = stripped[0].upper() + stripped[1].lower()
+        if two in _TWO_LETTER_ELEMENTS:
+            return two
+    return stripped[0]
+
+
 def _lattice_from_cryst1(a, b, c, alpha, beta, gamma):
     """Reduced row-vector lattice (nm) from CRYST1 lengths (Angstrom) and
     angles (degrees) — the standard crystallographic frame: a along x,
@@ -230,8 +256,7 @@ def read_pdb(path: str) -> PDBFile:
                         resseq.append(len(resseq) + 1)
                     el = line[76:78].strip() if len(line) >= 78 else ""
                     if not el:
-                        raw = line[12:16].strip()
-                        el = next((ch for ch in raw if ch.isalpha()), "X")
+                        el = _element_from_name(line[12:16])
                     symbols.append(el[:1].upper() + el[1:].lower())
             elif tag.startswith(("ENDMDL", "MODEL")) and cur:
                 frames.append(cur)

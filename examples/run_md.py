@@ -24,6 +24,16 @@ if "--cpu" in sys.argv:
     sys.argv.remove("--cpu")
     jax.config.update("jax_platforms", "cpu")
 
+# Strip the "--pdb <path>" pair before positional parsing (int(sys.argv[1])
+# would otherwise choke on the flag itself — ADVICE round 2).
+PDB_PATH = None
+if "--pdb" in sys.argv:
+    i = sys.argv.index("--pdb")
+    if i + 1 >= len(sys.argv):
+        raise SystemExit("--pdb needs a file path operand")
+    PDB_PATH = sys.argv[i + 1]
+    del sys.argv[i:i + 2]
+
 import jax.numpy as jnp
 
 import chargeflux_tpu as cf
@@ -39,10 +49,9 @@ def main():
     temperature = 150.0  # K
     dt = 5e-5            # ps
 
-    if "--pdb" in sys.argv:
+    if PDB_PATH is not None:
         from chargeflux_tpu.models import water_system_from_pdb
-        path = sys.argv[sys.argv.index("--pdb") + 1]
-        force, pos, masses, box, _ = water_system_from_pdb(path)
+        force, pos, masses, box, _ = water_system_from_pdb(PDB_PATH)
         if box is None:
             raise SystemExit("--pdb input needs a CRYST1 periodic cell")
         n_w = len(masses) // 3

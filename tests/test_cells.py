@@ -210,58 +210,13 @@ def test_walk_layouts_agree():
             <= 1e-10 * abs(float(e0))
 
 
-def test_walk_layout_mxu_variants_within_f32_budget():
-    """concat_hyb (MXU gradient contractions) and concat_mxu (+ cross-dot
-    r^2 on re-centered coords) hold the engine's f32 budgets vs the f64
-    truth (force RMSE <= 1e-4 — the repo invariant; measured 9.7e-6 and
-    7.1e-5); in f64 they fall back to the exact path bitwise.  f32
-    layouts legitimately differ from each other at the ~1e-3-energy
-    level (the energy is a small residual of large sums), so each is
-    pinned against f64, not against the concat layout."""
-    force, pos, _, box = water_box(n_side=10, seed=3)
-    x32 = jnp.asarray(pos, jnp.float32)
-    x64 = jnp.asarray(pos)
-    sys64 = force.create_system(box=box, dtype=jnp.float64,
-                                direct_method="cell")
-    e64 = float(cf.energy(x64, sys64))
-    f64v = np.asarray(cf.forces(x64, sys64))
-    f_scale = float(np.sqrt(np.mean(f64v ** 2)))
-    for layout in ("concat", "concat_hyb", "concat_mxu"):
-        system = force.create_system(box=box, dtype=jnp.float32,
-                                     direct_method="cell",
-                                     walk_layout=layout)
-        e = float(cf.energy(x32, system))
-        f = np.asarray(cf.forces(x32, system))
-        assert abs(e - e64) <= 5e-3 * abs(e64), layout
-        rmse = float(np.sqrt(np.mean((f - f64v) ** 2))) / f_scale
-        assert rmse <= 1e-4, (layout, rmse)
-    es = []
-    for layout in ("concat", "concat_mxu"):
-        system = force.create_system(box=box, dtype=jnp.float64,
-                                     direct_method="cell",
-                                     walk_layout=layout)
-        es.append(float(cf.energy(x64, system)))
-    assert es[0] == es[1]
-
-
-@pytest.mark.parametrize("layout", ["concat_hyb", "concat_mxu"])
-def test_walk_layout_variants_trajectory_stable(layout):
-    """Short f32 NVE through the fused custom-VJP walk on the MXU-offload
-    layouts: finite, bounded drift (integration-level pin on top of the
-    single-point energy/force budgets)."""
-    from chargeflux_tpu.integrate import (init_state_nb, make_nb_energy_fn,
-                                          nve_trajectory_nb)
-    from chargeflux_tpu.models import water_bonded_params
-    force, pos, masses, box = water_box(n_side=10, seed=0)
-    system = force.create_system(box=box, dtype=jnp.float32,
-                                 direct_method="cell", walk_layout=layout)
-    bonded = water_bonded_params(1000, box=box, dtype=jnp.float32)
-    e_fn, init_nb = make_nb_energy_fn(system, bonded=bonded)
-    x = jnp.asarray(pos, jnp.float32)
-    s0 = init_state_nb(x, jnp.zeros_like(x), e_fn, init_nb)
-    _s1, es = nve_trajectory_nb(
-        s0, e_fn, init_nb, jnp.asarray(np.asarray(masses), jnp.float32),
-        5e-5, 50, rebuild_every=10)
-    es = np.asarray(es)
-    assert np.all(np.isfinite(es))
-    assert np.max(np.abs(es - es[0])) < 0.01 * np.abs(es[0])
+def test_walk_layout_rejects_removed_variants():
+    """The MXU-offload layouts (concat_hyb / concat_mxu) were measured
+    2-2.6x slower at the fused-tile level on TPU (r2b_walk_mxu: vpu 1.48
+    vs mxu 2.81 / hyb 3.85 ms) and removed per house style; the builder
+    names them in its error so users find the history."""
+    force, pos, _, box = water_box(n_side=4, seed=3)
+    for layout in ("concat_hyb", "concat_mxu", "ifull", "bogus"):
+        with pytest.raises(ValueError, match="walk_layout"):
+            force.create_system(box=box, dtype=jnp.float32,
+                                direct_method="cell", walk_layout=layout)

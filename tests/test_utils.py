@@ -428,3 +428,45 @@ def test_water_system_from_pdb_matches_builder(tmp_path):
 
     with pytest.raises(ValueError):
         write_pdb(str(tmp_path / "bad.pdb"), pos, names=["O"])
+
+
+def test_water_from_pdb_survives_resseq_wrap(tmp_path):
+    """PDB resseq wraps at 9999, so a >9999-water box repeats residue
+    numbers.  Grouping must follow CONTIGUOUS (resname, resseq) runs, not
+    a global dict key (which collides wrapped ids and dies with
+    'expected 1 O + 2 H' — ADVICE round 2)."""
+    from chargeflux_tpu.models import water_box, water_system_from_pdb
+    from chargeflux_tpu.utils import write_pdb
+
+    force, pos, masses, box = water_box(n_side=2)
+    n_w = len(masses) // 3
+    # simulate the wrap: residue ids restart mid-file
+    resseq = np.repeat([1, 2, 3, 1, 2, 3, 1, 2][:n_w], 3)
+    path = str(tmp_path / "wrap.pdb")
+    write_pdb(path, pos, box=box, masses=masses,
+              names=["O", "H1", "H2"] * n_w, resnames=["HOH"] * (3 * n_w),
+              resseq=resseq)
+    force2, pos2, masses2, box2, order = water_system_from_pdb(path)
+    np.testing.assert_allclose(pos2, pos, atol=1.5e-4)
+    np.testing.assert_array_equal(masses2, masses)
+
+
+def test_read_pdb_two_letter_element_fallback(tmp_path):
+    """When element columns 77-78 are empty, the atom-name fallback must
+    keep two-letter elements (Cl, Na) and not misread hydrogens named
+    HW1/1HH1 (ADVICE round 2)."""
+    from chargeflux_tpu.utils import read_pdb
+
+    lines = ["CRYST1   20.000   20.000   20.000  90.00  90.00  90.00 P 1"]
+    # (name4, resname) pairs; coordinates arbitrary
+    atoms = [("CL  ", "CL"), ("NA  ", "NA"), (" OW ", "HOH"),
+             ("HW1 ", "HOH"), ("1HH1", "ARG"), (" CA ", "ALA")]
+    for i, (nm, rn) in enumerate(atoms):
+        lines.append(
+            f"ATOM  {i + 1:>5} {nm} {rn:<3} A{i + 1:>4}    "
+            f"{1.0 + i:8.3f}{2.0:8.3f}{3.0:8.3f}  1.00  0.00")
+    path = str(tmp_path / "ions.pdb")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    pdb = read_pdb(path)
+    assert pdb.symbols == ["Cl", "Na", "O", "H", "H", "C"]

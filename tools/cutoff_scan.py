@@ -51,7 +51,7 @@ def main():
         rc, layout = float(rc_s), layout or "shift"
         x, system, masses = build(rc, layout)
         spec = system.spec
-        ms, e_check = measure_md_step(x, system, masses)
+        ms, e_check, _ = measure_md_step(x, system, masses)
         print(json.dumps({
             "cutoff": rc,
             "layout": layout,

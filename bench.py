@@ -6,7 +6,7 @@ chip; BASELINE.md target <= 2 ms/step), plus ns/day at the benchmark
 timestep and a per-phase breakdown.  vs_baseline = target_ms / measured_ms
 (>1 beats the target).
 
-Usage: python bench.py [216|4k|30k|tri30k|100k|replicas|respa|rigid]
+Usage: python bench.py [216|4k|30k|tri30k|hetero30k|100k|replicas|respa|rigid]
 (tri30k = the 30k box on a sheared reduced-triclinic lattice)
 
 Methodology for the tunneled TPU platform (CLAUDE.md): dispatch is async
@@ -29,6 +29,16 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: the 30k config spent 479-1071 s compiling
+# per round-2 bench process (Pallas remote-compile hop x fwd/bwd spread
+# kernels x side legs).  Cache compiled executables across processes so
+# only the first run after a code change pays it (VERDICT r2 item 4; the
+# CPU test suite has had this via tests/conftest.py since round 1).
+import os as _os
+jax.config.update("jax_compilation_cache_dir", _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 DT_PS = 5e-4   # 0.5 fs — flexible water needs a short step
 PLATFORM_SUFFIX = ""   # set to "_CPU_FALLBACK" when the tunnel is down
@@ -115,7 +125,7 @@ def _with_capacity(force, system, cap):
         direct_method="cell", cell_capacity=cap)
 
 
-def measure_md_step(x, system, masses, force=None):
+def measure_md_step(x, system, masses, force=None, bonded=None):
     """ms per NVE velocity-Verlet step with neighbor-state reuse.
 
     Returns (ms_per_step, finite_check_energy, system) — ``system`` may
@@ -124,6 +134,7 @@ def measure_md_step(x, system, masses, force=None):
     occupancy (the lattice-derived margin underestimates equilibrium
     density fluctuations — the rc 0.9 30k config NaN-poisoned its burn-in
     at cap 128 with relaxed peak occupancy rising past it, Aug 19).
+    ``bonded`` overrides the all-water bonded terms (heterogeneous legs).
     """
     from chargeflux_tpu.integrate import (init_state_nb,
                                           make_nb_energy_fn,
@@ -131,8 +142,9 @@ def measure_md_step(x, system, masses, force=None):
     from chargeflux_tpu.models import water_bonded_params
     from chargeflux_tpu.neighbors import suggest_rebuild_interval
 
-    bonded = water_bonded_params(system.n_atoms // 3, box=np.asarray(
-        jnp.asarray(system.box)), dtype=jnp.float32)
+    if bonded is None:
+        bonded = water_bonded_params(system.n_atoms // 3, box=np.asarray(
+            jnp.asarray(system.box)), dtype=jnp.float32)
 
     def bind(sys_):
         e_fn, init_nb = make_nb_energy_fn(sys_, bonded=bonded)
@@ -343,7 +355,11 @@ def bench_respa(n_inner: int = 4):
     v0 = maxwell_velocities(masses, 300.0, jax.random.PRNGKey(0),
                             dtype=jnp.float32)
     s0 = init_state_nb(x, v0, e_fn, init_nb)
-    re_b = suggest_rebuild_interval(burn_sys, DT_PS, cap=10)
+    # 24 nm/ps bound: the lattice-relaxation transient reaches ~13.5 nm/ps
+    # (measure_md_step's burn uses the same) — the default 8 nm/ps bound
+    # let atoms outrun skin/2 between rebuilds and the freshness guard
+    # NaN-poisoned this burn-in (r2b_respa logs, Aug 19)
+    re_b = suggest_rebuild_interval(burn_sys, DT_PS, max_speed=24.0, cap=10)
     n_burn = -(-400 // re_b) * re_b   # round up to a rebuild multiple
     s_eq, kes0 = langevin_trajectory_nb(
         s0, e_fn, init_nb, masses, dt=DT_PS, temperature=300.0,
@@ -560,12 +576,61 @@ def wait_for_backend(max_tries: int = 8, probe_timeout: int = 150,
     return False
 
 
+def bench_hetero():
+    """30k solvated-chain box — BASELINE config 4's "solvated" workload
+    made honest (VERDICT r2 item 2): a 300-bead bonded chain solute whose
+    flux bonds/exclusions/bonded terms ride the scatter-REMAINDER path +
+    ~10.5k templated flux waters.  Done-bar: within ~10-15% of the
+    pure-water 30k step (the solute's ~900 scattered elements cost
+    microseconds at the measured 7-15 ns/element)."""
+    from chargeflux_tpu.bonded import BondedParams
+    from chargeflux_tpu.models import solvated_chain_box
+
+    force, pos, masses, box, bonded_kw = solvated_chain_box(
+        n_side=22, n_solute_sites=100, cutoff=0.8)
+    system = force.create_system(box=box, dtype=jnp.float32,
+                                 direct_method="cell")
+    ts = system.spec.flux_template
+    assert ts is not None and dict(ts.remainder)["bonds"] == 299
+    from chargeflux_tpu.cells import suggest_capacity
+    cap = suggest_capacity(pos, box, system.spec.cell_grid, margin=1.05)
+    if cap != system.spec.cell_capacity:
+        system = force.create_system(box=box, dtype=jnp.float32,
+                                     direct_method="cell",
+                                     cell_capacity=cap)
+    bonded = BondedParams.create(box=box, pbc=True, dtype=jnp.float32,
+                                 **bonded_kw)
+    x = jnp.asarray(pos, jnp.float32)
+    m = jnp.asarray(np.asarray(masses), jnp.float32)
+    t0 = time.perf_counter()
+    ms, e_check, system = measure_md_step(x, system, m, force=force,
+                                          bonded=bonded)
+    compile_s = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "ms_per_md_step_hetero30k_ewald_f32" + PLATFORM_SUFFIX,
+        "value": round(ms, 4),
+        "unit": "ms",
+        "vs_baseline": round(TARGET_MS / ms, 4),
+        "ns_per_day": round(DT_PS * 1e-3 * 86400.0 * 1000.0 / ms, 2),
+        "dt_fs": DT_PS * 1e3,
+        "atoms": system.n_atoms,
+        "solute_atoms": 300,
+        "cell_capacity": system.spec.cell_capacity,
+    }))
+    print(f"# config=hetero30k compile={compile_s:.1f}s "
+          f"energy={e_check:.3f}", file=sys.stderr)
+    assert np.isfinite(e_check), "benchmark trajectory produced NaN"
+
+
 def main():
     config = sys.argv[1] if len(sys.argv) > 1 else "30k"
     on_device = wait_for_backend()
     if not on_device:
         global PLATFORM_SUFFIX
         PLATFORM_SUFFIX = "_CPU_FALLBACK"
+    if config == "hetero30k":
+        bench_hetero()
+        return
     if config == "replicas":
         bench_replicas()
         return
@@ -612,6 +677,17 @@ def main():
             result["rc09_cell_capacity"] = sys9.spec.cell_capacity
         except Exception as exc:  # pragma: no cover - TPU-only side leg
             result["rc09_error"] = f"{type(exc).__name__}: {exc}"[:120]
+        # reference-default model (cutoff 1.0 nm, CoulForce.cpp:12-16):
+        # the anchor leg VERDICT r2 item 3 asks for — same tolerance, same
+        # physics contract as the reference's own default configuration
+        try:
+            x10, sys10, m10, f10 = build_full(config, cutoff=1.0)
+            ms10, e10, sys10 = measure_md_step(x10, sys10, m10, force=f10)
+            assert np.isfinite(e10)
+            result["ms_per_md_step_rc10"] = round(ms10, 4)
+            result["rc10_cell_capacity"] = sys10.spec.cell_capacity
+        except Exception as exc:  # pragma: no cover - TPU-only side leg
+            result["rc10_error"] = f"{type(exc).__name__}: {exc}"[:120]
     print(json.dumps(result))
     print(f"# config={config} atoms={system.n_atoms} "
           f"device={jax.devices()[0].device_kind} compile={compile_s:.1f}s "

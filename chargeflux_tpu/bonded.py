@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from .pairs import displacement
-from .topology import MoleculeTemplate, detect_template
+from .topology import TemplateSet, detect_templates
 
 
 def harmonic_bond_energy(positions, idx, k, r0, box, pbc):
@@ -71,50 +71,59 @@ def periodic_torsion_energy(positions, idx, k, n, phi0, box, pbc):
 
 
 def _template_bonded_energy(positions, bonded) -> jax.Array:
-    """Gather-free bonded energy via the molecule template (static slices;
-    same formulas as the general path above)."""
-    tpl = bonded.template
+    """Gather-free bonded energy via the molecule templates (static slices;
+    same formulas as the general path above).  Returns (energy, covered
+    bond rows, covered angle rows); the caller runs the gather path on the
+    remainder tails."""
     box, pbc = bonded.box, bonded.pbc
-    off, s, c = tpl.offset, tpl.stride, tpl.count
-    pos_m = positions[off:off + c * s].reshape(c, s, 3)
-    p = [pos_m[:, l] for l in range(s)]
     e = jnp.zeros((), positions.dtype)
+    b_start = a_start = 0
+    for tpl in bonded.template.templates:
+        off, s, c = tpl.offset, tpl.stride, tpl.count
+        pos_m = positions[off:off + c * s].reshape(c, s, 3)
+        p = [pos_m[:, l] for l in range(s)]
 
-    rows = tpl.local_rows("bonds")
-    if rows:
-        m = len(rows)
-        k = bonded.bond_k.reshape(c, m)
-        r0 = bonded.bond_r0.reshape(c, m)
-        for t, (l1, l2) in enumerate(rows):
-            d = displacement(p[l1], p[l2], box, pbc)
-            r = jnp.sqrt(jnp.sum(d * d, axis=-1))
-            e = e + 0.5 * jnp.sum(k[:, t] * (r - r0[:, t]) ** 2)
+        rows = tpl.local_rows("bonds")
+        if rows:
+            m = len(rows)
+            k = bonded.bond_k[b_start:b_start + c * m].reshape(c, m)
+            r0 = bonded.bond_r0[b_start:b_start + c * m].reshape(c, m)
+            b_start += c * m
+            for t, (l1, l2) in enumerate(rows):
+                d = displacement(p[l1], p[l2], box, pbc)
+                r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+                e = e + 0.5 * jnp.sum(k[:, t] * (r - r0[:, t]) ** 2)
 
-    rows = tpl.local_rows("angles")
-    if rows:
-        m = len(rows)
-        k = bonded.angle_k.reshape(c, m)
-        t0 = bonded.angle_theta0.reshape(c, m)
-        for t, (l1, l2, l3) in enumerate(rows):
-            d21 = displacement(p[l2], p[l1], box, pbc)
-            d23 = displacement(p[l2], p[l3], box, pbc)
-            r21 = jnp.sqrt(jnp.sum(d21 * d21, axis=-1))
-            r23 = jnp.sqrt(jnp.sum(d23 * d23, axis=-1))
-            cost = jnp.sum(d21 * d23, axis=-1) / (r21 * r23)
-            theta = jnp.arccos(jnp.clip(cost, -1.0, 1.0))
-            e = e + 0.5 * jnp.sum(k[:, t] * (theta - t0[:, t]) ** 2)
-    return e
+        rows = tpl.local_rows("angles")
+        if rows:
+            m = len(rows)
+            k = bonded.angle_k[a_start:a_start + c * m].reshape(c, m)
+            t0 = bonded.angle_theta0[a_start:a_start + c * m].reshape(c, m)
+            a_start += c * m
+            for t, (l1, l2, l3) in enumerate(rows):
+                d21 = displacement(p[l2], p[l1], box, pbc)
+                d23 = displacement(p[l2], p[l3], box, pbc)
+                r21 = jnp.sqrt(jnp.sum(d21 * d21, axis=-1))
+                r23 = jnp.sqrt(jnp.sum(d23 * d23, axis=-1))
+                cost = jnp.sum(d21 * d23, axis=-1) / (r21 * r23)
+                theta = jnp.arccos(jnp.clip(cost, -1.0, 1.0))
+                e = e + 0.5 * jnp.sum(k[:, t] * (theta - t0[:, t]) ** 2)
+    return e, b_start, a_start
 
 
 def bonded_energy(positions: jax.Array, bonded: "BondedParams") -> jax.Array:
+    b0 = a0 = 0
+    e = jnp.zeros((), positions.dtype)
     if bonded.template is not None:
-        e = _template_bonded_energy(positions, bonded)
-    else:
-        e = harmonic_bond_energy(positions, bonded.bond_idx, bonded.bond_k,
-                                 bonded.bond_r0, bonded.box, bonded.pbc)
-        e = e + harmonic_angle_energy(positions, bonded.angle_idx,
-                                      bonded.angle_k, bonded.angle_theta0,
-                                      bonded.box, bonded.pbc)
+        e, b0, a0 = _template_bonded_energy(positions, bonded)
+    if bonded.bond_idx.shape[0] > b0:
+        e = e + harmonic_bond_energy(
+            positions, bonded.bond_idx[b0:], bonded.bond_k[b0:],
+            bonded.bond_r0[b0:], bonded.box, bonded.pbc)
+    if bonded.angle_idx.shape[0] > a0:
+        e = e + harmonic_angle_energy(
+            positions, bonded.angle_idx[a0:], bonded.angle_k[a0:],
+            bonded.angle_theta0[a0:], bonded.box, bonded.pbc)
     if bonded.torsion_idx is not None:
         # general (gather) path: torsion counts are small and water-family
         # systems have none — not worth a template fast path
@@ -143,7 +152,7 @@ class BondedParams:
     torsion_k: Optional[jax.Array] = None      # [T] kJ/mol
     torsion_n: Optional[jax.Array] = None      # [T] periodicity
     torsion_phi0: Optional[jax.Array] = None   # [T] rad
-    template: Optional[MoleculeTemplate] = dataclasses.field(
+    template: Optional[TemplateSet] = dataclasses.field(
         default=None, metadata=dict(static=True))
 
     @classmethod
@@ -157,8 +166,12 @@ class BondedParams:
         bond_idx = np.asarray(bond_idx, np.int64).reshape(-1, 2)
         angle_idx = np.asarray(angle_idx, np.int64).reshape(-1, 3)
         template = None
-        det = detect_template({"bonds": bond_idx, "angles": angle_idx},
-                              n_atoms=n_atoms)
+        if n_atoms is None:
+            tops = [int(v.max()) + 1 for v in (bond_idx, angle_idx)
+                    if v.size]
+            n_atoms = max(tops) if tops else 0
+        det = detect_templates({"bonds": bond_idx, "angles": angle_idx},
+                               n_atoms=n_atoms) if n_atoms else None
         bond_k = np.asarray(bond_k)
         bond_r0 = np.asarray(bond_r0)
         angle_k = np.asarray(angle_k)

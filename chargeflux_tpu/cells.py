@@ -148,6 +148,99 @@ def half_shell_tables(grid):
             np.stack(off, axis=1).astype(np.int8))
 
 
+def rank_into_slots(col, cz, owned, n, ncol, gz, capacity):
+    """Shared masked ranking core: place atom i (column index ``col[i]`` of
+    ``ncol`` (x, y)-columns, z-cell ``cz[i]`` of ``gz``) into fixed-capacity
+    cell slots.  ``owned`` masks atoms to bin (the halo path excludes atoms
+    owned by other devices); the single-chip path passes all-True.
+
+    Returns (slots [ncol*gz, capacity] int32 atom ids, sentinel n;
+    slot_of [N] int32 flat slot per atom, sentinel ncol*gz*capacity;
+    overflow — count of OWNED atoms dropped; the energy path NaN-poisons
+    when it is nonzero).
+    """
+    n_cells = ncol * gz
+    sentinel = n_cells * capacity
+    kz = 1 << max(int(gz - 1).bit_length(), 1)
+    # Gate ALL the two-stage intermediates, not just the stage-A one-hot:
+    # stage B allocates [ncol, gz*cap, gz] (elongated needle boxes blow
+    # this up while n*ncol stays small), and the packed (atom id, cz)
+    # staging needs n*kz to fit int32.
+    two_stage_ok = (n * ncol <= 256_000_000
+                    and n_cells * capacity * gz <= 256_000_000
+                    and n * kz < 2 ** 31)
+    if two_stage_ok:
+        # Two-stage hierarchical one-hot ranking (rank = count of same-cell
+        # atoms before you, computed without sorts or rank gathers):
+        #   A) rank atoms within their (cx, cy) COLUMN via a [N, ncol]
+        #      one-hot cumsum and stage them column-major (one scatter);
+        #   B) rank within z-cells on the staged layout via a
+        #      [ncol, gz*cap, gz] one-hot cumsum.
+        # Cuts the one-hot work from O(N * n_cells) to O(N * ncol +
+        # n_slots * gz): measured 0.93 vs 1.19 ms at 30k and 3.3 vs 8.4 ms
+        # at 100k vs the flat [N, n_cells] one-hot (and XLA's device sort
+        # is slower still: 3.6 / 13.2 ms).  Slot layout is identical.
+        scap = gz * capacity
+        onehot_a = ((col[:, None] == jnp.arange(ncol)[None, :])
+                    & owned[:, None]).astype(jnp.int32)
+        cum_a = jnp.cumsum(onehot_a, axis=0)
+        rank_a = jnp.sum(onehot_a * cum_a, axis=1) - 1    # no rank gather
+        ok_a = owned & (rank_a < scap) & (rank_a >= 0)
+        colslot = jnp.where(ok_a, col * scap + rank_a, ncol * scap)
+
+        # stage (atom id, cz) packed into one int32 — unpacking is
+        # elementwise, where a separate cz fetch would be a scalar gather
+        packed = jnp.arange(n, dtype=jnp.int32) * kz + cz
+        staged = jnp.full((ncol * scap,), n * kz, jnp.int32)
+        staged = staged.at[colslot].set(packed, mode="drop")
+        sid = staged // kz
+        scz = (staged % kz).reshape(ncol, scap)
+        valid = (sid < n).reshape(ncol, scap)
+
+        onehot_b = ((scz[:, :, None] == jnp.arange(gz)[None, None, :])
+                    & valid[:, :, None]).astype(jnp.int32)
+        cum_b = jnp.cumsum(onehot_b, axis=1)
+        rank_b = jnp.sum(onehot_b * cum_b, axis=2) - 1    # [ncol, scap]
+
+        cell_flat = (jnp.arange(ncol, dtype=jnp.int32)[:, None] * gz + scz)
+        ok_b = valid & (rank_b < capacity)
+        slot_of_flat = jnp.where(ok_b, cell_flat * capacity + rank_b,
+                                 sentinel).astype(jnp.int32)
+
+        slots = jnp.full((sentinel,), n, jnp.int32)
+        slots = slots.at[slot_of_flat.ravel()].set(sid.reshape(-1),
+                                                   mode="drop")
+        slot_of = jnp.full((n,), sentinel, jnp.int32)
+        slot_of = slot_of.at[sid.reshape(-1)].set(slot_of_flat.ravel(),
+                                                  mode="drop")
+        # counts OWNED atoms dropped at either stage; nonzero iff some
+        # cell genuinely exceeds capacity (a column can only overflow
+        # gz*cap when at least one of its cells overflows cap).  Under
+        # heavy overflow the *retained subset* may differ from pure
+        # per-cell ranking (stage A drops by column rank) — irrelevant
+        # because the energy path NaN-poisons whenever this is nonzero.
+        overflow = (jnp.sum(owned & ~ok_a)
+                    + jnp.sum(valid & (rank_b >= capacity))).astype(jnp.int32)
+    else:
+        # Huge systems: sort-based binning (O(N log N), O(N) memory).
+        cell_id = jnp.where(owned, col * gz + cz, n_cells)
+        order = jnp.argsort(cell_id)
+        sorted_cid = cell_id[order]
+        first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
+        rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+        in_range = sorted_cid < n_cells
+        ok = in_range & (rank < capacity)
+        atom_ids = order.astype(jnp.int32)
+        slot_of = jnp.where(ok, sorted_cid * capacity + rank,
+                            sentinel).astype(jnp.int32)
+        slots = jnp.full((sentinel,), n, dtype=jnp.int32)
+        slots = slots.at[slot_of].set(atom_ids, mode="drop")
+        overflow = jnp.sum(in_range & ~ok).astype(jnp.int32)
+        slot_of = jnp.full((n,), sentinel, jnp.int32).at[atom_ids].set(
+            slot_of, mode="drop")
+    return slots.reshape(n_cells, capacity), slot_of, overflow
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def build_cell_list_full(positions: jax.Array, box: jax.Array, grid,
                          capacity: int):
@@ -168,88 +261,9 @@ def build_cell_list_full(positions: jax.Array, box: jax.Array, grid,
     ci = jnp.clip((frac * gvec).astype(jnp.int32), 0,
                   jnp.asarray(np.asarray(grid) - 1, dtype=jnp.int32))
     gx, gy, gz = grid
-    cell_id = (ci[:, 0] * gy + ci[:, 1]) * gz + ci[:, 2]
-    n_cells = gx * gy * gz
-
-    ncol = gx * gy
-    sentinel = n_cells * capacity
-    kz = 1 << max(int(gz - 1).bit_length(), 1)
-    # Gate ALL the two-stage intermediates, not just the stage-A one-hot:
-    # stage B allocates [ncol, gz*cap, gz] (elongated needle boxes blow
-    # this up while n*ncol stays small), and the packed (atom id, cz)
-    # staging needs n*kz to fit int32.
-    two_stage_ok = (n * ncol <= 256_000_000
-                    and n_cells * capacity * gz <= 256_000_000
-                    and n * kz < 2 ** 31)
-    if two_stage_ok:
-        # Two-stage hierarchical one-hot ranking (rank = count of same-cell
-        # atoms before you, computed without sorts or rank gathers):
-        #   A) rank atoms within their (cx, cy) COLUMN via a [N, gx*gy]
-        #      one-hot cumsum and stage them column-major (one scatter);
-        #   B) rank within z-cells on the staged layout via a
-        #      [ncol, gz*cap, gz] one-hot cumsum.
-        # Cuts the one-hot work from O(N * n_cells) to O(N * gx*gy +
-        # n_slots * gz): measured 0.93 vs 1.19 ms at 30k and 3.3 vs 8.4 ms
-        # at 100k vs the flat [N, n_cells] one-hot (and XLA's device sort
-        # is slower still: 3.6 / 13.2 ms).  Slot layout is identical.
-        col = ci[:, 0] * gy + ci[:, 1]
-        cz = ci[:, 2]
-        scap = gz * capacity
-        onehot_a = (col[:, None] == jnp.arange(ncol)[None, :]).astype(
-            jnp.int32)
-        cum_a = jnp.cumsum(onehot_a, axis=0)
-        rank_a = jnp.sum(onehot_a * cum_a, axis=1) - 1    # no rank gather
-        ok_a = rank_a < scap
-        colslot = jnp.where(ok_a, col * scap + rank_a, ncol * scap)
-
-        # stage (atom id, cz) packed into one int32 — unpacking is
-        # elementwise, where a separate cz fetch would be a scalar gather
-        packed = jnp.arange(n, dtype=jnp.int32) * kz + cz
-        staged = jnp.full((ncol * scap,), n * kz, jnp.int32)
-        staged = staged.at[colslot].set(packed, mode="drop")
-        sid = staged // kz
-        scz = (staged % kz).reshape(ncol, scap)
-        valid = (sid < n).reshape(ncol, scap)
-
-        onehot_b = ((scz[:, :, None] == jnp.arange(gz)[None, None, :])
-                    & valid[:, :, None]).astype(jnp.int32)
-        cum_b = jnp.cumsum(onehot_b, axis=1)
-        rank_b = jnp.sum(onehot_b * cum_b, axis=2) - 1    # [ncol, scap]
-
-        cell_flat = (jnp.arange(ncol, dtype=jnp.int32)[:, None] * gz + scz)
-        ok_b = valid & (rank_b < capacity)
-        slot_of = jnp.where(ok_b, cell_flat * capacity + rank_b,
-                            sentinel).astype(jnp.int32)
-
-        slots = jnp.full((sentinel,), n, jnp.int32)
-        slots = slots.at[slot_of.ravel()].set(sid.reshape(-1), mode="drop")
-        inv_slot = jnp.full((n,), sentinel, jnp.int32)
-        inv_slot = inv_slot.at[sid.reshape(-1)].set(slot_of.ravel(),
-                                                    mode="drop")
-        # counts atoms dropped at either stage; nonzero iff some cell
-        # genuinely exceeds capacity (a column can only overflow gz*cap
-        # when at least one of its cells overflows cap).  Under heavy
-        # overflow the *retained subset* may differ from pure per-cell
-        # ranking (stage A drops by column rank) — irrelevant because the
-        # energy path NaN-poisons whenever this count is nonzero.
-        overflow = (jnp.sum(~ok_a)
-                    + jnp.sum(valid & (rank_b >= capacity))).astype(jnp.int32)
-    else:
-        # Huge systems: sort-based binning (O(N log N), O(N) memory).
-        order = jnp.argsort(cell_id)
-        sorted_cid = cell_id[order]
-        first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
-        rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
-        ok = rank < capacity
-        atom_ids = order.astype(jnp.int32)
-        slot_of = jnp.where(ok, sorted_cid * capacity + rank,
-                            sentinel).astype(jnp.int32)
-        slots = jnp.full((sentinel,), n, dtype=jnp.int32)
-        slots = slots.at[slot_of].set(atom_ids, mode="drop")
-        overflow = jnp.sum(~ok).astype(jnp.int32)
-        inv_slot = jnp.full((n,), sentinel, jnp.int32).at[atom_ids].set(
-            slot_of, mode="drop")
-    return slots.reshape(n_cells, capacity), inv_slot, overflow
+    col = ci[:, 0] * gy + ci[:, 1]
+    owned = jnp.ones((n,), bool)
+    return rank_into_slots(col, ci[:, 2], owned, n, gx * gy, gz, capacity)
 
 
 @partial(jax.jit, static_argnums=(2, 3))

@@ -71,17 +71,18 @@ def _water_geometry(positions, system: ChargeFluxSystem):
     return d12, d13, d23, r12, r13, r23
 
 
-def _template_effective_charges(positions: jax.Array,
-                                system: ChargeFluxSystem) -> jax.Array:
-    """Gather/scatter-free q(x) for systems with a detected molecule template.
+def _template_dq_flat(positions: jax.Array, system: ChargeFluxSystem,
+                      tpl, starts) -> jax.Array:
+    """Charge deltas for ONE template block, flattened to [count*stride].
 
     Atom data reshapes to [C, s, 3]; every term indexes molecule slots with
-    *static* slices, so neither the forward nor the autodiff backward emits a
-    gather/scatter (measured ~10x faster than the scatter path on TPU v5e at
-    30k atoms).  Same formulas as the general path below — cross-checked in
+    *static* slices, so neither the forward nor the autodiff backward emits
+    a gather/scatter (measured ~10x faster than the scatter path on TPU v5e
+    at 30k atoms).  ``starts`` holds the per-kind row cursor into the
+    molecule-major-permuted term arrays and is advanced in place.  Same
+    formulas as the general path below — cross-checked in
     tests/test_charges.py.
     """
-    tpl = system.spec.flux_template
     dtype = positions.dtype
     box, pbc = system.box, system.spec.pbc
     off, s, c = tpl.offset, tpl.stride, tpl.count
@@ -92,8 +93,10 @@ def _template_effective_charges(positions: jax.Array,
     bond_rows = tpl.local_rows("bonds")
     if bond_rows:
         m = len(bond_rows)
-        k = system.bond_k.reshape(c, m)
-        b = system.bond_b.reshape(c, m)
+        b0_ = starts["bonds"]
+        starts["bonds"] += c * m
+        k = system.bond_k[b0_:b0_ + c * m].reshape(c, m)
+        b = system.bond_b[b0_:b0_ + c * m].reshape(c, m)
         for t, (l1, l2) in enumerate(bond_rows):
             d = displacement(p[l1], p[l2], box, pbc)
             r = jnp.sqrt(jnp.sum(d * d, axis=-1))
@@ -104,8 +107,10 @@ def _template_effective_charges(positions: jax.Array,
     angle_rows = tpl.local_rows("angles")
     if angle_rows:
         m = len(angle_rows)
-        k = system.angle_k.reshape(c, m)
-        t0 = system.angle_theta0.reshape(c, m)
+        a0_ = starts["angles"]
+        starts["angles"] += c * m
+        k = system.angle_k[a0_:a0_ + c * m].reshape(c, m)
+        t0 = system.angle_theta0[a0_:a0_ + c * m].reshape(c, m)
         for t, (l1, l2, l3) in enumerate(angle_rows):
             d21 = displacement(p[l2], p[l1], box, pbc)
             d23 = displacement(p[l2], p[l3], box, pbc)
@@ -123,11 +128,14 @@ def _template_effective_charges(positions: jax.Array,
     water_rows = tpl.local_rows("waters")
     if water_rows:
         m = len(water_rows)
-        k1 = system.water_k1.reshape(c, m)
-        k2 = system.water_k2.reshape(c, m)
-        kub = system.water_kub.reshape(c, m)
-        b0 = system.water_b0.reshape(c, m)
-        ub0 = system.water_ub0.reshape(c, m)
+        w0_ = starts["waters"]
+        starts["waters"] += c * m
+        sl = slice(w0_, w0_ + c * m)
+        k1 = system.water_k1[sl].reshape(c, m)
+        k2 = system.water_k2[sl].reshape(c, m)
+        kub = system.water_kub[sl].reshape(c, m)
+        b0 = system.water_b0[sl].reshape(c, m)
+        ub0 = system.water_ub0[sl].reshape(c, m)
         for t, (lo, lh1, lh2) in enumerate(water_rows):
             d12 = displacement(p[lo], p[lh1], box, pbc)
             d13 = displacement(p[lo], p[lh2], box, pbc)
@@ -146,10 +154,71 @@ def _template_effective_charges(positions: jax.Array,
     zero = jnp.zeros((c,), dtype)
     dq_slots = jnp.stack(
         [sum(sl[1:], sl[0]) if sl else zero for sl in slot_dq], axis=1)
-    q = system.q0.astype(dtype)
-    return jnp.concatenate(
-        [q[:off], q[off:off + c * s] + dq_slots.reshape(-1),
-         q[off + c * s:]])
+    return dq_slots.reshape(-1)
+
+
+def _scatter_flux(q: jax.Array, positions: jax.Array,
+                  system: ChargeFluxSystem,
+                  b0: int = 0, a0: int = 0, w0: int = 0) -> jax.Array:
+    """General scatter-path charge update on term rows [b0:], [a0:], [w0:].
+
+    With a TemplateSet this runs only on the remainder tail (the solute);
+    without one it covers every row.  Scatter adds use ``x.at[idx].add`` —
+    deterministic under XLA, the replacement for the reference's charge
+    atomics (calcChargeFlux.cu:70-94)."""
+    box, pbc = system.box, system.spec.pbc
+
+    bi = system.bond_idx[b0:]
+    if bi.shape[0] > 0:
+        # dq = k (r - b); q_p1 += dq, q_p2 -= dq
+        # (ReferenceCoulKernels.cpp:60-62, calcChargeFlux.cu:68-75)
+        d = displacement(positions[bi[:, 0]], positions[bi[:, 1]], box, pbc)
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        dq = system.bond_k[b0:] * (r - system.bond_b[b0:])
+        q = q.at[bi[:, 0]].add(dq)
+        q = q.at[bi[:, 1]].add(-dq)
+
+    ai = system.angle_idx[a0:]
+    if ai.shape[0] > 0:
+        # dq = k (theta - theta0); q_p1 += dq, q_p3 += dq, q_p2 -= 2 dq
+        # (ReferenceCoulKernels.cpp:112-115, calcChargeFlux.cu:133-142)
+        p1, p2, p3 = (positions[ai[:, 0]], positions[ai[:, 1]],
+                      positions[ai[:, 2]])
+        d21 = displacement(p2, p1, box, pbc)
+        d23 = displacement(p2, p3, box, pbc)
+        d13 = displacement(p1, p3, box, pbc)
+        r21 = jnp.sqrt(jnp.sum(d21 * d21, axis=-1))
+        r23 = jnp.sqrt(jnp.sum(d23 * d23, axis=-1))
+        r13_2 = jnp.sum(d13 * d13, axis=-1)
+        cost = (r23 * r23 + r21 * r21 - r13_2) / (2.0 * r21 * r23)
+        theta = jnp.arccos(jnp.clip(cost, -1.0, 1.0))
+        dq = system.angle_k[a0:] * (theta - system.angle_theta0[a0:])
+        q = q.at[ai[:, 0]].add(dq)
+        q = q.at[ai[:, 2]].add(dq)
+        q = q.at[ai[:, 1]].add(-2.0 * dq)
+
+    wi = system.water_idx[w0:]
+    if wi.shape[0] > 0:
+        # CFF 3-site water (ReferenceCoulKernels.cpp:188-193,
+        # calcChargeFlux.cu:228-239): sites (O, H1, H2) = (p1, p2, p3).
+        p1, p2, p3 = (positions[wi[:, 0]], positions[wi[:, 1]],
+                      positions[wi[:, 2]])
+        d12 = displacement(p1, p2, box, pbc)
+        d13 = displacement(p1, p3, box, pbc)
+        d23 = displacement(p2, p3, box, pbc)
+        r12 = jnp.sqrt(jnp.sum(d12 * d12, axis=-1))
+        r13 = jnp.sqrt(jnp.sum(d13 * d13, axis=-1))
+        r23 = jnp.sqrt(jnp.sum(d23 * d23, axis=-1))
+        k1, k2 = system.water_k1[w0:], system.water_k2[w0:]
+        kub = system.water_kub[w0:]
+        b0_, ub0 = system.water_b0[w0:], system.water_ub0[w0:]
+        dq2 = k1 * (r12 - b0_) + k2 * (r13 - b0_) + kub * (r23 - ub0)
+        dq3 = k1 * (r13 - b0_) + k2 * (r12 - b0_) + kub * (r23 - ub0)
+        q = q.at[wi[:, 0]].add(-dq2 - dq3)
+        q = q.at[wi[:, 1]].add(dq2)
+        q = q.at[wi[:, 2]].add(dq3)
+
+    return q
 
 
 @jax.jit
@@ -159,48 +228,33 @@ def effective_charges(positions: jax.Array, system: ChargeFluxSystem) -> jax.Arr
     Total charge is conserved by construction in every term (each term's
     deltas sum to zero), as in the reference (SURVEY §0.1).
 
-    When the system has a detected molecule template the computation takes
-    the static-slice path (:func:`_template_effective_charges`); otherwise
-    scatter adds use ``x.at[idx].add`` — deterministic under XLA, the
-    replacement for the reference's charge atomics (calcChargeFlux.cu:70-94).
-    (A build-time-sorted segment_sum variant was measured slower on v5e: the
-    permutation gather costs more than the duplicate-index scatter saves.)
+    With a detected TemplateSet each repeated block takes the static-slice
+    path (:func:`_template_dq_flat`; the blocks are non-overlapping and
+    offset-sorted, so q assembles as one concatenation) and only the
+    remainder rows — the solute in a solvated system — pay the scatter
+    path (:func:`_scatter_flux`).  (A build-time-sorted segment_sum
+    variant was measured slower on v5e: the permutation gather costs more
+    than the duplicate-index scatter saves.)
     """
-    if system.spec.flux_template is not None:
-        return _template_effective_charges(positions, system)
-    q = system.q0.astype(positions.dtype)
+    dtype = positions.dtype
+    q = system.q0.astype(dtype)
+    ts = system.spec.flux_template
+    if ts is None:
+        return _scatter_flux(q, positions, system)
 
-    if system.bond_idx.shape[0] > 0:
-        # dq = k (r - b); q_p1 += dq, q_p2 -= dq
-        # (ReferenceCoulKernels.cpp:60-62, calcChargeFlux.cu:68-75)
-        _, r = _bond_geometry(positions, system)
-        dq = system.bond_k * (r - system.bond_b)
-        q = q.at[system.bond_idx[:, 0]].add(dq)
-        q = q.at[system.bond_idx[:, 1]].add(-dq)
-
-    if system.angle_idx.shape[0] > 0:
-        # dq = k (theta - theta0); q_p1 += dq, q_p3 += dq, q_p2 -= 2 dq
-        # (ReferenceCoulKernels.cpp:112-115, calcChargeFlux.cu:133-142)
-        *_, theta = _angle_geometry(positions, system)
-        dq = system.angle_k * (theta - system.angle_theta0)
-        q = q.at[system.angle_idx[:, 0]].add(dq)
-        q = q.at[system.angle_idx[:, 2]].add(dq)
-        q = q.at[system.angle_idx[:, 1]].add(-2.0 * dq)
-
-    if system.water_idx.shape[0] > 0:
-        # CFF 3-site water (ReferenceCoulKernels.cpp:188-193,
-        # calcChargeFlux.cu:228-239): sites (O, H1, H2) = (p1, p2, p3).
-        _, _, _, r12, r13, r23 = _water_geometry(positions, system)
-        k1, k2, kub = system.water_k1, system.water_k2, system.water_kub
-        b0, ub0 = system.water_b0, system.water_ub0
-        dq2 = k1 * (r12 - b0) + k2 * (r13 - b0) + kub * (r23 - ub0)
-        dq3 = k1 * (r13 - b0) + k2 * (r12 - b0) + kub * (r23 - ub0)
-        dq1 = -dq2 - dq3
-        q = q.at[system.water_idx[:, 0]].add(dq1)
-        q = q.at[system.water_idx[:, 1]].add(dq2)
-        q = q.at[system.water_idx[:, 2]].add(dq3)
-
-    return q
+    starts = {"bonds": 0, "angles": 0, "waters": 0}
+    pieces = []
+    cursor = 0
+    for tpl in ts.templates:
+        off, end = tpl.offset, tpl.offset + tpl.count * tpl.stride
+        dq = _template_dq_flat(positions, system, tpl, starts)
+        pieces.append(q[cursor:off])
+        pieces.append(q[off:end] + dq)
+        cursor = end
+    pieces.append(q[cursor:])
+    q = jnp.concatenate(pieces) if len(pieces) > 1 else pieces[0]
+    return _scatter_flux(q, positions, system, b0=starts["bonds"],
+                         a0=starts["angles"], w0=starts["waters"])
 
 
 # ---------------------------------------------------------------------------

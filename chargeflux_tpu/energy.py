@@ -126,30 +126,32 @@ def _excl_pair_energy(r, inv_r, qq, half_sig, eps, spec, subtract_direct):
 
 def _template_exclusion_correction(positions, q, system: ChargeFluxSystem,
                                    subtract_direct: bool):
-    """Gather-free exclusion correction for template systems: atom data
-    reshapes to [C, s] and pairs index molecule slots with static slices
-    (same trick as charges._template_effective_charges)."""
+    """Gather-free exclusion correction for templated blocks: atom data
+    reshapes to [C, s] per block and pairs index molecule slots with static
+    slices (same trick as charges._template_dq_flat); remainder rows (the
+    solute's exclusions) are handled by the caller's general gather path."""
     spec = system.spec
-    tpl = spec.excl_template
     dtype = positions.dtype
-    off, s, c = tpl.offset, tpl.stride, tpl.count
-    sl = slice(off, off + c * s)
-    pos_m = positions[sl].reshape(c, s, 3)
-    q_m = q[sl].reshape(c, s)
-    sig_m = system.sigma[sl].astype(dtype).reshape(c, s)
-    eps_m = system.epsilon[sl].astype(dtype).reshape(c, s)
-
     total = jnp.zeros((), dtype)
-    for (l1, l2) in tpl.local_rows("exclusions"):
-        d = displacement(pos_m[:, l1], pos_m[:, l2], system.box, spec.pbc)
-        r2 = jnp.sum(d * d, axis=-1)
-        inv_r = jax.lax.rsqrt(r2)
-        r = r2 * inv_r
-        qq = q_m[:, l1] * q_m[:, l2]
-        half_sig = 0.5 * (sig_m[:, l1] + sig_m[:, l2])
-        eps = 4.0 * jnp.sqrt(eps_m[:, l1] * eps_m[:, l2])
-        total = total + _excl_pair_energy(r, inv_r, qq, half_sig, eps,
-                                          spec, subtract_direct)
+    for tpl in spec.excl_template.templates:
+        off, s, c = tpl.offset, tpl.stride, tpl.count
+        sl = slice(off, off + c * s)
+        pos_m = positions[sl].reshape(c, s, 3)
+        q_m = q[sl].reshape(c, s)
+        sig_m = system.sigma[sl].astype(dtype).reshape(c, s)
+        eps_m = system.epsilon[sl].astype(dtype).reshape(c, s)
+
+        for (l1, l2) in tpl.local_rows("exclusions"):
+            d = displacement(pos_m[:, l1], pos_m[:, l2], system.box,
+                             spec.pbc)
+            r2 = jnp.sum(d * d, axis=-1)
+            inv_r = jax.lax.rsqrt(r2)
+            r = r2 * inv_r
+            qq = q_m[:, l1] * q_m[:, l2]
+            half_sig = 0.5 * (sig_m[:, l1] + sig_m[:, l2])
+            eps = 4.0 * jnp.sqrt(eps_m[:, l1] * eps_m[:, l2])
+            total = total + _excl_pair_energy(r, inv_r, qq, half_sig, eps,
+                                              spec, subtract_direct)
     return total
 
 
@@ -167,15 +169,22 @@ def _exclusion_correction(positions, q, system: ChargeFluxSystem,
     if system.n_exclusions == 0:
         return jnp.zeros((), dtype=positions.dtype)
     spec = system.spec
+    total = jnp.zeros((), dtype=positions.dtype)
+    e0 = 0
     if spec.excl_template is not None:
-        return _template_exclusion_correction(positions, q, system,
-                                              subtract_direct)
-    idx_i = system.exclusions[:, 0]
-    idx_j = system.exclusions[:, 1]
-    _, r, inv_r, half_sig, eps = _pair_quantities(positions, system, idx_i, idx_j)
-    qq = q[idx_i] * q[idx_j]
-    return _excl_pair_energy(r, inv_r, qq, half_sig, eps, spec,
-                             subtract_direct)
+        total = _template_exclusion_correction(positions, q, system,
+                                               subtract_direct)
+        e0 = spec.excl_template.covered("exclusions",
+                                        system.exclusions.shape[0])
+    if e0 < system.exclusions.shape[0]:
+        idx_i = system.exclusions[e0:, 0]
+        idx_j = system.exclusions[e0:, 1]
+        _, r, inv_r, half_sig, eps = _pair_quantities(positions, system,
+                                                      idx_i, idx_j)
+        qq = q[idx_i] * q[idx_j]
+        total = total + _excl_pair_energy(r, inv_r, qq, half_sig, eps, spec,
+                                          subtract_direct)
+    return total
 
 
 def energy_components_fixed_charges(positions: jax.Array, q: jax.Array,

@@ -1,4 +1,5 @@
 from .salt import salt_water_box
+from .solute import solvated_chain_box
 from .water import (
     rigid_water_box,
     water_bonded_params,
@@ -8,6 +9,6 @@ from .water import (
     WATER_MASSES,
 )
 
-__all__ = ["salt_water_box", "rigid_water_box", "water_bonded_params",
-           "water_box", "water_cluster", "water_system_from_pdb",
-           "WATER_MASSES"]
+__all__ = ["salt_water_box", "solvated_chain_box", "rigid_water_box",
+           "water_bonded_params", "water_box", "water_cluster",
+           "water_system_from_pdb", "WATER_MASSES"]

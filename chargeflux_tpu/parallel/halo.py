@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..cells import (HALF_SHELL, _boundary_crossing, gather_rows,
-                     wrap_offsets)
+                     rank_into_slots, wrap_offsets)
 from ..charges import effective_charges
 from ..energy import dispersion_energy
 from ..ewald import reciprocal_energy_from_sf, self_energy, structure_factors
@@ -62,7 +62,13 @@ def halo_compatible(system, ndev: int) -> bool:
 
 def _local_bin(positions, system, dev, gxl):
     """Bin this device's slab: slots [gxl*gy*gz, cap] (sentinel N) and
-    inv_slot [N] (sentinel = n_local_slots for atoms owned elsewhere)."""
+    inv_slot [N] (sentinel = n_local_slots for atoms owned elsewhere).
+
+    Uses the shared two-stage hierarchical ranking (cells.rank_into_slots)
+    with the slab ownership mask — the round-2 flat [N, n_local] one-hot
+    cost O(N * n_local) HBM and walled the halo path at ~1M atoms
+    (VERDICT r2 item 6); the two-stage form is O(N * gxl*gy +
+    local_slots * gz), the same scaling fix the single-chip binner got."""
     spec = system.spec
     gx, gy, gz = spec.cell_grid
     cap = spec.cell_capacity
@@ -74,23 +80,8 @@ def _local_bin(positions, system, dev, gxl):
                   jnp.asarray(np.asarray(spec.cell_grid) - 1, jnp.int32))
     lcx = ci[:, 0] - dev * gxl
     owned = (lcx >= 0) & (lcx < gxl)
-    n_local = gxl * gy * gz
-    local_cell = jnp.where(owned, (lcx * gy + ci[:, 1]) * gz + ci[:, 2],
-                           n_local)
-
-    onehot = (local_cell[:, None] == jnp.arange(n_local)[None, :])
-    cum = jnp.cumsum(onehot.astype(jnp.int32), axis=0)
-    # mask-and-reduce, NOT cum[arange(n), local_cell]: scalar gathers cost
-    # ~7-15 ns/element on TPU (cells.build_cell_list_full does the same);
-    # unowned atoms (all-False onehot row) read rank -1 and fail `ok`
-    rank = jnp.sum(onehot * cum, axis=1) - 1
-    ok = owned & (rank < cap)
-    sentinel = n_local * cap
-    slot_of = jnp.where(ok, local_cell * cap + rank, sentinel).astype(jnp.int32)
-    slots = jnp.full((sentinel,), n, jnp.int32).at[slot_of].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
-    overflow = jnp.sum(owned & ~ok).astype(jnp.int32)
-    return slots.reshape(n_local, cap), slot_of, overflow
+    col = jnp.where(owned, lcx * gy + ci[:, 1], 0)   # masked rows ignore col
+    return rank_into_slots(col, ci[:, 2], owned, n, gxl * gy, gz, cap)
 
 
 def make_halo_energy_fn(system, mesh: Mesh, axis_name: str = "space"):
@@ -102,6 +93,23 @@ def make_halo_energy_fn(system, mesh: Mesh, axis_name: str = "space"):
         raise ValueError(
             f"halo path needs pbc cell route with cell_grid[0] divisible by "
             f"{ndev} (got {system.spec.cell_grid})")
+    # NPT x halo is unsupported: slab margins and the cell grid derive
+    # from the creation-time spec, so a barostat-moved box silently
+    # changes coverage.  A with_box-shrunk system rebuilt through here is
+    # the one observable symptom — reject it loudly instead of missing
+    # pairs (npt.py's documented workaround: equilibrate single-chip,
+    # then scale out the NVE/NVT production run).
+    from ..system import box_widths
+    widths = np.asarray(box_widths(
+        np.asarray(jax.device_get(system.box), np.float64)))
+    grid = np.asarray(system.spec.cell_grid)
+    if float(np.min(widths / grid)) < system.spec.cutoff:
+        raise ValueError(
+            f"system box (plane widths {tuple(widths)}) no longer covers "
+            f"cell grid {tuple(grid)} at cutoff {system.spec.cutoff} — the "
+            f"halo path bakes slab margins from the creation-time box and "
+            f"does not support barostat (NPT) volume moves; equilibrate "
+            f"the box single-chip first, then build the halo energy fn")
     local_energy = _halo_local_energy_builder(system, axis_name, ndev)
     sharded = jax.shard_map(local_energy, mesh=mesh, in_specs=P(),
                             out_specs=P(), check_vma=False)

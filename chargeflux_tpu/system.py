@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .topology import MoleculeTemplate, detect_template
+from .topology import TemplateSet, detect_templates
 
 
 # ---------------------------------------------------------------------------
@@ -204,11 +204,13 @@ class StaticSpec:
     # gains C / V(box).  None when the correction is off (the default — the
     # reference plugin has no such correction) or the system is non-periodic.
     tail_coeff: Optional[float] = None
-    # Detected repeating molecular structure (topology.py); enables the
-    # gather/scatter-free template paths for flux charges and exclusions.
-    # None when the system's term indices don't form a repeating pattern.
-    flux_template: Optional["MoleculeTemplate"] = None
-    excl_template: Optional["MoleculeTemplate"] = None
+    # Detected repeating molecular structure (topology.py): a TemplateSet —
+    # a list of non-overlapping repeated blocks (solvent) plus per-kind
+    # remainder rows (solute/ions) that keep the general scatter path.
+    # Enables the gather/scatter-free template paths for flux charges and
+    # exclusions.  None when nothing repeats enough to template.
+    flux_template: Optional["TemplateSet"] = None
+    excl_template: Optional["TemplateSet"] = None
 
 
 # ---------------------------------------------------------------------------
@@ -700,14 +702,15 @@ class CoulForce:
         angles = self._angles
         waters = self._waters
 
-        # Molecule-template detection (topology.py): when term indices form a
-        # repeating per-molecule pattern, reorder term arrays molecule-major
-        # and record the template so charges/exclusions take the
-        # gather/scatter-free reshape path.  Order within a term type is not
-        # observable (sums are permutation-invariant); the builder keeps the
-        # user's order for the get*Parameters API.
+        # Molecule-template detection (topology.py): repeated per-molecule
+        # index blocks (solvent) are reordered molecule-major and recorded
+        # as a TemplateSet so charges/exclusions take the gather/scatter-
+        # free reshape path; rows that don't repeat (solute, crosslinks)
+        # land at the tail and keep the general scatter path.  Order within
+        # a term type is not observable (sums are permutation-invariant);
+        # the builder keeps the user's order for the get*Parameters API.
         flux_template = None
-        det = detect_template({
+        det = detect_templates({
             "bonds": np.asarray([[b[0], b[1]] for b in bonds],
                                 dtype=np.int64).reshape(len(bonds), 2),
             "angles": np.asarray([[a[0], a[1], a[2]] for a in angles],
@@ -722,7 +725,7 @@ class CoulForce:
             waters = [waters[i] for i in perms["waters"]]
 
         excl_template = None
-        det = detect_template({
+        det = detect_templates({
             "exclusions": np.asarray([list(e) for e in excl],
                                      dtype=np.int64).reshape(len(excl), 2),
         }, n_atoms=n)

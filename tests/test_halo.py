@@ -208,3 +208,58 @@ def test_halo_devices_forces_cell_route():
     with pytest.raises(ValueError, match="halo_devices"):
         force.create_system(box=box, dtype=jnp.float64,
                             direct_method="dense", halo_devices=2)
+
+
+def test_halo_rejects_npt_shrunk_box():
+    """NPT x halo is unsupported (slab margins bake the creation box):
+    rebuilding the halo energy fn on a with_box-shrunk system must raise,
+    not silently miss pairs."""
+    from chargeflux_tpu.parallel.halo import make_halo_energy_fn
+    force, pos, _, box = water_box(n_side=10, flux="bond_angle",
+                                   cutoff=0.6, seed=2)
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell", halo_devices=2)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("space",))
+    make_halo_energy_fn(system, mesh)       # creation box: fine
+    shrunk = system.with_box(0.7 * jnp.asarray(box))
+    with pytest.raises(ValueError, match="NPT"):
+        make_halo_energy_fn(shrunk, mesh)
+
+
+@pytest.mark.slow
+def test_halo_slab_binning_scales_to_1m_atoms():
+    """The round-2 flat [N, n_local] one-hot walled the halo path at ~1M
+    atoms; the shared two-stage ranking must bin a 1M-atom slab with
+    bounded intermediates (largest: [N, gxl*gy] = 128M int32) and account
+    for every owned atom.  CPU shape-scale proof (VERDICT r2 item 6)."""
+    from chargeflux_tpu.parallel.halo import _local_bin
+
+    n, ndev = 1_000_000, 8
+    grid, cap = (32, 32, 32), 256
+    gxl = grid[0] // ndev
+    rng = np.random.default_rng(0)
+    box = np.array([10.0, 10.0, 10.0])
+    pos = jnp.asarray(rng.uniform(0, 10.0, (n, 3)), jnp.float32)
+
+    box_j = jnp.asarray(box, jnp.float32)
+
+    class _Spec:
+        cell_grid, cell_capacity = (32, 32, 32), 256
+
+    class _Sys:
+        spec = _Spec()
+        box = box_j
+
+    slots, slot_of, overflow = jax.jit(
+        _local_bin, static_argnums=(1, 2, 3))(pos, _Sys(), 0, gxl)
+    assert slots.shape == (gxl * grid[1] * grid[2], cap)
+    frac = np.asarray(pos) / 10.0
+    owned = (frac[:, 0] * grid[0]).astype(int) < gxl
+    n_binned = int(np.sum(np.asarray(slots) < n))
+    assert n_binned + int(overflow) == int(np.sum(owned))
+    assert int(overflow) == 0         # cap 256 >> mean occupancy ~244/8
+    # inv consistency on a sample
+    sof = np.asarray(slot_of)
+    flat = np.asarray(slots).ravel()
+    sample = np.where(owned)[0][:1000]
+    assert np.all(flat[sof[sample]] == sample)

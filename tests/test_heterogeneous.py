@@ -71,11 +71,16 @@ def test_heterogeneous_oracle_parity_cell(salty_box):
     force, pos, box, ragged = salty_box
     system = force.create_system(box=box, dtype=jnp.float64,
                                  direct_method="cell")
-    tpl = system.spec.excl_template
+    ts = system.spec.excl_template
     if ragged:
-        assert tpl is None          # non-uniform rows: general path
+        # one water drops its H-H exclusion: the run SPLITS around it —
+        # two templates plus the odd molecule's rows as scatter remainder
+        # (round 3 multi-template; round 2 declined entirely)
+        assert ts is not None and len(ts.templates) == 2
+        assert sum(c for _, c in ts.remainder) == 2
     else:
-        assert tpl is not None and tpl.offset == 40   # ion-prefix template
+        assert ts is not None and len(ts.templates) == 1
+        assert ts.templates[0].offset == 40   # ion-prefix template
     e, f = energy_and_forces(jnp.asarray(pos, jnp.float64), system)
     eo, fo, _ = oracle.energy_forces_pbc(pos, helpers.force_to_params(force),
                                          box, 0.65, 1e-4)
@@ -91,3 +96,76 @@ def test_heterogeneous_manual_matches_autodiff(salty_box):
     _, f_auto = energy_and_forces(x, system)
     f_man = forces_manual(x, system)
     assert np.max(np.abs(np.asarray(f_auto) - np.asarray(f_man))) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Solvated chain solute (round 3 multi-template: template + scatter remainder)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def chain_box():
+    from chargeflux_tpu.models import solvated_chain_box
+    return solvated_chain_box(n_side=6, n_solute_sites=5, cutoff=0.58,
+                              seed=7)
+
+
+def test_solvated_chain_template_structure(chain_box):
+    """The chain (one 15-bead component, span > stride limit) must land on
+    the scatter remainder; the waters must still template at an offset."""
+    force, pos, masses, box, bonded_kw = chain_box
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell")
+    n_chain = 15
+    fts = system.spec.flux_template
+    assert fts is not None and len(fts.templates) == 1
+    tpl = fts.templates[0]
+    assert tpl.offset == n_chain and tpl.stride == 3
+    assert tpl.count == 6 ** 3 - 5
+    rem = dict(fts.remainder)
+    assert rem["bonds"] == n_chain - 1         # the chain's flux bonds
+    assert rem["angles"] == 0 and rem["waters"] == 0
+    ets = system.spec.excl_template
+    assert dict(ets.remainder)["exclusions"] == 2 * n_chain - 3
+
+
+def test_solvated_chain_oracle_parity(chain_box):
+    force, pos, masses, box, bonded_kw = chain_box
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell")
+    x = jnp.asarray(pos, jnp.float64)
+    e, f = energy_and_forces(x, system)
+    eo, fo, _ = oracle.energy_forces_pbc(pos, helpers.force_to_params(force),
+                                         box, 0.58, 1e-4)
+    assert abs(float(e) - eo) / abs(eo) < 1e-10
+    # 5e-9 absolute (~1e-14 relative to the chain's bonded-force scale):
+    # the cell route's compute-then-subtract exclusion contract leaves
+    # slightly more cancellation roundoff than the oracle's filtered sum
+    assert np.max(np.abs(np.asarray(f) - fo)) < 5e-9
+    f_man = forces_manual(x, system)
+    assert np.max(np.abs(np.asarray(f_man) - fo)) < 5e-9
+
+
+def test_solvated_chain_md_stable(chain_box):
+    """Short f64 NVE through the full heterogeneous stack — flux charges,
+    exclusions AND bonded terms all split template + remainder."""
+    from chargeflux_tpu.bonded import BondedParams
+    from chargeflux_tpu.integrate import (init_state_nb, make_nb_energy_fn,
+                                          nve_trajectory_nb)
+    force, pos, masses, box, bonded_kw = chain_box
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell")
+    bonded = BondedParams.create(box=box, pbc=True, dtype=jnp.float64,
+                                 **bonded_kw)
+    # bonded remainder split mirrors the flux one: chain rows at the tail
+    assert bonded.template is not None
+    assert len(bonded.template.templates) == 1
+    e_fn, init_nb = make_nb_energy_fn(system, bonded=bonded)
+    x = jnp.asarray(pos, jnp.float64)
+    s0 = init_state_nb(x, jnp.zeros_like(x), e_fn, init_nb)
+    _s1, es = nve_trajectory_nb(
+        s0, e_fn, init_nb, jnp.asarray(np.asarray(masses)), 2e-5, 40,
+        rebuild_every=10)
+    es = np.asarray(es)
+    assert np.all(np.isfinite(es))
+    assert np.max(np.abs(es - es[0])) < 1.0   # kJ/mol over 40 tiny steps

@@ -30,7 +30,7 @@ def test_salt_box_is_neutral_and_template_detected():
     assert len(pos) == 3 * (6 ** 3 - 6) + 6
     # waters are a contiguous prefix: template detection must succeed
     assert system.spec.excl_template is not None
-    assert system.spec.excl_template.offset == 0
+    assert system.spec.excl_template.templates[0].offset == 0
 
 
 def test_salt_oracle_parity():

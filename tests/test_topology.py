@@ -55,12 +55,14 @@ def test_template_matches_scatter_path(flux):
 def test_template_detected_for_water_box():
     force, _, _, box = water_box(n_side=2, flux="bond_angle", seed=3)
     system = force.create_system(box=box)
-    tpl = system.spec.flux_template
-    assert tpl is not None
+    ts = system.spec.flux_template
+    assert ts is not None and len(ts.templates) == 1
+    assert all(c == 0 for _, c in ts.remainder)
+    tpl = ts.templates[0]
     assert (tpl.offset, tpl.stride, tpl.count) == (0, 3, 8)
     assert tpl.local_rows("bonds") == ((0, 1), (0, 2))
     assert tpl.local_rows("angles") == ((1, 0, 2),)
-    etpl = system.spec.excl_template
+    etpl = system.spec.excl_template.templates[0]
     assert etpl.local_rows("exclusions") == ((0, 1), (0, 2), (1, 2))
 
 
@@ -99,9 +101,10 @@ def test_detection_handles_offset_and_param_variation():
         force.addException(a, b)
     box = np.array([2.0, 2.0, 2.0])
     system = force.create_system(box=box, dtype=jnp.float64)
-    tpl = system.spec.flux_template
-    assert tpl is not None and tpl.offset == 1 and tpl.stride == 2 \
-        and tpl.count == 4
+    ts = system.spec.flux_template
+    assert ts is not None and len(ts.templates) == 1
+    tpl = ts.templates[0]
+    assert tpl.offset == 1 and tpl.stride == 2 and tpl.count == 4
     pos = jnp.asarray(rng.uniform(0, 2.0, (9, 3)))
     q_t = effective_charges(pos, system)
     q_s = effective_charges(pos, _without_templates(system))

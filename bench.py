@@ -461,8 +461,14 @@ def bench_rigid():
     if cap_eq > system.spec.cell_capacity:
         system = _with_capacity(force, system, cap_eq)
     e_fn, init_nb = make_nb_energy_fn(system)
-    rebuild_every = suggest_rebuild_interval(system, dt, max_speed=8.0,
-                                             cap=40)
+    # rebuild bound from the MEASURED relaxed max speed (rigid molecules
+    # have no intramolecular vibration, so the fastest atom runs ~2x
+    # slower than flexible water's — the flat 8 nm/ps bound forced
+    # rebuild_every=1 at dt=2fs and binning dominated the r2 rigid bench)
+    vmax = float(np.max(np.linalg.norm(
+        np.asarray(jax.device_get(s_eq.velocities)), axis=-1)))
+    rebuild_every = suggest_rebuild_interval(
+        system, dt, max_speed=max(4.0, 1.2 * vmax), cap=40)
     s_eq = init_state_nb(s_eq.positions, s_eq.velocities, e_fn, init_nb)
 
     def chunk(k):

@@ -127,6 +127,76 @@ def _displace(lam, d_ref, inv_m):
     return dx
 
 
+# --- structure-of-arrays projection core ------------------------------------
+# The projection math lives on [M]-shaped per-(site, coordinate) arrays:
+# an [M, 3, 3] layout puts (3, 3) on the TPU's (8 sublanes, 128 lanes)
+# tile, so EVERY elementwise op in the Newton loop pays ~113x padding —
+# the rigid 30k bench measured 12.4 ms/step with ~8 ms unattributed,
+# which is exactly this tax across the ~12 projection stages per BAOAB
+# step.  SoA [M] vectors tile densely; AoS<->SoA conversion happens once
+# per projection (one transpose each way).
+
+
+def _soa_view(x, params):
+    """[N, 3] -> (head, xs[site][coord] of [M], tail); one transpose."""
+    o, c = params.offset, params.count
+    t = jnp.transpose(x[o:o + 3 * c].reshape(c, 3, 3), (1, 2, 0))
+    return (x[:o],
+            tuple(tuple(t[s, d] for d in range(3)) for s in range(3)),
+            x[o + 3 * c:])
+
+
+def _soa_pack(head, xs, tail):
+    """Inverse of :func:`_soa_view`."""
+    t = jnp.stack([jnp.stack(list(row)) for row in xs])      # [3, 3, M]
+    return jnp.concatenate(
+        [head, jnp.transpose(t, (2, 0, 1)).reshape(-1, 3), tail], axis=0)
+
+
+def _bond_soa(xs):
+    """xs[site][coord] -> bond vectors d[bond][coord], each [M]."""
+    return tuple(tuple(xs[_BOND_I[k]][c] - xs[_BOND_J[k]][c]
+                       for c in range(3)) for k in range(3))
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _solve33_soa(a, b):
+    """Closed-form adjugate solve on scalar-indexed [M] components:
+    a[k][l], b[k] -> x[k]."""
+    c00 = a[1][1] * a[2][2] - a[1][2] * a[2][1]
+    c01 = a[1][2] * a[2][0] - a[1][0] * a[2][2]
+    c02 = a[1][0] * a[2][1] - a[1][1] * a[2][0]
+    det = a[0][0] * c00 + a[0][1] * c01 + a[0][2] * c02
+    c10 = a[0][2] * a[2][1] - a[0][1] * a[2][2]
+    c11 = a[0][0] * a[2][2] - a[0][2] * a[2][0]
+    c12 = a[0][1] * a[2][0] - a[0][0] * a[2][1]
+    c20 = a[0][1] * a[1][2] - a[0][2] * a[1][1]
+    c21 = a[0][2] * a[1][0] - a[0][0] * a[1][2]
+    c22 = a[0][0] * a[1][1] - a[0][1] * a[1][0]
+    inv_det = 1.0 / det
+    return ((c00 * b[0] + c10 * b[1] + c20 * b[2]) * inv_det,
+            (c01 * b[0] + c11 * b[1] + c21 * b[2]) * inv_det,
+            (c02 * b[0] + c12 * b[1] + c22 * b[2]) * inv_det)
+
+
+def _displace_soa(lam, d_ref, im):
+    """dx[site][coord] from bond impulses (im[site] = per-site 1/m
+    scalars): x_i += 2 lam_k d_ref_k / m_i with incidence signs."""
+    dx = [[None, None, None] for _ in range(3)]
+    for k in range(3):
+        for c in range(3):
+            imp = 2.0 * lam[k] * d_ref[k][c]
+            i, j = _BOND_I[k], _BOND_J[k]
+            vi = imp * im[i]
+            vj = -imp * im[j]
+            dx[i][c] = vi if dx[i][c] is None else dx[i][c] + vi
+            dx[j][c] = vj if dx[j][c] is None else dx[j][c] + vj
+    return dx
+
+
 def project_positions(x_old, x_unc, params: RigidWaterParams,
                       n_iter: int = 4, tol: float = None):
     """RATTLE position projection: returns x_new with every rigid-water
@@ -140,31 +210,40 @@ def project_positions(x_old, x_unc, params: RigidWaterParams,
     exceeds ``tol`` (default: 1e-10 f64 / 1e-4 f32, in nm^2) the molecule
     diverged (unconstrained step too wild) and the positions NaN-poison.
     """
-    head, xo, tail = _mol_view(x_old, params)
-    _, xu, _ = _mol_view(x_unc, params)
+    head, xo, tail = _soa_view(x_old, params)
+    _, xu, _ = _soa_view(x_unc, params)
     dtype = x_unc.dtype
     if tol is None:
         tol = 1e-10 if dtype == jnp.float64 else 1e-4
     inv_m = params.inv_m.astype(dtype)
+    im = [inv_m[s] for s in range(3)]                 # per-site scalars
     t2 = params.targets2.astype(dtype)
-    d_old = _bond_vectors(xo)
-    w = _mass_coupling(inv_m)
+    d_old = _bond_soa(xo)
+    w = _mass_coupling(inv_m)                         # [3, 3] scalars
 
-    lam = jnp.zeros((params.count, 3), dtype)
+    def corrected(lam):
+        dx = _displace_soa(lam, d_old, im)
+        return tuple(tuple(xu[s][c] + dx[s][c] for c in range(3))
+                     for s in range(3))
+
+    zero = jnp.zeros((params.count,), dtype)
+    lam = (zero, zero, zero)
     for _ in range(n_iter):
-        xm = xu + _displace(lam, d_old, inv_m)
-        d = _bond_vectors(xm)
-        g = jnp.sum(d * d, axis=-1) - t2                      # [M, 3]
+        d = _bond_soa(corrected(lam))
+        g = tuple(_dot3(d[k], d[k]) - t2[k] for k in range(3))
         # A[k,l] = dg_k/dlam_l = 4 w[k,l] (d_k . d_old_l)
-        a = 4.0 * w[None] * jnp.einsum("mkc,mlc->mkl", d, d_old)
-        lam = lam - _solve33(a, g)
+        a = [[4.0 * w[k, l] * _dot3(d[k], d_old[l]) for l in range(3)]
+             for k in range(3)]
+        dl = _solve33_soa(a, g)
+        lam = tuple(lam[k] - dl[k] for k in range(3))
 
-    xm = xu + _displace(lam, d_old, inv_m)
-    d = _bond_vectors(xm)
-    g = jnp.sum(d * d, axis=-1) - t2
-    bad = jnp.max(jnp.abs(g)) > tol
-    xm = xm * jnp.where(bad, jnp.asarray(jnp.nan, dtype), 1.0)
-    return jnp.concatenate([head, xm.reshape(-1, 3), tail], axis=0)
+    xm = corrected(lam)
+    d = _bond_soa(xm)
+    res = [jnp.max(jnp.abs(_dot3(d[k], d[k]) - t2[k])) for k in range(3)]
+    bad = jnp.maximum(jnp.maximum(res[0], res[1]), res[2]) > tol
+    poison = jnp.where(bad, jnp.asarray(jnp.nan, dtype), 1.0)
+    xm = tuple(tuple(xm[s][c] * poison for c in range(3)) for s in range(3))
+    return _soa_pack(head, xm, tail)
 
 
 def project_velocities(x, v_unc, params: RigidWaterParams):
@@ -172,18 +251,21 @@ def project_velocities(x, v_unc, params: RigidWaterParams):
     along every constrained bond removed (J v = 0), via one exact 3x3
     solve per molecule.  Preserves each molecule's COM velocity and
     angular momentum (impulses are along the bonds)."""
-    head, xm, tail = _mol_view(x, params)
-    _, vm, _ = _mol_view(v_unc, params)
+    head, xm, tail = _soa_view(x, params)
+    _, vm, _ = _soa_view(v_unc, params)
     dtype = v_unc.dtype
     inv_m = params.inv_m.astype(dtype)
-    d = _bond_vectors(xm)
-    dv = _bond_vectors(vm)                                    # relative v
-    g = jnp.sum(d * dv, axis=-1)                              # J v / 2
+    im = [inv_m[s] for s in range(3)]
+    d = _bond_soa(xm)
+    dv = _bond_soa(vm)                                        # relative v
+    g = tuple(_dot3(d[k], dv[k]) for k in range(3))           # J v / 2
     w = _mass_coupling(inv_m)
-    a = w[None] * jnp.einsum("mkc,mlc->mkl", d, d)
-    mu = _solve33(a, -g)
-    vm = vm + _displace(0.5 * mu, d, inv_m)
-    return jnp.concatenate([head, vm.reshape(-1, 3), tail], axis=0)
+    a = [[w[k, l] * _dot3(d[k], d[l]) for l in range(3)] for k in range(3)]
+    mu = _solve33_soa(a, tuple(-gk for gk in g))
+    dx = _displace_soa(tuple(0.5 * m_ for m_ in mu), d, im)
+    vm = tuple(tuple(vm[s][c] + dx[s][c] for c in range(3))
+               for s in range(3))
+    return _soa_pack(head, vm, tail)
 
 
 def constraint_residuals(x, params: RigidWaterParams):

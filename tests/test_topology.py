@@ -113,3 +113,68 @@ def test_detection_handles_offset_and_param_variation():
     # per-copy k variation must land on the right copies
     assert not np.allclose(np.asarray(q_t[1:]).reshape(4, 2),
                            np.asarray(q_t[1:]).reshape(4, 2)[::-1])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_multi_template_random_mixtures_match_scatter(seed):
+    """Property test: random mixtures of repeated molecule species +
+    irregular solutes.  Whatever detect_templates carves into templates
+    vs remainder, q(x) must equal the pure scatter path bitwise-ish."""
+    rng = np.random.default_rng(seed)
+    force = CoulForce()
+    force.setUsesPeriodicBoundaryConditions(True)
+    force.setCutoffDistance(0.4)
+
+    def add_diatomic():
+        a = force.addParticle(-0.3, 0.3, 0.4)
+        b = force.addParticle(0.3, 0.25, 0.3)
+        force.addFluxBond(a, b, float(rng.uniform(0.5, 2.0)), 0.12)
+        force.addException(a, b)
+
+    def add_triatomic():
+        ids = [force.addParticle(q, 0.3, 0.2)
+               for q in (-0.5, 0.25, 0.25)]
+        force.addFluxBond(ids[0], ids[1], 1.0, 0.1)
+        force.addFluxBond(ids[0], ids[2], 1.0, 0.1)
+        force.addFluxAngle(ids[1], ids[0], ids[2], 0.1, 1.8)
+        force.addException(ids[0], ids[1])
+        force.addException(ids[0], ids[2])
+
+    def add_chain(n):
+        ids = [force.addParticle(0.2 if i % 2 == 0 else -0.2, 0.2, 0.1)
+               for i in range(n)]
+        for i in range(n - 1):
+            force.addFluxBond(ids[i], ids[i + 1],
+                              float(rng.uniform(0.2, 0.6)), 0.15)
+            force.addException(ids[i], ids[i + 1])
+
+    def add_ion():
+        force.addParticle(float(rng.choice([-1.0, 1.0])), 0.3, 0.3)
+
+    makers = [add_diatomic, add_triatomic, lambda: add_chain(5), add_ion]
+    # random segments: runs of one species of random length
+    for _ in range(rng.integers(3, 7)):
+        make = makers[rng.integers(0, len(makers))]
+        for _ in range(rng.integers(1, 9)):
+            make()
+    n = force.getNumParticles()
+    if abs(sum(force.getParticleParameters(i)[0] for i in range(n))) > 1e-9:
+        force.addParticle(-sum(force.getParticleParameters(i)[0]
+                               for i in range(n)), 0.3, 0.3)
+        n += 1
+    box = np.full(3, 4.0)
+    system = force.create_system(box=box, dtype=jnp.float64)
+    pos = jnp.asarray(rng.uniform(0, 4.0, (n, 3)))
+    q_t = effective_charges(pos, system)
+    q_s = effective_charges(pos, _without_templates(system))
+    np.testing.assert_allclose(np.asarray(q_t), np.asarray(q_s),
+                               rtol=1e-14, atol=1e-15)
+    for sub in (False, True):
+        e_t = _exclusion_correction(pos, q_t, system, subtract_direct=sub)
+        e_s = _exclusion_correction(pos, q_s, _without_templates(system),
+                                    subtract_direct=sub)
+        np.testing.assert_allclose(float(e_t), float(e_s), rtol=1e-12)
+    g_t = jax.grad(_energy)(pos, system)
+    g_s = jax.grad(_energy)(pos, _without_templates(system))
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_s),
+                               rtol=1e-9, atol=1e-11)

@@ -220,3 +220,47 @@ def test_walk_layout_rejects_removed_variants():
         with pytest.raises(ValueError, match="walk_layout"):
             force.create_system(box=box, dtype=jnp.float32,
                                 direct_method="cell", walk_layout=layout)
+
+
+@pytest.mark.parametrize("force_sort", [False, True])
+def test_rank_into_slots_masked_branches(force_sort):
+    """Both ranking branches (two-stage one-hot / sort fallback) honor the
+    ownership mask: every owned atom is placed exactly once or counted in
+    overflow, unowned atoms never appear, slot_of inverts slots."""
+    import jax
+
+    from chargeflux_tpu.cells import rank_into_slots
+
+    rng = np.random.default_rng(4)
+    if force_sort:
+        # n * ncol > 256M pushes the gate to the sort branch
+        n, ncol, gz, cap = 300_000, 1000, 2, 192
+    else:
+        n, ncol, gz, cap = 20_000, 16, 4, 512
+    col = jnp.asarray(rng.integers(0, ncol, n), jnp.int32)
+    cz = jnp.asarray(rng.integers(0, gz, n), jnp.int32)
+    owned = jnp.asarray(rng.random(n) < 0.7)
+    slots, slot_of, overflow = jax.jit(
+        rank_into_slots, static_argnums=(3, 4, 5, 6))(
+        col, cz, owned, n, ncol, gz, cap)
+
+    slots_np = np.asarray(slots)
+    placed = slots_np[slots_np < n]
+    own_np = np.asarray(owned)
+    assert len(placed) == len(set(placed.tolist()))      # unique
+    assert np.all(own_np[placed])                        # owned only
+    assert len(placed) + int(overflow) == int(own_np.sum())
+    # slot_of inverts slots for placed atoms; sentinel for the rest
+    sof = np.asarray(slot_of)
+    flat = slots_np.ravel()
+    assert np.all(flat[sof[placed]] == placed)
+    sentinel = ncol * gz * cap
+    unplaced = np.ones(n, bool)
+    unplaced[placed] = False
+    assert np.all(sof[unplaced] == sentinel)
+    # every placed atom sits in its own cell's row
+    cells_of_slot = np.repeat(np.arange(ncol * gz), cap).reshape(
+        ncol * gz, cap)
+    cid = np.asarray(col) * gz + np.asarray(cz)
+    mask = slots_np < n
+    assert np.all(cells_of_slot[mask] == cid[slots_np[mask]])

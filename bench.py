@@ -97,11 +97,17 @@ def build(config: str, cutoff: float = None):
     return build_full(config, cutoff)[:3]
 
 
+_FIRST_CALL_S = 0.0   # accumulated first-call (compile) time, this process
+
+
 def _timed_scan(run, x0, k1, k2, reps=7, warm_s=10.0):
+    global _FIRST_CALL_S
     # compile + warm the device to steady state: clocks ramp with
     # *sustained* load over ~10 s of stepping, not a fixed dispatch count
     # (a fresh process reads ~10% slow vs a long-running one — measured)
+    t_c0 = time.perf_counter()
     float(run(x0, k1))
+    _FIRST_CALL_S += time.perf_counter() - t_c0
     t_end = time.perf_counter() + warm_s
     while time.perf_counter() < t_end:
         float(run(x0, k2))
@@ -623,7 +629,8 @@ def bench_hetero():
         "solute_atoms": 300,
         "cell_capacity": system.spec.cell_capacity,
     }))
-    print(f"# config=hetero30k compile={compile_s:.1f}s "
+    print(f"# config=hetero30k wall={compile_s:.1f}s "
+          f"first_call_compiles={_FIRST_CALL_S:.1f}s "
           f"energy={e_check:.3f}", file=sys.stderr)
     assert np.isfinite(e_check), "benchmark trajectory produced NaN"
 
@@ -696,7 +703,8 @@ def main():
             result["rc10_error"] = f"{type(exc).__name__}: {exc}"[:120]
     print(json.dumps(result))
     print(f"# config={config} atoms={system.n_atoms} "
-          f"device={jax.devices()[0].device_kind} compile={compile_s:.1f}s "
+          f"device={jax.devices()[0].device_kind} wall={compile_s:.1f}s "
+          f"first_call_compiles={_FIRST_CALL_S:.1f}s "
           f"kmax={system.spec.kmax} pme={system.spec.pme_grid} "
           f"grid={system.spec.cell_grid} cap={system.spec.cell_capacity} "
           f"energy={e_check:.3f}", file=sys.stderr)

@@ -52,6 +52,7 @@ def main():
         x, system, masses = build(rc, layout)
         spec = system.spec
         ms, e_check, _ = measure_md_step(x, system, masses)
+        from bench import measure_phases
         print(json.dumps({
             "cutoff": rc,
             "layout": layout,
@@ -62,6 +63,7 @@ def main():
             "alpha": round(float(spec.alpha), 4),
             "energy": round(float(e_check), 3),
             "finite": bool(np.isfinite(e_check)),
+            "phases_ms": measure_phases(x, system),
         }), flush=True)
 
 

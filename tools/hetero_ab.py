@@ -57,12 +57,14 @@ def main():
     acc = {k: [] for k in cases}
     for _ in range(reps):
         for name, (x, system, masses, force, bonded) in cases.items():
-            ms, e, _sys = measure_md_step(x, system, masses, force=force,
-                                          bonded=bonded)
+            ms, e, sys_out = measure_md_step(x, system, masses, force=force,
+                                             bonded=bonded)
             assert np.isfinite(e), name
             acc[name].append(ms)
             print(json.dumps({"case": name,
-                              "ms_per_md_step": round(ms, 4)}), flush=True)
+                              "ms_per_md_step": round(ms, 4),
+                              "cell_capacity": sys_out.spec.cell_capacity}),
+                  flush=True)
     for name in cases:
         print(json.dumps({"case": name,
                           "median_ms": round(float(np.median(acc[name])), 4),

@@ -116,14 +116,32 @@ def bonded_energy(positions: jax.Array, bonded: "BondedParams") -> jax.Array:
     e = jnp.zeros((), positions.dtype)
     if bonded.template is not None:
         e, b0, a0 = _template_bonded_energy(positions, bonded)
-    if bonded.bond_idx.shape[0] > b0:
-        e = e + harmonic_bond_energy(
-            positions, bonded.bond_idx[b0:], bonded.bond_k[b0:],
-            bonded.bond_r0[b0:], bonded.box, bonded.pbc)
-    if bonded.angle_idx.shape[0] > a0:
-        e = e + harmonic_angle_energy(
-            positions, bonded.angle_idx[a0:], bonded.angle_k[a0:],
-            bonded.angle_theta0[a0:], bonded.box, bonded.pbc)
+    n_b = bonded.bond_idx.shape[0] - b0
+    n_a = bonded.angle_idx.shape[0] - a0
+    if n_b + n_a > 0:
+        # remainder bonds+angles share ONE position gather: per-kind
+        # gathers each break fusion into separate TPU kernels whose
+        # boundary overhead dominates at solute sizes (hetero_ab, r3)
+        bi = bonded.bond_idx[b0:]
+        ai = bonded.angle_idx[a0:]
+        p_all = positions[jnp.concatenate([bi.reshape(-1),
+                                           ai.reshape(-1)])]
+        if n_b:
+            pb = p_all[:2 * n_b].reshape(n_b, 2, 3)
+            d = displacement(pb[:, 0], pb[:, 1], bonded.box, bonded.pbc)
+            r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+            e = e + 0.5 * jnp.sum(bonded.bond_k[b0:]
+                                  * (r - bonded.bond_r0[b0:]) ** 2)
+        if n_a:
+            pa = p_all[2 * n_b:].reshape(n_a, 3, 3)
+            d21 = displacement(pa[:, 1], pa[:, 0], bonded.box, bonded.pbc)
+            d23 = displacement(pa[:, 1], pa[:, 2], bonded.box, bonded.pbc)
+            r21 = jnp.sqrt(jnp.sum(d21 * d21, axis=-1))
+            r23 = jnp.sqrt(jnp.sum(d23 * d23, axis=-1))
+            cost = jnp.sum(d21 * d23, axis=-1) / (r21 * r23)
+            theta = jnp.arccos(jnp.clip(cost, -1.0, 1.0))
+            e = e + 0.5 * jnp.sum(bonded.angle_k[a0:]
+                                  * (theta - bonded.angle_theta0[a0:]) ** 2)
     if bonded.torsion_idx is not None:
         # general (gather) path: torsion counts are small and water-family
         # systems have none — not worth a template fast path

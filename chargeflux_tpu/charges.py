@@ -163,27 +163,40 @@ def _scatter_flux(q: jax.Array, positions: jax.Array,
     """General scatter-path charge update on term rows [b0:], [a0:], [w0:].
 
     With a TemplateSet this runs only on the remainder tail (the solute);
-    without one it covers every row.  Scatter adds use ``x.at[idx].add`` —
-    deterministic under XLA, the replacement for the reference's charge
-    atomics (calcChargeFlux.cu:70-94)."""
+    without one it covers every row.  All kinds share ONE position gather
+    and ONE ``at[].add`` scatter (deterministic under XLA, replacing the
+    reference's charge atomics, calcChargeFlux.cu:70-94): gathers,
+    scatters and reductions each break XLA fusion into separate TPU
+    kernels, and per-kind chains cost ~0.4 ms/step of kernel-boundary
+    overhead on a 30k hetero box even for a 24-atom solute (measured,
+    tools/hetero_ab.py round 3)."""
     box, pbc = system.box, system.spec.pbc
 
     bi = system.bond_idx[b0:]
-    if bi.shape[0] > 0:
+    ai = system.angle_idx[a0:]
+    wi = system.water_idx[w0:]
+    n_b, n_a, n_w = bi.shape[0], ai.shape[0], wi.shape[0]
+    if n_b + n_a + n_w == 0:
+        return q
+    idx_all = jnp.concatenate(
+        [bi.reshape(-1), ai.reshape(-1), wi.reshape(-1)])
+    p_all = positions[idx_all]                       # ONE gather [R, 3]
+    dq_parts = []
+
+    if n_b:
         # dq = k (r - b); q_p1 += dq, q_p2 -= dq
         # (ReferenceCoulKernels.cpp:60-62, calcChargeFlux.cu:68-75)
-        d = displacement(positions[bi[:, 0]], positions[bi[:, 1]], box, pbc)
+        pb = p_all[:2 * n_b].reshape(n_b, 2, 3)
+        d = displacement(pb[:, 0], pb[:, 1], box, pbc)
         r = jnp.sqrt(jnp.sum(d * d, axis=-1))
         dq = system.bond_k[b0:] * (r - system.bond_b[b0:])
-        q = q.at[bi[:, 0]].add(dq)
-        q = q.at[bi[:, 1]].add(-dq)
+        dq_parts.append(jnp.stack([dq, -dq], axis=1).reshape(-1))
 
-    ai = system.angle_idx[a0:]
-    if ai.shape[0] > 0:
+    if n_a:
         # dq = k (theta - theta0); q_p1 += dq, q_p3 += dq, q_p2 -= 2 dq
         # (ReferenceCoulKernels.cpp:112-115, calcChargeFlux.cu:133-142)
-        p1, p2, p3 = (positions[ai[:, 0]], positions[ai[:, 1]],
-                      positions[ai[:, 2]])
+        pa = p_all[2 * n_b:2 * n_b + 3 * n_a].reshape(n_a, 3, 3)
+        p1, p2, p3 = pa[:, 0], pa[:, 1], pa[:, 2]
         d21 = displacement(p2, p1, box, pbc)
         d23 = displacement(p2, p3, box, pbc)
         d13 = displacement(p1, p3, box, pbc)
@@ -193,16 +206,13 @@ def _scatter_flux(q: jax.Array, positions: jax.Array,
         cost = (r23 * r23 + r21 * r21 - r13_2) / (2.0 * r21 * r23)
         theta = jnp.arccos(jnp.clip(cost, -1.0, 1.0))
         dq = system.angle_k[a0:] * (theta - system.angle_theta0[a0:])
-        q = q.at[ai[:, 0]].add(dq)
-        q = q.at[ai[:, 2]].add(dq)
-        q = q.at[ai[:, 1]].add(-2.0 * dq)
+        dq_parts.append(jnp.stack([dq, -2.0 * dq, dq], axis=1).reshape(-1))
 
-    wi = system.water_idx[w0:]
-    if wi.shape[0] > 0:
+    if n_w:
         # CFF 3-site water (ReferenceCoulKernels.cpp:188-193,
         # calcChargeFlux.cu:228-239): sites (O, H1, H2) = (p1, p2, p3).
-        p1, p2, p3 = (positions[wi[:, 0]], positions[wi[:, 1]],
-                      positions[wi[:, 2]])
+        pw = p_all[2 * n_b + 3 * n_a:].reshape(n_w, 3, 3)
+        p1, p2, p3 = pw[:, 0], pw[:, 1], pw[:, 2]
         d12 = displacement(p1, p2, box, pbc)
         d13 = displacement(p1, p3, box, pbc)
         d23 = displacement(p2, p3, box, pbc)
@@ -214,11 +224,10 @@ def _scatter_flux(q: jax.Array, positions: jax.Array,
         b0_, ub0 = system.water_b0[w0:], system.water_ub0[w0:]
         dq2 = k1 * (r12 - b0_) + k2 * (r13 - b0_) + kub * (r23 - ub0)
         dq3 = k1 * (r13 - b0_) + k2 * (r12 - b0_) + kub * (r23 - ub0)
-        q = q.at[wi[:, 0]].add(-dq2 - dq3)
-        q = q.at[wi[:, 1]].add(dq2)
-        q = q.at[wi[:, 2]].add(dq3)
+        dq_parts.append(jnp.stack([-dq2 - dq3, dq2, dq3],
+                                  axis=1).reshape(-1))
 
-    return q
+    return q.at[idx_all].add(jnp.concatenate(dq_parts))  # ONE scatter
 
 
 @jax.jit

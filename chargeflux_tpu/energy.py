@@ -177,11 +177,23 @@ def _exclusion_correction(positions, q, system: ChargeFluxSystem,
         e0 = spec.excl_template.covered("exclusions",
                                         system.exclusions.shape[0])
     if e0 < system.exclusions.shape[0]:
-        idx_i = system.exclusions[e0:, 0]
-        idx_j = system.exclusions[e0:, 1]
-        _, r, inv_r, half_sig, eps = _pair_quantities(positions, system,
-                                                      idx_i, idx_j)
-        qq = q[idx_i] * q[idx_j]
+        # ONE fused gather for (x, q, sigma, eps) per pair end: per-column
+        # gathers each break fusion into a separate TPU kernel and the
+        # kernel-boundary overhead dominates for solute-sized remainders
+        # (tools/hetero_ab.py, round 3)
+        dtype = positions.dtype
+        idx_flat = system.exclusions[e0:].reshape(-1)        # [2E]
+        table = jnp.concatenate(
+            [positions, q[:, None], system.sigma.astype(dtype)[:, None],
+             system.epsilon.astype(dtype)[:, None]], axis=1)  # [N, 6]
+        ge = table[idx_flat].reshape(-1, 2, 6)
+        d = displacement(ge[:, 0, 0:3], ge[:, 1, 0:3], system.box, spec.pbc)
+        r2 = jnp.sum(d * d, axis=-1)
+        r = jnp.sqrt(r2)
+        inv_r = 1.0 / r
+        qq = ge[:, 0, 3] * ge[:, 1, 3]
+        half_sig = 0.5 * (ge[:, 0, 4] + ge[:, 1, 4])
+        eps = 4.0 * jnp.sqrt(ge[:, 0, 5] * ge[:, 1, 5])
         total = total + _excl_pair_energy(r, inv_r, qq, half_sig, eps, spec,
                                           subtract_direct)
     return total

@@ -61,18 +61,6 @@ def _lj_pair_terms(half_sig_sum, eps_prod, inv_r):
     return eps_prod * sig6 * (sig6 - 1.0)
 
 
-def _pair_quantities(positions, system, idx_i, idx_j):
-    """Min-image delta, r, 1/r and LJ prefactors for explicit pair lists."""
-    d = displacement(positions[idx_i], positions[idx_j], system.box,
-                     system.spec.pbc)
-    r2 = jnp.sum(d * d, axis=-1)
-    r = jnp.sqrt(r2)
-    inv_r = 1.0 / r
-    half_sig = 0.5 * (system.sigma[idx_i] + system.sigma[idx_j])
-    eps = 4.0 * jnp.sqrt(system.epsilon[idx_i] * system.epsilon[idx_j])
-    return d, r, inv_r, half_sig, eps
-
-
 def _dense_pair_energy(positions, q, system: ChargeFluxSystem):
     """Masked all-pairs short-range energy [scalar].
 

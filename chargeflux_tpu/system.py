@@ -500,6 +500,7 @@ class CoulForce:
         skin_frac: float = 0.05,
         walk_layout: str = "auto",
         halo_devices: Optional[int] = None,
+        cell_grid=None,
     ) -> ChargeFluxSystem:
         """Compile the builder into an immutable pytree system.
 
@@ -524,6 +525,14 @@ class CoulForce:
             count (rounding DOWN — wider cells keep cutoff coverage) so
             the ppermute halo-sharded route (parallel/halo.py) applies
             even when the natural grid doesn't divide the mesh.
+          cell_grid: override the derived cell grid [3] (expert knob, like
+            cell_capacity).  Each axis may only be REDUCED from the
+            derived count (wider cells keep cutoff coverage); raising one
+            would shrink cells below the cutoff and silently miss pairs,
+            so it raises.  Main use: snapping gz to a multiple of 8 — gz
+            sits on the TPU sublane dim of every block/slab array, and
+            gz=9/10 grids measured a ~2x in-context direct-walk padding
+            cliff (tools/cutoff_scan.py round 3).
         """
         n = len(self._charges)
         if n == 0:
@@ -640,6 +649,24 @@ class CoulForce:
                         f"box (plane widths {tuple(widths)}) too small for "
                         f"a cell list at cutoff {self._cutoff} (need >=3 "
                         f"cells per axis)")
+                if cell_grid is not None:
+                    req = tuple(int(g) for g in cell_grid)
+                    if len(req) != 3 or any(g < 3 for g in req):
+                        raise ValueError(
+                            f"cell_grid override {req} needs 3 axes of "
+                            f">=3 cells")
+                    if any(r > d for r, d in zip(req, ncells)):
+                        raise ValueError(
+                            f"cell_grid override {req} exceeds the derived "
+                            f"grid {ncells}: more cells per axis would "
+                            f"shrink cells below the cutoff and miss "
+                            f"pairs (only reductions are safe)")
+                    if halo_devices is not None and halo_devices > 1 \
+                            and req[0] % halo_devices:
+                        raise ValueError(
+                            f"cell_grid override x-axis {req[0]} not "
+                            f"divisible by halo_devices={halo_devices}")
+                    ncells = req
                 grid = ncells
                 if cell_capacity is None:
                     n_total_cells = ncells[0] * ncells[1] * ncells[2]

@@ -30,16 +30,25 @@ from chargeflux_tpu.cells import suggest_capacity  # noqa: E402
 from chargeflux_tpu.models import water_box  # noqa: E402
 
 
-def build(cutoff: float, layout: str = "shift"):
+def build(cutoff: float, layout: str = "shift", gz8: bool = False):
     force, pos, masses, box = water_box(n_side=22, flux="bond_angle",
                                         cutoff=cutoff)
     system = force.create_system(box=box, dtype=jnp.float32,
                                  direct_method="cell", walk_layout=layout)
+    kw = {}
+    if gz8:
+        # snap gz DOWN to a multiple of 8 (the sublane dim of every
+        # block/slab array; gz=9/10 measured a ~2x in-context walk cliff)
+        gx, gy, gz = system.spec.cell_grid
+        kw["cell_grid"] = (gx, gy, max((gz // 8) * 8, 3))
+        system = force.create_system(box=box, dtype=jnp.float32,
+                                     direct_method="cell",
+                                     walk_layout=layout, **kw)
     cap = suggest_capacity(pos, box, system.spec.cell_grid, margin=1.05)
     if cap != system.spec.cell_capacity:
         system = force.create_system(box=box, dtype=jnp.float32,
                                      direct_method="cell", cell_capacity=cap,
-                                     walk_layout=layout)
+                                     walk_layout=layout, **kw)
     return (jnp.asarray(pos, jnp.float32), system,
             jnp.asarray(np.asarray(masses), jnp.float32))
 
@@ -47,9 +56,11 @@ def build(cutoff: float, layout: str = "shift"):
 def main():
     entries = sys.argv[1:] or ["0.9", "0.7", "0.65", "0.6", "0.55"]
     for ent in entries:
-        rc_s, _, layout = ent.partition(":")
-        rc, layout = float(rc_s), layout or "shift"
-        x, system, masses = build(rc, layout)
+        parts = ent.split(":")
+        rc = float(parts[0])
+        layout = parts[1] if len(parts) > 1 and parts[1] else "shift"
+        gz8 = len(parts) > 2 and parts[2] == "gz8"
+        x, system, masses = build(rc, layout, gz8)
         spec = system.spec
         ms, e_check, _ = measure_md_step(x, system, masses)
         from bench import measure_phases

@@ -239,6 +239,9 @@ def measure_md_step(x, system, masses, force=None, bonded=None):
     # measured ~0.5x), and the full-window NaN check below is the backstop
     rebuild_every = suggest_rebuild_interval(
         system, DT_PS, max_speed=max(8.0, 1.2 * vmax), cap=40)
+    print(f"# measure_md_step: rebuild_every={rebuild_every} "
+          f"vmax={vmax:.2f} cap={system.spec.cell_capacity}",
+          file=sys.stderr)
     pack, run = make_run(rebuild_every)
     p = pack(s1)
 

@@ -251,6 +251,10 @@ def effective_charges(positions: jax.Array, system: ChargeFluxSystem) -> jax.Arr
     if ts is None:
         return _scatter_flux(q, positions, system)
 
+    # (an optimization_barrier around the remainder path — decoupling its
+    # op structure from the scan carry's layout — measured a LOSS: s8
+    # 3.46 vs 3.39 ms, round-3 A/B; the residual hetero scan-boundary
+    # cost needs a different intervention, see BASELINE.md round-4 lead)
     starts = {"bonds": 0, "angles": 0, "waters": 0}
     pieces = []
     cursor = 0

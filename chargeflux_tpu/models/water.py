@@ -178,6 +178,12 @@ def water_system_from_pdb(path: str, flux: str = "bond_angle",
     box, order) where ``positions[order] == pdb order`` maps results back
     to file order, and ``box`` is the PDB's CRYST1 cell ([3] nm or
     triclinic [3, 3]; None for a vacuum cluster).
+
+    Each water's three atoms must be CONTIGUOUS in the file (the normal
+    PDB convention): grouping is by (resname, resseq) runs so boxes past
+    the resseq-9999 wrap parse correctly, at the cost of rejecting
+    exotic files that interleave residues' atoms (the 1-O/2-H per-group
+    check below fails loudly on those).
     """
     from ..utils.trajectory import read_pdb
 
@@ -205,8 +211,10 @@ def water_system_from_pdb(path: str, flux: str = "bond_angle",
         o_idx = [i for i, s in zip(idx, sym) if s.startswith("O")]
         h_idx = [i for i, s in zip(idx, sym) if s.startswith("H")]
         if len(o_idx) != 1 or len(h_idx) != 2:
-            raise ValueError(f"residue {key}: expected 1 O + 2 H, got "
-                             f"{sym}")
+            raise ValueError(
+                f"residue {key}: expected 1 O + 2 H in a contiguous "
+                f"run, got {sym} (water atoms must be adjacent in the "
+                f"file; interleaved-residue PDBs are not supported)")
         perm.extend([o_idx[0], h_idx[0], h_idx[1]])
     perm = np.asarray(perm)
     n_w = len(perm) // 3

@@ -254,7 +254,6 @@ def detect_templates(kinds: Dict[str, np.ndarray],
         runs = keep
 
     templates = []
-    in_template = np.zeros(n_comp, dtype=bool)
     # perms assembled per kind: template rows first (run order =
     # offset order), remainder rows (original order) appended after
     tpl_rows: Dict[str, list] = {k: [] for k in kinds}
@@ -269,7 +268,6 @@ def detect_templates(kinds: Dict[str, np.ndarray],
             rows=tuple(rows)))
         for p in range(pos, pos + count):
             cp = int(order[p])
-            in_template[cp] = True
             for kind in kinds:
                 tpl_rows[kind].extend(
                     t for _, t in sorted(comp_rows[cp].get(kind, ())))
@@ -292,7 +290,14 @@ def detect_template(kinds: Dict[str, np.ndarray],
                     n_atoms: Optional[int] = None):
     """Single-template detection (round 1/2 contract): succeeds only when
     ONE block covers every row.  Kept for callers/tests that reason about
-    the homogeneous case; new code uses :func:`detect_templates`."""
+    the homogeneous case; new code uses :func:`detect_templates`.
+
+    Contract note: when ``n_atoms`` is omitted it is inferred as
+    ``max_index + 1``, so a homogeneous system whose molecule stride
+    exceeds its indexed atom span (trailing gap atoms after the last
+    indexed one) has its final molecule classified as remainder and this
+    shim returns None.  Results stay correct via the scatter path — pass
+    the true ``n_atoms`` to recover the template in that case."""
     if n_atoms is None:
         vals = [np.asarray(v, dtype=np.int64)
                 for v in kinds.values() if np.size(v)]

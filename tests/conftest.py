@@ -34,57 +34,65 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # auto-marked `slow`, so `pytest -m "not slow"` is a <10 min correctness
 # gate for inner-loop iteration; the full suite stays the pre-snapshot
 # gate.  New long tests: either add pytest.mark.slow directly or extend
-# this list.
+# this list.  Keyed on (file, name) so a future same-named fast test in
+# another file is not silently skipped (ADVICE r3).  Fast-gate coverage
+# note: the slow-marked test_template_matches_scatter_path and
+# test_overflow_poisons_energy_in_jit invariants remain covered in the
+# fast gate by test_topology.py::test_multi_template_random_mixtures_
+# match_scatter (template==scatter parity) and test_cells.py's cheap
+# overflow/poison unit tests — keep those fast if this list grows.
 # ---------------------------------------------------------------------------
 
 import pytest as _pytest
 
 _SLOW_TESTS = {
-    "test_cell_blocked_spread_matches_dense",
-    "test_cell_walk_matches_dense_on_triclinic",
-    "test_energy_with_fresh_nb_matches_plain",
-    "test_epsilon_shear_converges_to_orthorhombic",
-    "test_f32_force_rmse_budget",
-    "test_fast_examples_run",
-    "test_halo_100k_cell_path_equality",
-    "test_halo_collective_structure",
-    "test_halo_devices_grid_rounding",
-    "test_halo_forces_match_single_device",
-    "test_halo_md_trajectory_matches_single_chip",
-    "test_halo_pme_recip_matches_single_device",
-    "test_halo_sharding_matches_on_triclinic",
-    "test_langevin_nb_cell_route",
-    "test_langevin_nb_resume_exact",
-    "test_multislice_replica_energies_match",
-    "test_nb_trajectory_matches_per_step_rebuild",
-    "test_nhc_nb_conserved_and_resume",
-    "test_nhc_resume_is_bitwise_exact",
-    "test_npt_anisotropic_triclinic_row_scaling",
-    "test_npt_langevin_cell_route",
-    "test_npt_rigid_water_rattle",
-    "test_npt_vmaps_over_replicas",
-    "test_nve_neighbor_reuse_on_triclinic",
-    "test_overflow_poisons_energy_in_jit",
-    "test_packed_trajectory_matches_stepwise_api",
-    "test_pallas_column_spread_matches_xla_cell_path",
-    "test_pme_slack_guard_poisons_excess_drift_under_box_growth",
-    "test_pressure_cell_matches_dense",
-    "test_pressure_coulomb_homogeneity",
-    "test_pressure_lj_pair_analytic",
-    "test_pressure_tensor_trace_and_symmetry",
-    "test_rattle_langevin_nb_resume_exact",
-    "test_replica_nve_trajectory_matches_stepwise",
-    "test_respa_langevin_thermalizes_cell_route",
-    "test_rigid_langevin_nb_cell_route",
-    "test_salt_oracle_parity",
-    "test_template_matches_scatter_path",
-    "test_total_energy_with_pme_route",
-    "test_virial_pressure_includes_tail_cell_route",
-    "test_with_box_scaled_cell_route_oracle_parity",
+    ("test_pme.py", "test_cell_blocked_spread_matches_dense"),
+    ("test_triclinic.py", "test_cell_walk_matches_dense_on_triclinic"),
+    ("test_neighbors.py", "test_energy_with_fresh_nb_matches_plain"),
+    ("test_triclinic.py", "test_epsilon_shear_converges_to_orthorhombic"),
+    ("test_triclinic.py", "test_f32_force_rmse_budget"),
+    ("test_examples.py", "test_fast_examples_run"),
+    ("test_halo.py", "test_halo_100k_cell_path_equality"),
+    ("test_halo.py", "test_halo_collective_structure"),
+    ("test_halo.py", "test_halo_devices_grid_rounding"),
+    ("test_halo.py", "test_halo_forces_match_single_device"),
+    ("test_halo.py", "test_halo_md_trajectory_matches_single_chip"),
+    ("test_halo.py", "test_halo_pme_recip_matches_single_device"),
+    ("test_triclinic.py", "test_halo_sharding_matches_on_triclinic"),
+    ("test_thermostat.py", "test_langevin_nb_cell_route"),
+    ("test_integrate.py", "test_langevin_nb_resume_exact"),
+    ("test_multislice.py", "test_multislice_replica_energies_match"),
+    ("test_neighbors.py", "test_nb_trajectory_matches_per_step_rebuild"),
+    ("test_nosehoover.py", "test_nhc_nb_conserved_and_resume"),
+    ("test_nosehoover.py", "test_nhc_resume_is_bitwise_exact"),
+    ("test_npt.py", "test_npt_anisotropic_triclinic_row_scaling"),
+    ("test_npt.py", "test_npt_langevin_cell_route"),
+    ("test_npt.py", "test_npt_rigid_water_rattle"),
+    ("test_npt.py", "test_npt_vmaps_over_replicas"),
+    ("test_triclinic.py", "test_nve_neighbor_reuse_on_triclinic"),
+    ("test_cells.py", "test_overflow_poisons_energy_in_jit"),
+    ("test_neighbors.py", "test_packed_trajectory_matches_stepwise_api"),
+    ("test_pme.py", "test_pallas_column_spread_matches_xla_cell_path"),
+    ("test_pme.py",
+     "test_pme_slack_guard_poisons_excess_drift_under_box_growth"),
+    ("test_npt.py", "test_pressure_cell_matches_dense"),
+    ("test_npt.py", "test_pressure_coulomb_homogeneity"),
+    ("test_npt.py", "test_pressure_lj_pair_analytic"),
+    ("test_npt.py", "test_pressure_tensor_trace_and_symmetry"),
+    ("test_integrate.py", "test_rattle_langevin_nb_resume_exact"),
+    ("test_shard.py", "test_replica_nve_trajectory_matches_stepwise"),
+    ("test_respa.py", "test_respa_langevin_thermalizes_cell_route"),
+    ("test_constraints.py", "test_rigid_langevin_nb_cell_route"),
+    ("test_salt_model.py", "test_salt_oracle_parity"),
+    ("test_topology.py", "test_template_matches_scatter_path"),
+    ("test_pme.py", "test_total_energy_with_pme_route"),
+    ("test_dispersion.py", "test_virial_pressure_includes_tail_cell_route"),
+    ("test_npt.py", "test_with_box_scaled_cell_route_oracle_parity"),
 }
 
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if item.name.split("[")[0] in _SLOW_TESTS:
+        key = (item.fspath.basename, item.name.split("[")[0])
+        if key in _SLOW_TESTS:
             item.add_marker(_pytest.mark.slow)

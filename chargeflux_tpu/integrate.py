@@ -115,8 +115,21 @@ def nve_step_nb(state: MDStateNB, e_fn, masses, dt: float) -> MDStateNB:
     return MDStateNB(x_new, v_new, f_new, e, nb)
 
 
+# Packed-carry representation knob (round-4 hetero lead, BASELINE.md):
+# "packed"  — [N, 9] x|v|f, the round-2 measured default
+# "barrier" — [N, 9] with lax.optimization_barrier on the carry at each
+#             inner-step boundary (pins the layout choice against the
+#             energy graph's preferences)
+# "flat"    — [N*9] 1-D carry, reshaped to [N, 9] inside the step (a 1-D
+#             buffer has exactly one layout, so the loop boundary cannot
+#             relayout it; the replica drivers already carry flat)
+# Module-level so measurement tools can A/B without threading an arg
+# through every driver; production default is set by the measured winner.
+PACKED_CARRY_MODE = "packed"
+
+
 def make_packed_nve_chunk(e_fn, init_nb, masses, dt: float,
-                          rebuild_every: int):
+                          rebuild_every: int, carry: str | None = None):
     """Packed-carry NVE building block: returns (pack, unpack, outer) where
     ``outer(p, _)`` rebuilds the neighbor state and advances
     ``rebuild_every`` velocity-Verlet steps on a single ``[N, 9]`` carry
@@ -130,30 +143,42 @@ def make_packed_nve_chunk(e_fn, init_nb, masses, dt: float,
     *faster* than even a forces-only gradient loop with a lone [N, 3]
     carry.  The per-step scan output is total energy (potential +
     kinetic).  The neighbor state is closed over by the inner scan, not
-    carried (it is constant between rebuilds)."""
+    carried (it is constant between rebuilds).  ``carry`` selects the
+    carry representation (default :data:`PACKED_CARRY_MODE`)."""
+    mode = PACKED_CARRY_MODE if carry is None else carry
+    if mode not in ("packed", "barrier", "flat"):
+        raise ValueError(f"unknown packed-carry mode {mode!r}")
     inv_m_v = 0.5 * dt / jnp.asarray(masses)
 
     def pack(state: MDStateNB):
-        return jnp.concatenate(
+        p = jnp.concatenate(
             [state.positions, state.velocities, state.forces], axis=1)
+        return p.reshape(-1) if mode == "flat" else p
 
     def unpack(p, potential, nb):
+        p = p.reshape(-1, 9) if mode == "flat" else p
         return MDStateNB(p[:, 0:3], p[:, 3:6], p[:, 6:9], potential, nb)
 
     def make_inner(nb):
         def inner(p, _):
-            x, v, f = p[:, 0:3], p[:, 3:6], p[:, 6:9]
+            p2 = p.reshape(-1, 9) if mode == "flat" else p
+            x, v, f = p2[:, 0:3], p2[:, 3:6], p2[:, 6:9]
             inv_m = inv_m_v[:, None]
             v_half = v + f * inv_m
             x_new = x + dt * v_half
             e, f_new, _ = e_fn(x_new, nb)
             v_new = v_half + f_new * inv_m
             p_new = jnp.concatenate([x_new, v_new, f_new], axis=1)
+            if mode == "flat":
+                p_new = p_new.reshape(-1)
+            elif mode == "barrier":
+                p_new = jax.lax.optimization_barrier(p_new)
             return p_new, e + kinetic_energy(v_new, masses)
         return inner
 
     def outer(p, _):
-        nb = init_nb(p[:, 0:3])
+        x0 = (p.reshape(-1, 9)[:, 0:3] if mode == "flat" else p[:, 0:3])
+        nb = init_nb(x0)
         return jax.lax.scan(make_inner(nb), p, None, length=rebuild_every)
 
     return pack, unpack, outer
@@ -186,8 +211,9 @@ def nve_trajectory_nb(state: MDStateNB, e_fn, init_nb, masses, dt: float,
         p, e_tail = jax.lax.scan(outer_rem, p, None, length=1)
         es.append(e_tail.reshape(-1))
     # final consistent state: fresh neighbor state + potential at x_final
-    nb = init_nb(p[:, 0:3])
-    e_pot, _f, nb = e_fn(p[:, 0:3], nb)
+    x_fin = p.reshape(-1, 9)[:, 0:3]
+    nb = init_nb(x_fin)
+    e_pot, _f, nb = e_fn(x_fin, nb)
     state = unpack(p, e_pot, nb)
     return state, jnp.concatenate(es) if len(es) != 1 else es[0]
 

@@ -135,3 +135,32 @@ def test_zero_skin_state_fresh_at_rebuild_positions():
     assert bool(neighbor_state_fresh(nb, x, system))
     # any movement at zero skin is stale
     assert not bool(neighbor_state_fresh(nb, x + 1e-6, system))
+
+
+def test_packed_carry_modes_are_pure_layout_changes():
+    """The PACKED_CARRY_MODE representations ("barrier", "flat" — the
+    round-4 hetero scan-boundary candidates) must be bitwise identical to
+    the default packed [N, 9] carry: same arithmetic, different buffer
+    layout only."""
+    import chargeflux_tpu.integrate as integrate
+
+    system, x, masses = _system()
+    e_nb, init_nb = make_nb_energy_fn(system)
+    dt = 5e-5
+    s0 = init_state_nb(x, jnp.zeros_like(x), e_nb, init_nb)
+
+    results = {}
+    for mode in ("packed", "barrier", "flat"):
+        old = integrate.PACKED_CARRY_MODE
+        integrate.PACKED_CARRY_MODE = mode
+        try:
+            final, etot = nve_trajectory_nb(s0, e_nb, init_nb, masses, dt,
+                                            7, rebuild_every=3)
+        finally:
+            integrate.PACKED_CARRY_MODE = old
+        results[mode] = (np.asarray(final.positions),
+                         np.asarray(final.velocities), np.asarray(etot))
+
+    for mode in ("barrier", "flat"):
+        for a, b in zip(results["packed"], results[mode]):
+            np.testing.assert_array_equal(a, b, err_msg=mode)

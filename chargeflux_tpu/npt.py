@@ -28,11 +28,14 @@ of in blocks of 10 attempts — a per-attempt update keeps the adaptation
 inside the scan carry with no host round-trips and converges to the same
 ~50% acceptance.
 
-Scope: single-device (or vmap-replica) trajectories.  The halo-sharded
-energy (parallel/halo.py) bakes slab margins from the creation-time box
-and is not barostat-aware; NPT over a spatially sharded system would need
-margin re-derivation on volume moves — run NPT equilibration single-chip
-(100k fits one v5e), then scale out the production NVE/NVT run.
+Scope: single-device (or vmap-replica) trajectories by default.  NPT over
+a halo-sharded system (round 4): pass ``energy_fn=make_halo_energy_fn(
+system, mesh)`` — slab ownership is fractional so volume moves never
+re-partition atoms, and the halo route carries the same traced-box
+grid-validity NaN guard as the single-chip cell path; the driver then
+evaluates electrostatics through ``energy_fn(x, box)`` (fresh 1/D-sharded
+binning every step — no neighbor-state reuse, which is what makes the
+composition exact) while bonded terms stay replicated.
 """
 
 from __future__ import annotations
@@ -227,7 +230,7 @@ def _npt_langevin_driver(positions, velocities, system, masses,
                          dt: float, temperature: float, friction: float,
                          key, n_steps: int, bonded,
                          barostat_interval: int, make_attempt, dv0,
-                         constraints=None):
+                         constraints=None, energy_fn=None):
     """Shared NPT machinery: BAOAB chunks at fixed box + one barostat
     attempt per chunk, all in one lax.scan.  ``make_attempt(e_pot)``
     returns ``attempt(x, box, dv, e_old, k) -> (x, box, dv, e_cur, ok,
@@ -244,7 +247,11 @@ def _npt_langevin_driver(positions, velocities, system, masses,
 
     from .neighbors import build_neighbor_state, neighbor_state_fresh
 
-    has_cells = system.spec.direct_method == "cell"
+    # An external electrostatics evaluator (e.g. the halo-sharded energy,
+    # parallel/halo.py) evaluates e(x, box) directly: it re-bins fresh on
+    # every call (its own overflow/grid-validity NaN guards apply), so the
+    # neighbor-state reuse + freshness-guard machinery below is bypassed.
+    has_cells = system.spec.direct_method == "cell" and energy_fn is None
     if has_cells:
         # the neighbor state is rebuilt once per chunk, so the barostat
         # interval doubles as the rebuild interval — warn if that outruns
@@ -263,8 +270,11 @@ def _npt_langevin_driver(positions, velocities, system, masses,
     c1, c2 = baoab_coeffs(dt, friction, temperature, dtype)
 
     def e_pot(xx, box, nb=None):
-        sb = system.with_box(box)
-        e = _energy(xx, sb, nb=nb)
+        if energy_fn is not None:
+            e = energy_fn(xx, box)
+        else:
+            sb = system.with_box(box)
+            e = _energy(xx, sb, nb=nb)
         if bonded is not None:
             e = e + bonded_energy(xx, dataclasses.replace(
                 bonded, box=jnp.asarray(box, bonded.box.dtype)))
@@ -357,9 +367,14 @@ def npt_langevin_trajectory(positions, velocities, system, masses,
                             bonded=None, barostat_interval: int = 20,
                             dv_frac: float = 0.01,
                             extra_mol_idx: tuple = (),
-                            constraints=None):
+                            constraints=None, energy_fn=None):
     """NPT via BAOAB Langevin dynamics + an isotropic MC barostat attempt
     every ``barostat_interval`` steps (n_steps must be a multiple of it).
+
+    ``energy_fn(x, box)`` overrides the electrostatics evaluator — pass
+    ``parallel.halo.make_halo_energy_fn(system, mesh)`` to run NPT over a
+    halo-sharded device mesh (see the module docstring); bonded terms stay
+    replicated and the barostat logic is unchanged.
 
     On the cell route the neighbor state is rebuilt once per chunk and
     reused inside (the same amortization as nve_trajectory_nb), with the
@@ -416,7 +431,7 @@ def npt_langevin_trajectory(positions, velocities, system, masses,
     return _npt_langevin_driver(positions, velocities, system, masses, dt,
                                 temperature, friction, key, n_steps, bonded,
                                 barostat_interval, make_attempt, dv0,
-                                constraints=constraints)
+                                constraints=constraints, energy_fn=energy_fn)
 
 
 def npt_anisotropic_langevin_trajectory(
@@ -424,7 +439,7 @@ def npt_anisotropic_langevin_trajectory(
         temperature: float, friction: float, pressure_bar: float, key,
         n_steps: int, bonded=None, barostat_interval: int = 20,
         dv_frac: float = 0.01, scale_axes=(True, True, True),
-        extra_mol_idx: tuple = (), constraints=None):
+        extra_mol_idx: tuple = (), constraints=None, energy_fn=None):
     """NPT with an *anisotropic* MC barostat: each attempt scales ONE
     lattice axis (chosen uniformly among the ``scale_axes`` marked True),
     with an independently adapted proposal width per axis — the analog of
@@ -501,4 +516,4 @@ def npt_anisotropic_langevin_trajectory(
     return _npt_langevin_driver(positions, velocities, system, masses, dt,
                                 temperature, friction, key, n_steps, bonded,
                                 barostat_interval, make_attempt, dv0,
-                                constraints=constraints)
+                                constraints=constraints, energy_fn=energy_fn)

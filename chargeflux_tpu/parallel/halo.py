@@ -85,35 +85,46 @@ def _local_bin(positions, system, dev, gxl):
 
 
 def make_halo_energy_fn(system, mesh: Mesh, axis_name: str = "space"):
-    """energy(positions [N,3] replicated) -> scalar replicated; direct space
-    computed on x-slabs with ppermute halo exchange (see module docstring).
-    Differentiable (forces via jax.grad)."""
+    """energy(positions [N,3] replicated, box=None) -> scalar replicated;
+    direct space computed on x-slabs with ppermute halo exchange (see
+    module docstring).  Differentiable (forces via jax.grad).
+
+    NPT support (round 4): ``box`` may be a *traced* lattice (defaults to
+    the creation-time ``system.box``) — slab ownership is fractional, so a
+    volume move never re-partitions atoms across devices; validity of the
+    static cell grid under the moved box is guarded in-jit exactly like
+    the single-chip cell route (energy.py): when any cell plane spacing
+    falls below the cutoff the energy (and so every force) NaN-poisons
+    instead of silently missing pairs.  ``npt.npt_langevin_trajectory(...,
+    energy_fn=...)`` composes with this directly."""
     ndev = mesh.shape[axis_name]
     if not halo_compatible(system, ndev):
         raise ValueError(
             f"halo path needs pbc cell route with cell_grid[0] divisible by "
             f"{ndev} (got {system.spec.cell_grid})")
-    # NPT x halo is unsupported: slab margins and the cell grid derive
-    # from the creation-time spec, so a barostat-moved box silently
-    # changes coverage.  A with_box-shrunk system rebuilt through here is
-    # the one observable symptom — reject it loudly instead of missing
-    # pairs (npt.py's documented workaround: equilibrate single-chip,
-    # then scale out the NVE/NVT production run).
+    # The CREATION-time box must cover the grid (a config error otherwise);
+    # runtime (barostat) moves are handled by the in-jit poison guard.
     from ..system import box_widths
     widths = np.asarray(box_widths(
         np.asarray(jax.device_get(system.box), np.float64)))
     grid = np.asarray(system.spec.cell_grid)
     if float(np.min(widths / grid)) < system.spec.cutoff:
         raise ValueError(
-            f"system box (plane widths {tuple(widths)}) no longer covers "
+            f"system box (plane widths {tuple(widths)}) does not cover "
             f"cell grid {tuple(grid)} at cutoff {system.spec.cutoff} — the "
-            f"halo path bakes slab margins from the creation-time box and "
-            f"does not support barostat (NPT) volume moves; equilibrate "
-            f"the box single-chip first, then build the halo energy fn")
+            f"creation-time box must be valid; barostat moves at call time "
+            f"are guarded in-jit (pass box= to the returned energy fn)")
     local_energy = _halo_local_energy_builder(system, axis_name, ndev)
-    sharded = jax.shard_map(local_energy, mesh=mesh, in_specs=P(),
+    sharded = jax.shard_map(local_energy, mesh=mesh, in_specs=(P(), P()),
                             out_specs=P(), check_vma=False)
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def energy(positions, box=None):
+        b = system.box if box is None else jnp.asarray(
+            box, jnp.asarray(system.box).dtype)
+        return jitted(positions, b)
+
+    return energy
 
 
 def _halo_local_energy_builder(system, axis_name: str, ndev: int):
@@ -140,14 +151,17 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
                     and spec.recip_method == "auto"
                     and jax.default_backend() == "tpu")
 
-    def local_energy(positions):
+    def local_energy(positions, box_in):
         dev = jax.lax.axis_index(axis_name)
         dtype = positions.dtype
         use_pme = use_pme_always or (use_pme_auto and dtype == jnp.float32)
-        box = system.box
-        q = effective_charges(positions, system)   # replicated, template-fast
+        # a (possibly traced) barostat-moved box: thread it through
+        # everything box-dependent via the pytree-leaf swap (system.with_box)
+        sysb = system.with_box(box_in)
+        box = sysb.box
+        q = effective_charges(positions, sysb)   # replicated, template-fast
 
-        slots, slot_of, overflow = _local_bin(positions, system, dev, gxl)
+        slots, slot_of, overflow = _local_bin(positions, sysb, dev, gxl)
 
         # -- local blockify (row gather fwd / inverse row gather bwd) -------
         flat = slots.reshape(-1)
@@ -255,14 +269,22 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
 
         e_dir = jax.checkpoint(tile_energy)(ext, ids)
 
-        # overflow safety: the NaN poison term touches every position so
-        # every atom's force is poisoned too (same as the 1-device route)
+        # overflow + traced-box-validity safety: the NaN poison term
+        # touches every position so every atom's force is poisoned too
+        # (same as the 1-device route, energy.py).  The edge check makes
+        # barostat (NPT) moves safe: a box shrunk until a cell plane
+        # spacing is below the cutoff would make the half-shell walk miss
+        # pairs — poison instead.
+        from ..pairs import plane_widths
         overflow_tot = jax.lax.psum(overflow, axis_name)
+        edge = plane_widths(box) / jnp.asarray(
+            np.asarray(spec.cell_grid), dtype)
+        bad = (overflow_tot > 0) | jnp.any(edge < spec.cutoff)
         e_dir = e_dir + jnp.sum(positions) * jnp.where(
-            overflow_tot > 0, jnp.asarray(jnp.nan, dtype), 0.0)
+            bad, jnp.asarray(jnp.nan, dtype), 0.0)
 
         # -- exclusions: index-chunked (subtract route) ----------------------
-        e_excl = _excl_chunk_energy(positions, q, system, dev * e_chunk,
+        e_excl = _excl_chunk_energy(positions, q, sysb, dev * e_chunk,
                                     e_chunk)
 
         # -- self: atom-index-chunked ---------------------------------------
@@ -277,7 +299,7 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
 
             mesh_grid = pme_halo_mesh(spec)
             q_mesh = jax.lax.psum(
-                pme_halo_local_mesh(g8, ids, system, dev, mesh_grid),
+                pme_halo_local_mesh(g8, ids, sysb, dev, mesh_grid),
                 axis_name)
             qhat = jnp.fft.rfftn(q_mesh)
             d = influence_function(mesh_grid, box, alpha, spec.pme_order,

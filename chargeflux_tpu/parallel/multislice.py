@@ -40,7 +40,11 @@ def make_multislice_energy_fn(system, mesh: Mesh, slice_axis: str = "slice",
     divides the axis, work sharding otherwise).  Differentiable."""
     ndev = mesh.shape[space_axis]
     if halo_compatible(system, ndev):
-        inner = _halo_local_energy_builder(system, space_axis, ndev)
+        halo_inner = _halo_local_energy_builder(system, space_axis, ndev)
+        # replica ensembles run at the fixed creation-time box (NPT over
+        # replicas goes through npt.npt_vmaps_over_replicas / the vmap
+        # drivers, not this path)
+        inner = lambda x: halo_inner(x, system.box)
     else:
         inner = _local_energy_builder(system, space_axis, ndev)
 

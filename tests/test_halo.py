@@ -210,20 +210,67 @@ def test_halo_devices_forces_cell_route():
                             direct_method="dense", halo_devices=2)
 
 
-def test_halo_rejects_npt_shrunk_box():
-    """NPT x halo is unsupported (slab margins bake the creation box):
-    rebuilding the halo energy fn on a with_box-shrunk system must raise,
-    not silently miss pairs."""
+def test_halo_traced_box_moves_and_guards():
+    """NPT x halo (round 4): the halo energy takes a (traced) box arg —
+    a small volume move matches the single-chip with_box energy/forces
+    exactly; a shrink past grid validity NaN-poisons in-jit (the
+    energy.py guard pattern); an *invalid creation box* still refuses at
+    build time (config error, not a runtime move)."""
     from chargeflux_tpu.parallel.halo import make_halo_energy_fn
     force, pos, _, box = water_box(n_side=10, flux="bond_angle",
                                    cutoff=0.6, seed=2)
     system = force.create_system(box=box, dtype=jnp.float64,
                                  direct_method="cell", halo_devices=2)
     mesh = Mesh(np.asarray(jax.devices()[:2]), ("space",))
-    make_halo_energy_fn(system, mesh)       # creation box: fine
+    e_fn = make_halo_energy_fn(system, mesh)
+    x = jnp.asarray(pos)
+    for s in (1.02, 0.985):
+        box_s = s * jnp.asarray(box)
+        x_s = s * x        # scale coordinates with the box (physical move)
+        e_ref, f_ref = _energy_and_forces(x_s, system.with_box(box_s))
+        np.testing.assert_allclose(float(e_fn(x_s, box_s)), float(e_ref),
+                                   rtol=1e-11)
+        f = -jax.grad(e_fn)(x_s, box_s)
+        np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
+                                   rtol=1e-8, atol=1e-10)
+    # grid-validity shrink: poisoned, never silently missing pairs
+    assert np.isnan(float(e_fn(x * 0.7, 0.7 * jnp.asarray(box))))
+    # invalid CREATION box still refuses at build
     shrunk = system.with_box(0.7 * jnp.asarray(box))
-    with pytest.raises(ValueError, match="NPT"):
+    with pytest.raises(ValueError, match="creation-time"):
         make_halo_energy_fn(shrunk, mesh)
+
+
+def test_npt_over_halo_matches_single_chip():
+    """npt_langevin_trajectory(energy_fn=halo) on the virtual mesh must
+    reproduce the single-chip NPT trajectory (same key): the barostat's
+    volume moves ride the halo energy's traced box, and the composition
+    is exact because the halo route re-bins fresh every step."""
+    from chargeflux_tpu.npt import npt_langevin_trajectory
+    from chargeflux_tpu.parallel.halo import make_halo_energy_fn
+
+    force, pos, masses, box = water_box(n_side=6, flux="bond_angle",
+                                        cutoff=0.42, seed=7)
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell", halo_devices=2)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("space",))
+    e_halo = make_halo_energy_fn(system, mesh)
+    x = jnp.asarray(pos)
+    m = jnp.asarray(np.asarray(masses))
+    key = jax.random.PRNGKey(11)
+    kw = dict(dt=5e-4, temperature=250.0, friction=2.0, pressure_bar=1.0,
+              key=key, n_steps=4, barostat_interval=2)
+    x_h, v_h, box_h, diag_h = npt_langevin_trajectory(
+        x, jnp.zeros_like(x), system, m, energy_fn=e_halo, **kw)
+    x_s, v_s, box_s, diag_s = npt_langevin_trajectory(
+        x, jnp.zeros_like(x), system, m, **kw)
+    assert np.all(np.isfinite(np.asarray(diag_h["energies"])))
+    np.testing.assert_allclose(np.asarray(box_h), np.asarray(box_s),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(x_h), np.asarray(x_s),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(diag_h["energies"]),
+                               np.asarray(diag_s["energies"]), rtol=1e-8)
 
 
 @pytest.mark.slow

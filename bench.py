@@ -214,13 +214,17 @@ def measure_md_step(x, system, masses, force=None, bonded=None):
     for _ in range(max(1, int(np.ceil(240 / re_burn)))):
         e_last, p = run_b(p, 1)
         assert np.isfinite(float(e_last)), "burn-in chunk NaN-poisoned"
-        p = np.array(p)
+        # view the carry as [N, 9] for the host-side quench regardless of
+        # the packed-carry representation (integrate.PACKED_CARRY_MODE:
+        # "flat" carries [N*9])
+        p_shape = np.shape(p)
+        p = np.array(p).reshape(-1, 9)
         v = p[:, 3:6].astype(np.float64)
         t_cur = float(np.sum(m_np[:, None] * v * v)) / (n_dof * kB)
         p[:, 3:6] = (v * math.sqrt(300.0 / max(t_cur, 1.0))).astype(
             p.dtype)
         occ_hist.append(max_cell_occupancy(p[:, :3], system))
-        p = jnp.asarray(p)
+        p = jnp.asarray(p.reshape(p_shape))
 
     # production capacity: 1.05 over the relaxed-half peak occupancy
     # (rounded to 8), never below the lattice-derived value; the in-jit
@@ -230,7 +234,8 @@ def measure_md_step(x, system, masses, force=None, bonded=None):
     if force is not None and cap_eq > system.spec.cell_capacity:
         system = _with_capacity(force, system, cap_eq)
 
-    xr, vr = p[:, :3], p[:, 3:6]
+    p9 = jnp.reshape(p, (-1, 9))
+    xr, vr = p9[:, :3], p9[:, 3:6]
     e_fn, init_nb, make_run = bind(system)
     s1 = init_state_nb(jnp.asarray(xr), jnp.asarray(vr), e_fn, init_nb)
     vmax = float(np.max(np.linalg.norm(np.asarray(vr), axis=-1)))

@@ -655,12 +655,19 @@ class CoulForce:
                         raise ValueError(
                             f"cell_grid override {req} needs 3 axes of "
                             f">=3 cells")
-                    if any(r > d for r, d in zip(req, ncells)):
+                    # hard coverage bound: width/ncells >= cutoff (zero
+                    # skin).  Finer than the skin-reserved derived grid is
+                    # allowed (an expert work-balance knob: thinner skin
+                    # means more frequent rebuilds, guarded by the
+                    # freshness poison) but never finer than the cutoff
+                    # itself — that would silently miss pairs.
+                    hard_max = tuple(int(np.floor(w / self._cutoff))
+                                     for w in widths)
+                    if any(r > d for r, d in zip(req, hard_max)):
                         raise ValueError(
-                            f"cell_grid override {req} exceeds the derived "
-                            f"grid {ncells}: more cells per axis would "
-                            f"shrink cells below the cutoff and miss "
-                            f"pairs (only reductions are safe)")
+                            f"cell_grid override {req} exceeds the "
+                            f"zero-skin bound {hard_max}: cells would "
+                            f"shrink below the cutoff and miss pairs")
                     if halo_devices is not None and halo_devices > 1 \
                             and req[0] % halo_devices:
                         raise ValueError(

@@ -268,24 +268,28 @@ def test_rank_into_slots_masked_branches(force_sort):
 
 def test_cell_grid_override_matches_default():
     """create_system(cell_grid=...) may reduce axes (wider cells keep
-    coverage) — energies/forces must be identical to the derived grid;
-    raising an axis must raise (it would shrink cells below the cutoff).
-    Expert knob for the gz-sublane padding cliff (round 3)."""
+    coverage) or raise them up to the zero-skin bound floor(width/cutoff)
+    (round 4: thinner Verlet skin, guarded by the freshness poison) —
+    energies/forces must be identical to the derived grid either way;
+    past the zero-skin bound it must raise (cells below the cutoff would
+    miss pairs).  Expert knob for the grid-padding cliff (round 3)."""
     force, pos, _, box = water_box(n_side=10, flux="bond_angle", cutoff=0.6,
                                    seed=8)
     x = jnp.asarray(pos)
     sys_a = force.create_system(box=box, dtype=jnp.float64,
                                 direct_method="cell")
     assert sys_a.spec.cell_grid == (4, 4, 4)
-    sys_b = force.create_system(box=box, dtype=jnp.float64,
-                                direct_method="cell", cell_grid=(4, 4, 3))
-    assert sys_b.spec.cell_grid == (4, 4, 3)
     e_a, f_a = cf.energy_and_forces(x, sys_a)
-    e_b, f_b = cf.energy_and_forces(x, sys_b)
-    assert abs(float(e_a - e_b)) <= 1e-10 * abs(float(e_a))
     scale = float(np.max(np.abs(np.asarray(f_a))))
-    np.testing.assert_allclose(np.asarray(f_b) / scale,
-                               np.asarray(f_a) / scale, atol=1e-12)
-    with pytest.raises(ValueError, match="exceeds the derived"):
+    # reduction (4,4,3) and zero-skin-bounded raise (5,4,4): both exact
+    for g in ((4, 4, 3), (5, 4, 4)):
+        sys_b = force.create_system(box=box, dtype=jnp.float64,
+                                    direct_method="cell", cell_grid=g)
+        assert sys_b.spec.cell_grid == g
+        e_b, f_b = cf.energy_and_forces(x, sys_b)
+        assert abs(float(e_a - e_b)) <= 1e-10 * abs(float(e_a))
+        np.testing.assert_allclose(np.asarray(f_b) / scale,
+                                   np.asarray(f_a) / scale, atol=1e-12)
+    with pytest.raises(ValueError, match="zero-skin"):
         force.create_system(box=box, dtype=jnp.float64,
-                            direct_method="cell", cell_grid=(5, 4, 4))
+                            direct_method="cell", cell_grid=(6, 4, 4))

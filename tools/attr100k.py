@@ -1,0 +1,81 @@
+"""100k attribution pass (VERDICT r3 item 4): the config hasn't moved
+since round 2 (9.0-9.1 ms).  Same-process alternated full-MD-step A/B of
+cell-grid variants at the 100k shapes, with per-phase in-context
+marginals for the control:
+
+  nat      natural grid (11^3 at rc 0.8) — the shipped config
+  z8       (11, 11, 8): snap the sublane (gz) axis to 8
+  g12z8    (12, 12, 8): 8-multiple-adjacent x/y too, and gx*gy = 144
+           columns unlocks the cb=4 spread column batch (121 is prime^2)
+
+Usage: python tools/attr100k.py [reps] [case ...]
+"""
+
+import json
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+from bench import build_full, measure_md_step, measure_phases, \
+    wait_for_backend  # noqa: E402
+from chargeflux_tpu.cells import suggest_capacity  # noqa: E402
+from chargeflux_tpu.models import water_box  # noqa: E402
+
+
+def build_grid(grid):
+    force, pos, masses, box = water_box(n_side=32, flux="bond_angle",
+                                        cutoff=0.8)
+    kw = {} if grid is None else {"cell_grid": tuple(grid)}
+    system = force.create_system(box=box, dtype=jnp.float32,
+                                 direct_method="cell", **kw)
+    cap = suggest_capacity(pos, box, system.spec.cell_grid, margin=1.05)
+    if cap != system.spec.cell_capacity:
+        system = force.create_system(box=box, dtype=jnp.float32,
+                                     direct_method="cell",
+                                     cell_capacity=cap, **kw)
+    return (jnp.asarray(pos, jnp.float32), system,
+            jnp.asarray(np.asarray(masses), jnp.float32), force)
+
+
+GRIDS = {"nat": None, "z8": (11, 11, 8), "g12z8": (12, 12, 8)}
+
+
+def main():
+    args = sys.argv[1:]
+    reps = int(args[0]) if args and args[0].isdigit() else 2
+    names = [a for a in args if not a.isdigit()] or list(GRIDS)
+    wait_for_backend()
+    cases = {}
+    for name in names:
+        if name == "nat":
+            x, system, masses, force = build_full("100k")
+        else:
+            x, system, masses, force = build_grid(GRIDS[name])
+        cases[name] = (x, system, masses, force)
+        print(json.dumps({"case": name,
+                          "grid": list(system.spec.cell_grid),
+                          "cap": system.spec.cell_capacity,
+                          "walk_chunks": system.spec.walk_chunks,
+                          "pme": list(system.spec.pme_grid)}), flush=True)
+
+    acc = {}
+    for r in range(reps):
+        for name, (x, system, masses, force) in cases.items():
+            ms, e, sys_out = measure_md_step(x, system, masses, force=force)
+            assert np.isfinite(e), name
+            rec = {"case": name, "ms_per_md_step": round(ms, 4),
+                   "cap": sys_out.spec.cell_capacity}
+            if r == 0:
+                rec["phases_ms"] = measure_phases(x, sys_out)
+            acc.setdefault(name, []).append(ms)
+            print(json.dumps(rec), flush=True)
+    for name, vals in acc.items():
+        print(json.dumps({"case": name,
+                          "median_ms": round(float(np.median(vals)), 4),
+                          "all": [round(v, 3) for v in vals]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -30,7 +30,8 @@ from chargeflux_tpu.cells import suggest_capacity  # noqa: E402
 from chargeflux_tpu.models import water_box  # noqa: E402
 
 
-def build(cutoff: float, layout: str = "shift", gz8: bool = False):
+def build(cutoff: float, layout: str = "shift", gz8: bool = False,
+          grid=None, cap_override=None):
     force, pos, masses, box = water_box(n_side=22, flux="bond_angle",
                                         cutoff=cutoff)
     system = force.create_system(box=box, dtype=jnp.float32,
@@ -41,10 +42,17 @@ def build(cutoff: float, layout: str = "shift", gz8: bool = False):
         # block/slab array; gz=9/10 measured a ~2x in-context walk cliff)
         gx, gy, gz = system.spec.cell_grid
         kw["cell_grid"] = (gx, gy, max((gz // 8) * 8, 3))
+    if grid is not None:
+        # explicit grid override (skin/interval trade A/B: a coarser grid
+        # buys Verlet skin and rebuild-interval amortization at the cost
+        # of more padded walk slots)
+        kw["cell_grid"] = tuple(grid)
+    if kw:
         system = force.create_system(box=box, dtype=jnp.float32,
                                      direct_method="cell",
                                      walk_layout=layout, **kw)
-    cap = suggest_capacity(pos, box, system.spec.cell_grid, margin=1.05)
+    cap = (cap_override if cap_override is not None else
+           suggest_capacity(pos, box, system.spec.cell_grid, margin=1.05))
     if cap != system.spec.cell_capacity:
         system = force.create_system(box=box, dtype=jnp.float32,
                                      direct_method="cell", cell_capacity=cap,
@@ -59,8 +67,16 @@ def main():
         parts = ent.split(":")
         rc = float(parts[0])
         layout = parts[1] if len(parts) > 1 and parts[1] else "shift"
-        gz8 = len(parts) > 2 and parts[2] == "gz8"
-        x, system, masses = build(rc, layout, gz8)
+        gz8 = "gz8" in parts[2:]
+        grid = cap_override = None
+        for tok in parts[2:]:
+            if tok.startswith("g") and tok != "gz8":
+                g = tok[1:].split("x")
+                grid = ([int(g[0])] * 3 if len(g) == 1
+                        else [int(v) for v in g])
+            elif tok.startswith("cap"):
+                cap_override = int(tok[3:])
+        x, system, masses = build(rc, layout, gz8, grid, cap_override)
         spec = system.spec
         ms, e_check, _ = measure_md_step(x, system, masses)
         from bench import measure_phases

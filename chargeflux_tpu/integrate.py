@@ -116,16 +116,22 @@ def nve_step_nb(state: MDStateNB, e_fn, masses, dt: float) -> MDStateNB:
 
 
 # Packed-carry representation knob (round-4 hetero lead, BASELINE.md):
-# "packed"  — [N, 9] x|v|f, the round-2 measured default
-# "barrier" — [N, 9] with lax.optimization_barrier on the carry at each
-#             inner-step boundary (pins the layout choice against the
-#             energy graph's preferences)
-# "flat"    — [N*9] 1-D carry, reshaped to [N, 9] inside the step (a 1-D
-#             buffer has exactly one layout, so the loop boundary cannot
-#             relayout it; the replica drivers already carry flat)
+# "packed"   — [N, 9] x|v|f, the round-2 measured default
+# "barrier"  — [N, 9] with lax.optimization_barrier on the carry at each
+#              inner-step boundary (pins the layout choice against the
+#              energy graph's preferences)
+# "flat"     — [N*9] 1-D carry, reshaped to [N, 9] inside the step (a 1-D
+#              buffer has exactly one layout, so the loop boundary cannot
+#              relayout it; the replica drivers already carry flat)
+# "xbarrier" — barrier on the positions handed TO the energy fn (stops
+#              the energy graph's gather-driven layout preference from
+#              propagating back into the carry buffer)
+# "fbarrier" — barrier on the forces coming OUT of the energy fn
+# "xfbarrier"— both
 # Module-level so measurement tools can A/B without threading an arg
 # through every driver; production default is set by the measured winner.
 PACKED_CARRY_MODE = "packed"
+_MODES = ("packed", "barrier", "flat", "xbarrier", "fbarrier", "xfbarrier")
 
 
 def make_packed_nve_chunk(e_fn, init_nb, masses, dt: float,
@@ -146,7 +152,7 @@ def make_packed_nve_chunk(e_fn, init_nb, masses, dt: float,
     carried (it is constant between rebuilds).  ``carry`` selects the
     carry representation (default :data:`PACKED_CARRY_MODE`)."""
     mode = PACKED_CARRY_MODE if carry is None else carry
-    if mode not in ("packed", "barrier", "flat"):
+    if mode not in _MODES:
         raise ValueError(f"unknown packed-carry mode {mode!r}")
     inv_m_v = 0.5 * dt / jnp.asarray(masses)
 
@@ -166,7 +172,11 @@ def make_packed_nve_chunk(e_fn, init_nb, masses, dt: float,
             inv_m = inv_m_v[:, None]
             v_half = v + f * inv_m
             x_new = x + dt * v_half
-            e, f_new, _ = e_fn(x_new, nb)
+            x_e = (jax.lax.optimization_barrier(x_new)
+                   if mode in ("xbarrier", "xfbarrier") else x_new)
+            e, f_new, _ = e_fn(x_e, nb)
+            if mode in ("fbarrier", "xfbarrier"):
+                f_new = jax.lax.optimization_barrier(f_new)
             v_new = v_half + f_new * inv_m
             p_new = jnp.concatenate([x_new, v_new, f_new], axis=1)
             if mode == "flat":

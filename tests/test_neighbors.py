@@ -150,7 +150,8 @@ def test_packed_carry_modes_are_pure_layout_changes():
     s0 = init_state_nb(x, jnp.zeros_like(x), e_nb, init_nb)
 
     results = {}
-    for mode in ("packed", "barrier", "flat"):
+    modes = ("packed", "barrier", "flat", "xfbarrier")
+    for mode in modes:
         old = integrate.PACKED_CARRY_MODE
         integrate.PACKED_CARRY_MODE = mode
         try:
@@ -161,6 +162,6 @@ def test_packed_carry_modes_are_pure_layout_changes():
         results[mode] = (np.asarray(final.positions),
                          np.asarray(final.velocities), np.asarray(etot))
 
-    for mode in ("barrier", "flat"):
+    for mode in modes[1:]:
         for a, b in zip(results["packed"], results[mode]):
             np.testing.assert_array_equal(a, b, err_msg=mode)

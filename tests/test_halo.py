@@ -310,3 +310,35 @@ def test_halo_slab_binning_scales_to_1m_atoms():
     flat = np.asarray(slots).ravel()
     sample = np.where(owned)[0][:1000]
     assert np.all(flat[sof[sample]] == sample)
+
+
+def test_aniso_npt_over_halo_triclinic():
+    """The anisotropic barostat composes with the halo energy on a
+    triclinic lattice: per-row scaling rides the traced [3, 3] box
+    through the halo route and the trajectory stays finite with the
+    reduced lower-triangular form preserved."""
+    from chargeflux_tpu.npt import npt_anisotropic_langevin_trajectory
+    from chargeflux_tpu.parallel.halo import make_halo_energy_fn
+
+    force, pos, masses, box = water_box(n_side=6, flux="bond_angle",
+                                        cutoff=0.42, seed=7)
+    L = np.asarray(box, np.float64)
+    B = np.array([[L[0], 0.0, 0.0],
+                  [0.10 * L[0], L[1], 0.0],
+                  [0.05 * L[0], -0.08 * L[1], L[2]]])
+    system = force.create_system(box=B, dtype=jnp.float64,
+                                 direct_method="cell", halo_devices=2)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("space",))
+    e_halo = make_halo_energy_fn(system, mesh)
+    x = jnp.asarray(pos)
+    m = jnp.asarray(np.asarray(masses))
+    x1, v1, b1, diag = npt_anisotropic_langevin_trajectory(
+        x, jnp.zeros_like(x), system, m, dt=2e-4, temperature=250.0,
+        friction=5.0, pressure_bar=1.0, key=jax.random.PRNGKey(5),
+        n_steps=4, barostat_interval=2, energy_fn=e_halo)
+    assert np.all(np.isfinite(np.asarray(diag["energies"])))
+    b1 = np.asarray(b1)
+    assert b1[0, 1] == 0.0 and b1[0, 2] == 0.0 and b1[1, 2] == 0.0
+    for a in range(3):
+        s = b1[a, a] / B[a, a]
+        np.testing.assert_allclose(b1[a], s * B[a], rtol=1e-12, atol=1e-15)

@@ -22,6 +22,7 @@ from .bonded import (BondedParams, bonded_energy,
                      flat_bottom_restraint_energy,
                      position_restraint_energy)
 from .constraints import (
+    DistanceConstraints,
     RigidWaterParams,
     project_positions,
     project_velocities,
@@ -72,7 +73,8 @@ __all__ = [
     "forces", "forces_manual",
     "BondedParams", "bonded_energy", "flat_bottom_restraint_energy",
     "position_restraint_energy",
-    "RigidWaterParams", "project_positions", "project_velocities",
+    "DistanceConstraints", "RigidWaterParams", "project_positions",
+    "project_velocities",
     "rattle_verlet_step", "rattle_nve_trajectory",
     "rattle_langevin_trajectory", "rattle_langevin_trajectory_nb",
     "make_energy_fn", "nve_step", "nve_trajectory", "init_state",

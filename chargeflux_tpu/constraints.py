@@ -197,8 +197,123 @@ def _displace_soa(lam, d_ref, im):
     return dx
 
 
-def project_positions(x_old, x_unc, params: RigidWaterParams,
-                      n_iter: int = 4, tol: float = None):
+# ---------------------------------------------------------------------------
+# General distance constraints (parallel SHAKE/RATTLE)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DistanceConstraints:
+    """Arbitrary pairwise distance constraints — the OpenMM
+    ``constraints=HBonds``-style L0 service for topologies that are not
+    contiguous 3-site waters (solute X-H bonds, mixed systems).
+
+    TPU-first shape: one Jacobi-SHAKE sweep is a [C]-vector update (one
+    row gather of each endpoint, one scatter-add of the impulses —
+    deterministic under XLA), iterated a *fixed* ``n_iter`` times so the
+    whole projection is straight-line code under jit; non-convergence
+    NaN-poisons the positions (house failure-detection style) instead of
+    silently approximating.  Jacobi (simultaneous) sweeps converge for
+    molecular constraint graphs at ``omega`` <= 2/(1+max coupling); the
+    default 1.0 handles chains and X-Hn centers, and the poison guard
+    makes a too-optimistic setting visible.  The fully-coupled water
+    triangle contracts at ~0.78/sweep under Jacobi (measured), so the
+    128-sweep default reaches f64 machine residuals from MD-size
+    violations; each sweep is O(C) vector work.  The contiguous rigid-water
+    template keeps the faster closed-form path (:class:`RigidWaterParams`,
+    exact 3x3 Newton, no gathers); this class is the general fallback —
+    both plug into the same ``constraints=`` slot of every driver.
+    """
+
+    idx: jax.Array        # [C, 2] int32 endpoint atom ids
+    targets2: jax.Array   # [C] squared target lengths, nm^2
+    inv_m: jax.Array      # [N] per-atom inverse masses, 1/amu
+    n_iter: int = dataclasses.field(default=128,
+                                    metadata=dict(static=True))
+    omega: float = dataclasses.field(default=1.0,
+                                     metadata=dict(static=True))
+
+    @classmethod
+    def create(cls, pairs, lengths, masses, n_iter: int = 128,
+               omega: float = 1.0, dtype=jnp.float64):
+        pairs = np.asarray(pairs, np.int32).reshape(-1, 2)
+        lengths = np.asarray(lengths, np.float64).reshape(-1)
+        if pairs.shape[0] != lengths.shape[0]:
+            raise ValueError("one target length per constrained pair")
+        return cls(idx=jnp.asarray(pairs),
+                   targets2=jnp.asarray(lengths * lengths, dtype),
+                   inv_m=1.0 / jnp.asarray(np.asarray(masses), dtype),
+                   n_iter=n_iter, omega=omega)
+
+    @property
+    def n_constraints(self) -> int:
+        return int(self.idx.shape[0])
+
+
+def _shake_positions(x_old, x_unc, p: DistanceConstraints, tol=None):
+    """Parallel-SHAKE position projection: corrections along the
+    ``x_old`` bond directions with mass weighting (valid constraint
+    impulses — per-cluster COM and angular momentum preserved), same
+    fixed-point equations as the closed-form water path."""
+    dtype = x_unc.dtype
+    if tol is None:
+        tol = 1e-10 if dtype == jnp.float64 else 1e-4
+    i, j = p.idx[:, 0], p.idx[:, 1]
+    im = p.inv_m.astype(dtype)
+    im_i, im_j = im[i], im[j]
+    t2 = p.targets2.astype(dtype)
+    d_ref = x_old[i] - x_old[j]                        # [C, 3]
+    denom = 2.0 * (im_i + im_j)
+
+    def body(x, _):
+        d = x[i] - x[j]
+        c = jnp.sum(d * d, axis=-1) - t2
+        g = jnp.sum(d * d_ref, axis=-1)
+        dlam = p.omega * c / (denom * g)
+        corr = dlam[:, None] * d_ref
+        return (x.at[i].add(-corr * im_i[:, None])
+                 .at[j].add(corr * im_j[:, None])), None
+
+    x, _ = jax.lax.scan(body, x_unc, None, length=p.n_iter)
+    d = x[i] - x[j]
+    res = jnp.max(jnp.abs(jnp.sum(d * d, axis=-1) - t2))
+    poison = jnp.where(res > tol, jnp.asarray(jnp.nan, dtype), 1.0)
+    return x * poison
+
+
+def _shake_velocities(x, v_unc, p: DistanceConstraints, tol=None):
+    """Parallel-RATTLE velocity projection (J v = 0 along current bonds).
+    The multiplier system is linear; the same Jacobi sweeps apply, with
+    the same visibility contract (residual past tol poisons)."""
+    dtype = v_unc.dtype
+    if tol is None:
+        tol = 1e-8 if dtype == jnp.float64 else 1e-3
+    i, j = p.idx[:, 0], p.idx[:, 1]
+    im = p.inv_m.astype(dtype)
+    im_i, im_j = im[i], im[j]
+    d = x[i] - x[j]
+    d2 = jnp.sum(d * d, axis=-1)
+    denom = d2 * (im_i + im_j)
+
+    def body(v, _):
+        dv = v[i] - v[j]
+        c = jnp.sum(d * dv, axis=-1)
+        dmu = p.omega * c / denom
+        corr = dmu[:, None] * d
+        return (v.at[i].add(-corr * im_i[:, None])
+                 .at[j].add(corr * im_j[:, None])), None
+
+    v, _ = jax.lax.scan(body, v_unc, None, length=p.n_iter)
+    dv = v[i] - v[j]
+    # residual in relative-velocity units (nm/ps) along the unit bond
+    res = jnp.max(jnp.abs(jnp.sum(d * dv, axis=-1)) / jnp.sqrt(d2))
+    poison = jnp.where(res > tol, jnp.asarray(jnp.nan, dtype), 1.0)
+    return v * poison
+
+
+def project_positions(x_old, x_unc, params, n_iter: int = 4,
+                      tol: float = None):
     """RATTLE position projection: returns x_new with every rigid-water
     bond restored to its target length, reached from ``x_unc`` along the
     mass-weighted constraint gradients of ``x_old`` (so the correction is
@@ -209,7 +324,12 @@ def project_positions(x_old, x_unc, params: RigidWaterParams,
     Newton iterations on the 3x3 multiplier system; if the final residual
     exceeds ``tol`` (default: 1e-10 f64 / 1e-4 f32, in nm^2) the molecule
     diverged (unconstrained step too wild) and the positions NaN-poison.
+
+    A :class:`DistanceConstraints` params takes the general parallel-SHAKE
+    route instead (same fixed-point equations, arbitrary topology).
     """
+    if isinstance(params, DistanceConstraints):
+        return _shake_positions(x_old, x_unc, params, tol)
     head, xo, tail = _soa_view(x_old, params)
     _, xu, _ = _soa_view(x_unc, params)
     dtype = x_unc.dtype
@@ -250,7 +370,12 @@ def project_velocities(x, v_unc, params: RigidWaterParams):
     """RATTLE velocity projection: returns v with the relative velocity
     along every constrained bond removed (J v = 0), via one exact 3x3
     solve per molecule.  Preserves each molecule's COM velocity and
-    angular momentum (impulses are along the bonds)."""
+    angular momentum (impulses are along the bonds).
+
+    A :class:`DistanceConstraints` params takes the general parallel-
+    RATTLE route instead."""
+    if isinstance(params, DistanceConstraints):
+        return _shake_velocities(x, v_unc, params)
     head, xm, tail = _soa_view(x, params)
     _, vm, _ = _soa_view(v_unc, params)
     dtype = v_unc.dtype
@@ -268,8 +393,12 @@ def project_velocities(x, v_unc, params: RigidWaterParams):
     return _soa_pack(head, vm, tail)
 
 
-def constraint_residuals(x, params: RigidWaterParams):
-    """[count, 3] squared-length violations (diagnostics/tests)."""
+def constraint_residuals(x, params):
+    """Squared-length violations (diagnostics/tests): [count, 3] for the
+    rigid-water template, [C] for general distance constraints."""
+    if isinstance(params, DistanceConstraints):
+        d = x[params.idx[:, 0]] - x[params.idx[:, 1]]
+        return jnp.sum(d * d, axis=-1) - params.targets2.astype(x.dtype)
     _, xm, _ = _mol_view(x, params)
     d = _bond_vectors(xm)
     return jnp.sum(d * d, axis=-1) - params.targets2.astype(x.dtype)

@@ -397,15 +397,37 @@ def _block_spread_coords(blocks, box):
 def _pallas_spread_ok(spec, dtype) -> bool:
     """The Pallas column-spread kernel applies on the TPU f32 path when the
     patch windows are strictly narrower than the mesh (always true for
-    production boxes; tiny test grids fall back to the XLA fold path)."""
+    production boxes; tiny test grids fall back to the XLA fold path) AND
+    the backward pass's per-program buffers fit Mosaic's 16 MB scoped
+    VMEM.  The estimate mirrors ops/pallas_pme._bwd_kernel at cb=1: the
+    padded mesh block plus the [Wx*Wyp, rows] a2/d_a2 transients and the
+    [rows, Gz] dense-z pair — fat-capacity configs (e.g. a 100k box
+    binned on wide z cells: rows = gz_cells*cap ~ 1760) overflow the
+    stack and must take the XLA cell path instead (measured: compile-time
+    scoped-vmem OOM at 17.7M, round 4)."""
     if dtype != jnp.float32 or jax.default_backend() != "tpu":
         return False
     gx, gy, gz = spec.pme_grid
     ngx, ngy, ngz = spec.cell_grid
     sx, sy, _ = spec.pme_slack
-    wx = _patch_width(ngx, gx, spec.pme_order, sx)
-    wy = _patch_width(ngy, gy, spec.pme_order, sy)
-    return wx < gx and wy < gy and spec.pme_order < gz
+    order = spec.pme_order
+    wx = _patch_width(ngx, gx, order, sx)
+    wy = _patch_width(ngy, gy, order, sy)
+    if not (wx < gx and wy < gy and order < gz):
+        return False
+    wyp = -(-wy // 8) * 8
+    rows = ngz * spec.cell_capacity
+    mesh_pad = (gx + 2 * order) * (gy + 2 * order) * gz
+    blocks = 2 * (wx + wyp + order + 1) * rows          # in + out, cb=1
+    transients = (2 * wx * wyp * rows                   # a2 + d_a2
+                  + 2 * rows * gz                       # wzd + d_dense
+                  + wx * wyp * gz)                      # dp
+    est_bytes = 4 * (mesh_pad + 2 * blocks + transients)
+    # Calibration: Mosaic's true stack peak runs ~1.5x this estimate
+    # (the (11,11,8)/cap-220 config read 17.73M actual vs 11.62M here),
+    # so gate at 9.5M: production configs sit well under (30k 4.7M,
+    # 100k 8.1M) and the observed OOM config is excluded.
+    return est_bytes <= int(9.5 * 2 ** 20)
 
 
 def pme_cell_pallas_reciprocal_energy(blocks, ids, system) -> jax.Array:

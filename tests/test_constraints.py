@@ -174,3 +174,109 @@ def test_rigid_langevin_nb_cell_route():
     assert kes[-1] > kes[0]
     res = np.asarray(constraint_residuals(s1.positions, params))
     assert np.abs(res).max() < 1e-10
+
+
+# ---------------------------------------------------------------------------
+# General distance constraints (parallel SHAKE/RATTLE, round 4)
+# ---------------------------------------------------------------------------
+
+
+def _general_from_rigid(params, masses):
+    """DistanceConstraints equivalent of a RigidWaterParams template."""
+    from chargeflux_tpu.constraints import DistanceConstraints
+
+    pairs, lengths = [], []
+    t = np.sqrt(np.asarray(params.targets2, np.float64))
+    for mol in range(params.count):
+        base = params.offset + 3 * mol
+        for k, (i, j) in enumerate(_BONDS):
+            pairs.append((base + i, base + j))
+            lengths.append(t[k])
+    return DistanceConstraints.create(pairs, lengths, masses)
+
+
+def test_general_constraints_match_rigid_water_projection():
+    """The Jacobi-SHAKE route and the closed-form 3x3 Newton route solve
+    the same fixed-point equations (corrections along old bond directions,
+    mass-weighted): projections must agree to convergence tolerance on a
+    perturbed rigid-water box, positions AND velocities."""
+    _force, x, m, _box, params = _setup()
+    gen = _general_from_rigid(params, m)
+    rng = np.random.default_rng(5)
+    x_unc = x + jnp.asarray(rng.normal(0, 0.004, x.shape))
+    x_a = project_positions(x, x_unc, params)
+    x_b = project_positions(x, x_unc, gen)
+    np.testing.assert_allclose(np.asarray(x_b), np.asarray(x_a),
+                               rtol=0, atol=1e-9)
+    v_unc = jnp.asarray(rng.normal(0, 1.0, x.shape))
+    v_a = project_velocities(x_a, v_unc, params)
+    v_b = project_velocities(x_a, v_unc, gen)
+    np.testing.assert_allclose(np.asarray(v_b), np.asarray(v_a),
+                               rtol=0, atol=1e-9)
+    # momentum preserved by the impulse structure
+    p_before = np.sum(np.asarray(m)[:, None] * np.asarray(v_unc), axis=0)
+    p_after = np.sum(np.asarray(m)[:, None] * np.asarray(v_b), axis=0)
+    np.testing.assert_allclose(p_after, p_before, rtol=1e-12)
+
+
+def test_general_constraints_chain_topology():
+    """A serial chain of shared-atom constraints (the coupling pattern the
+    3-site closed form cannot express): projection restores every length,
+    velocity projection zeroes every bond-direction relative velocity."""
+    from chargeflux_tpu.constraints import (DistanceConstraints,
+                                            constraint_residuals)
+
+    rng = np.random.default_rng(7)
+    n = 12
+    x0 = np.cumsum(rng.normal(0, 1, (n, 3)), axis=0)
+    x0 /= 1.0
+    # constrain consecutive beads at their CURRENT lengths
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    lengths = [float(np.linalg.norm(x0[i + 1] - x0[i])) for i in range(n - 1)]
+    masses = rng.uniform(1.0, 16.0, n)
+    gen = DistanceConstraints.create(pairs, lengths, masses)
+    x0 = jnp.asarray(x0)
+    x_unc = x0 + jnp.asarray(rng.normal(0, 0.02, (n, 3)))
+    x_new = project_positions(x0, x_unc, gen)
+    res = np.asarray(constraint_residuals(x_new, gen))
+    assert np.max(np.abs(res)) < 1e-10
+    v_unc = jnp.asarray(rng.normal(0, 1.0, (n, 3)))
+    v = project_velocities(x_new, v_unc, gen)
+    d = np.asarray(x_new)[1:] - np.asarray(x_new)[:-1]
+    dv = np.asarray(v)[1:] - np.asarray(v)[:-1]
+    assert np.max(np.abs(np.sum(d * dv, axis=-1))) < 1e-9
+
+
+def test_general_constraints_poison_on_nonconvergence():
+    """An unreachable projection (reference bond perpendicular to the
+    violated direction makes the SHAKE linearization singular) must
+    NaN-poison, never silently approximate."""
+    from chargeflux_tpu.constraints import DistanceConstraints
+
+    gen = DistanceConstraints.create([(0, 1)], [1.0], [1.0, 1.0], n_iter=8)
+    x_old = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    # unconstrained move puts the bond PERPENDICULAR to the old direction
+    x_unc = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 3.0, 0.0]])
+    x_new = project_positions(x_old, x_unc, gen)
+    assert np.all(np.isnan(np.asarray(x_new)[..., :]))
+
+
+def test_general_constraints_drive_rattle_integrators():
+    """DistanceConstraints plugs into the same constraints= slot as the
+    rigid-water template: a constrained NVE trajectory holds every bond
+    and conserves energy at the constrained-dynamics scale."""
+    from chargeflux_tpu.constraints import (DistanceConstraints,
+                                            constraint_residuals)
+
+    _force, x, m, _box, params = _setup()
+    force = _force
+    gen = _general_from_rigid(params, m)
+    force.setCutoffDistance(0.3)   # box/2 bound for the dense min-image sum
+    e_fn = make_energy_fn(force.create_system(box=_box, dtype=jnp.float64))
+    (x1, _v1, _f1, _e1), etot = rattle_nve_trajectory(
+        x, jnp.zeros_like(x), e_fn, m, dt=2e-4, n_steps=20, params=gen)
+    assert np.all(np.isfinite(np.asarray(etot)))
+    res = np.asarray(constraint_residuals(x1, gen))
+    assert np.max(np.abs(res)) < 1e-9
+    drift = np.max(np.abs(np.asarray(etot) - float(etot[0])))
+    assert drift < 0.5    # kJ/mol over 20 x 0.2 fs steps (lattice start)

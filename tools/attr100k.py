@@ -63,8 +63,14 @@ def main():
     acc = {}
     for r in range(reps):
         for name, (x, system, masses, force) in cases.items():
-            ms, e, sys_out = measure_md_step(x, system, masses, force=force)
-            assert np.isfinite(e), name
+            try:
+                ms, e, sys_out = measure_md_step(x, system, masses,
+                                                 force=force)
+                assert np.isfinite(e), name
+            except Exception as exc:   # a variant must not sink the A/B
+                print(json.dumps({"case": name,
+                                  "error": str(exc)[:200]}), flush=True)
+                continue
             rec = {"case": name, "ms_per_md_step": round(ms, 4),
                    "cap": sys_out.spec.cell_capacity}
             if r == 0:

@@ -27,7 +27,7 @@ def main():
     n_side = int(sys.argv[1]) if len(sys.argv) > 1 else 22
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     wait_for_backend()
-    from chargeflux_tpu.energy import _energy_and_forces
+    from chargeflux_tpu.energy import _energy
     from chargeflux_tpu.parallel.shard import _local_energy_builder
 
     cfg = {22: "30k", 32: "100k", 11: "4k"}.get(n_side, "30k")
@@ -50,8 +50,7 @@ def main():
 
     loops = {
         "roll_walk": make_loop(
-            lambda xx: jax.value_and_grad(
-                lambda z: _energy_and_forces(z, system)[0])(xx)),
+            jax.value_and_grad(lambda z: _energy(z, system))),
         "fallback": make_loop(fallback_vg),
     }
     for _ in range(reps):

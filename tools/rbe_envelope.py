@@ -49,8 +49,17 @@ def main():
                             dtype=jnp.float32)
     e_fn_p, init_nb_p = make_nb_energy_fn(system, bonded=bonded)
     s0 = init_state_nb(x, v0, e_fn_p, init_nb_p)
+    # thermalize before the accuracy legs: at the initial LATTICE the
+    # structure factor has coherent Bragg peaks and the importance-sampled
+    # estimator's variance is pathologically inflated (measured rel-RMSE
+    # > 1 at every p); the operating envelope must be quoted at a liquid
+    # state like production sampling runs
+    s0, _ = langevin_trajectory_nb(s0, e_fn_p, init_nb_p, masses, DT_PS,
+                                   150.0, 20.0, jax.random.PRNGKey(2),
+                                   n_steps=120 * re, rebuild_every=re)
 
     # --- accuracy: full-force deviation + recip-energy spread per draw ---
+    x = s0.positions
     f_ref = np.asarray(s0.forces, np.float64)
     rms_ref = float(np.sqrt(np.mean(f_ref ** 2)))
     for p in ps:

@@ -143,6 +143,22 @@ def make_rbe_nb_energy_fn(system, n_samples: int, bonded=None,
     else — self, direct walk, exclusions, flux charges, the overflow
     NaN-poison and the freshness guard — identical).  Requires a
     periodic orthorhombic system.
+
+    Choosing ``n_samples`` (p) — measured envelope at the 100k bench
+    config, thermalized liquid (round 4, BASELINE.md): single-draw force
+    noise / total-force RMS = 1.21 / 0.84 / 0.61 / 0.44 at p = 32 / 64 /
+    128 / 256 (exact 1/sqrt(p) scaling); NVT step cost 7.23 / 7.40 /
+    7.87 / 8.61 ms vs PME's 9.31.  The noise is zero-mean per step, so
+    the operative budget is the induced velocity kick 0.5*dt*dF/m
+    against the thermostat's own stochastic kick
+    ~sqrt(2*friction*dt)*v_thermal: keep the ratio under ~1/4.  At
+    dt = 0.5 fs, friction = 20/ps that is p >= ~128; the required p
+    scales ~1/friction and ~dt.  Weakly coupled thermostats (friction
+    ~1/ps) need p in the several-hundreds — at which point PME may win
+    again; measure at your config.  Never use RBE for NVE or
+    minimization (the estimator variance is absorbed only by a
+    thermostat), and average energies over steps (unbiased, but one draw
+    carries ~0.007 kJ/mol/atom std at p=128).
     """
     from .charges import effective_charges
     from .energy import energy_components_fixed_charges

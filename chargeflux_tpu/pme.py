@@ -415,6 +415,23 @@ def _pallas_spread_ok(spec, dtype) -> bool:
     wy = _patch_width(ngy, gy, order, sy)
     if not (wx < gx and wy < gy and order < gz):
         return False
+    # Calibration: Mosaic's true stack peak runs ~1.5x this estimate
+    # (the (11,11,8)/cap-220 config read 17.73M actual vs 11.62M here),
+    # so gate at 9.5M: production configs sit well under (30k 4.7M,
+    # 100k 8.1M) and the observed OOM config is excluded.
+    return _spread_bwd_vmem_est(spec) <= int(9.5 * 2 ** 20)
+
+
+def _spread_bwd_vmem_est(spec) -> int:
+    """Estimated scoped-VMEM bytes of the spread backward at cb=1
+    (mirrors ops/pallas_pme._bwd_kernel's buffers; see the calibration
+    note in :func:`_pallas_spread_ok`)."""
+    gx, gy, gz = spec.pme_grid
+    ngx, ngy, ngz = spec.cell_grid
+    sx, sy, _ = spec.pme_slack
+    order = spec.pme_order
+    wx = _patch_width(ngx, gx, order, sx)
+    wy = _patch_width(ngy, gy, order, sy)
     wyp = -(-wy // 8) * 8
     rows = ngz * spec.cell_capacity
     mesh_pad = (gx + 2 * order) * (gy + 2 * order) * gz
@@ -422,12 +439,7 @@ def _pallas_spread_ok(spec, dtype) -> bool:
     transients = (2 * wx * wyp * rows                   # a2 + d_a2
                   + 2 * rows * gz                       # wzd + d_dense
                   + wx * wyp * gz)                      # dp
-    est_bytes = 4 * (mesh_pad + 2 * blocks + transients)
-    # Calibration: Mosaic's true stack peak runs ~1.5x this estimate
-    # (the (11,11,8)/cap-220 config read 17.73M actual vs 11.62M here),
-    # so gate at 9.5M: production configs sit well under (30k 4.7M,
-    # 100k 8.1M) and the observed OOM config is excluded.
-    return est_bytes <= int(9.5 * 2 ** 20)
+    return 4 * (mesh_pad + 2 * blocks + transients)
 
 
 def pme_cell_pallas_reciprocal_energy(blocks, ids, system) -> jax.Array:

@@ -298,3 +298,30 @@ def test_pme_slack_guard_poisons_excess_drift_under_box_growth():
     # forces poison too (force-only consumers must see the failure)
     g = jax.grad(lambda xx: _energy(xx, sys_big, nb=nb))(x_bad)
     assert np.isnan(np.asarray(g)).all()
+
+
+def test_spread_vmem_gate_excludes_fat_configs():
+    """_pallas_spread_ok's VMEM estimate (round 4): the production 30k /
+    100k shapes stay under the gate; the (11, 11, 8)/cap-220 shape that
+    measured a 17.7M Mosaic scoped-vmem compile OOM is excluded (it must
+    fall back to the XLA cell spread, not fail the compile)."""
+    import dataclasses
+
+    from chargeflux_tpu.pme import _spread_bwd_vmem_est
+
+    def spec_of(pme, cells, cap):
+        force, _pos, _m, box = water_box(n_side=8, flux="bond_angle",
+                                         cutoff=0.42, seed=0)
+        s = force.create_system(box=box, dtype=jnp.float32,
+                                direct_method="cell")
+        return dataclasses.replace(s.spec, pme_grid=pme, cell_grid=cells,
+                                   cell_capacity=cap, pme_order=6,
+                                   pme_slack=(2, 2, 2))
+
+    limit = int(9.5 * 2 ** 20)
+    assert _spread_bwd_vmem_est(
+        spec_of((60, 60, 60), (8, 8, 8), 88)) < limit          # 30k
+    assert _spread_bwd_vmem_est(
+        spec_of((80, 80, 80), (11, 11, 11), 96)) < limit       # 100k
+    assert _spread_bwd_vmem_est(
+        spec_of((80, 80, 80), (11, 11, 8), 220)) > limit       # the OOM

@@ -469,7 +469,8 @@ def rattle_langevin_trajectory_nb(state, e_fn, init_nb, masses, dt: float,
     already-projected state, perturbing the last bits (~1e-12 relative;
     tests/test_integrate.py::test_rattle_langevin_nb_resume_exact pins
     the tolerance)."""
-    from .integrate import (MDStateNB, baoab_coeffs, kinetic_energy)
+    from .integrate import (MDStateNB, baoab_coeffs, kinetic_energy,
+                            x_into_energy)
 
     if n_steps % rebuild_every or n_steps <= 0:
         raise ValueError("n_steps must be a positive multiple of "
@@ -492,7 +493,7 @@ def rattle_langevin_trajectory_nb(state, e_fn, init_nb, masses, dt: float,
             vv = project_velocities(
                 xx, c1 * vv + c2 * jnp.sqrt(inv_m) * noise, params)    # O
             xx, vv = a_half(xx, vv)                                    # A
-            _e, f, _nb = e_fn(xx, nb)
+            _e, f, _nb = e_fn(x_into_energy(xx), nb)
             vv = project_velocities(xx, vv + 0.5 * dt * f * inv_m,
                                     params)                            # B
             return (jnp.concatenate([xx, vv, f], axis=1),

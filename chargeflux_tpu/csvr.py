@@ -28,7 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .integrate import MDStateNB, kinetic_energy
+from .integrate import MDStateNB, kinetic_energy, x_into_energy
 from .units import BOLTZ
 
 
@@ -90,7 +90,7 @@ def csvr_trajectory_nb(state: MDStateNB, e_fn, init_nb, masses, dt: float,
             x, v, f = p[:, 0:3], p[:, 3:6], p[:, 6:9]
             v_half = v + f * inv_m
             x_new = x + dt * v_half
-            e, f_new, _nb = e_fn(x_new, nb)
+            e, f_new, _nb = e_fn(x_into_energy(x_new), nb)
             v_new = v_half + f_new * inv_m
             kin = kinetic_energy(v_new, masses)
             alpha, dk = csvr_scale(kin, n_dof, dt, tau, temperature, kk,

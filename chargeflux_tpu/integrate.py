@@ -130,8 +130,32 @@ def nve_step_nb(state: MDStateNB, e_fn, masses, dt: float) -> MDStateNB:
 # "xfbarrier"— both
 # Module-level so measurement tools can A/B without threading an arg
 # through every driver; production default is set by the measured winner.
-PACKED_CARRY_MODE = "packed"
+#
+# Measured (tools/carry_ab.py round 2, TPU v5e, 30k atoms, 2 reps
+# alternated): "xbarrier" reads hetero s8 3.101 vs packed 3.396 ms
+# (+5.6% over water, from +16%) at zero cost on pure water (2.937 vs
+# 2.938) — the hetero energy graph's gather-driven layout preference
+# was propagating back into the packed carry buffer and relayouting at
+# every loop boundary; an optimization_barrier on the positions handed
+# to the energy fn severs exactly that edge.  "fbarrier" is a no-op
+# (3.396); the force-out edge is not the leak.
+PACKED_CARRY_MODE = "xbarrier"
 _MODES = ("packed", "barrier", "flat", "xbarrier", "fbarrier", "xfbarrier")
+
+
+def x_into_energy(x, mode: str | None = None):
+    """Positions at the carry -> energy-graph boundary: under the
+    "xbarrier"/"xfbarrier" carry modes (the measured production default,
+    see :data:`PACKED_CARRY_MODE`), wrap them in
+    ``lax.optimization_barrier`` so the energy graph's layout preference
+    cannot propagate into the scan carry buffer.  Identity otherwise.
+    Every packed-carry trajectory driver routes the positions it hands
+    its energy/force closure through this helper; the unbarriered
+    positions still feed the integrator arithmetic and the carry."""
+    m = PACKED_CARRY_MODE if mode is None else mode
+    if m in ("xbarrier", "xfbarrier"):
+        return jax.lax.optimization_barrier(x)
+    return x
 
 
 def make_packed_nve_chunk(e_fn, init_nb, masses, dt: float,
@@ -172,9 +196,7 @@ def make_packed_nve_chunk(e_fn, init_nb, masses, dt: float,
             inv_m = inv_m_v[:, None]
             v_half = v + f * inv_m
             x_new = x + dt * v_half
-            x_e = (jax.lax.optimization_barrier(x_new)
-                   if mode in ("xbarrier", "xfbarrier") else x_new)
-            e, f_new, _ = e_fn(x_e, nb)
+            e, f_new, _ = e_fn(x_into_energy(x_new, mode), nb)
             if mode in ("fbarrier", "xfbarrier"):
                 f_new = jax.lax.optimization_barrier(f_new)
             v_new = v_half + f_new * inv_m
@@ -277,7 +299,7 @@ def langevin_trajectory_nb(state: MDStateNB, e_fn, init_nb, masses,
         def body(p, kk):
             x, v = baoab_pre_force(p[:, 0:3], p[:, 3:6], p[:, 6:9],
                                    inv_m, dt, c1, c2, kk)
-            _e, f, _nb = e_fn(x, nb)
+            _e, f, _nb = e_fn(x_into_energy(x), nb)
             v = v + 0.5 * dt * f * inv_m                            # B
             return (jnp.concatenate([x, v, f], axis=1),
                     kinetic_energy(v, masses))
@@ -372,7 +394,7 @@ def respa_trajectory_nb(state: MDStateNB, slow_fn, fast_fn, init_nb, masses,
             q = jnp.concatenate([x, v, f_fast], axis=1)
             q, e_fasts = jax.lax.scan(inner, q, None, length=n_inner)
             x, v, f_fast = q[:, 0:3], q[:, 3:6], q[:, 6:9]
-            e_slow, f_slow, _nb = slow_fn(x, nb)
+            e_slow, f_slow, _nb = slow_fn(x_into_energy(x), nb)
             v = v + 0.5 * dt * f_slow * inv_m              # slow kick
             e_tot = e_slow + e_fasts[-1] + kinetic_energy(v, masses)
             return _pack12(x, v, f_slow, f_fast), e_tot
@@ -427,7 +449,7 @@ def make_packed_respa_langevin_chunk(slow_fn, fast_fn, init_nb, masses,
             ks = kk[None] if n_inner == 1 else jax.random.split(kk, n_inner)
             q, _ = jax.lax.scan(inner, q, ks)
             x, v, f_fast = q[:, 0:3], q[:, 3:6], q[:, 6:9]
-            _e, f_slow, _nb = slow_fn(x, nb)
+            _e, f_slow, _nb = slow_fn(x_into_energy(x), nb)
             v = v + 0.5 * dt * f_slow * inv_m              # slow kick
             return (_pack12(x, v, f_slow, f_fast),
                     kinetic_energy(v, masses))

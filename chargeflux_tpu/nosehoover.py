@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .integrate import MDState, kinetic_energy
+from .integrate import MDState, kinetic_energy, x_into_energy
 from .units import BOLTZ
 
 # third-order Suzuki-Yoshida composition weights (w1, 1 - 2*w1, w1)
@@ -154,7 +154,7 @@ def nose_hoover_trajectory_nb(state, e_fn, init_nb, masses, dt: float,
             v = v * s1
             v_half = v + 0.5 * dt * f * inv_m
             x = x + dt * v_half
-            _e, f, _nb = e_fn(x, nb)
+            _e, f, _nb = e_fn(x_into_energy(x), nb)
             v = v_half + 0.5 * dt * f * inv_m
             s2, ch = _nhc_half(ch, 2.0 * kinetic_energy(v, masses), n_dof,
                                kt, 0.5 * dt)

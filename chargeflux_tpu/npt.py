@@ -49,7 +49,8 @@ import jax.numpy as jnp
 
 from .bonded import bonded_energy
 from .energy import _energy
-from .integrate import baoab_coeffs, baoab_pre_force, kinetic_energy
+from .integrate import (baoab_coeffs, baoab_pre_force, kinetic_energy,
+                        x_into_energy)
 from .pairs import box_volume, displacement
 from .units import BOLTZ
 
@@ -306,20 +307,25 @@ def _npt_langevin_driver(positions, velocities, system, masses,
                 g = g * bad
             return e, -g
 
+        # packed [N, 9] x|v|f carry, same rationale as
+        # integrate.make_packed_nve_chunk (three separate [N, 3] carries
+        # measure ~0.3 ms/step of loop-boundary relayout at 30k); the
+        # positions handed to the force closure go through x_into_energy.
         if constraints is None:
-            def body(carry, kk):
-                x, v, f = carry
+            def body(p, kk):
+                x, v, f = p[:, 0:3], p[:, 3:6], p[:, 6:9]
                 x, v = baoab_pre_force(x, v, f, inv_m, dt, c1, c2, kk)
-                e, f = guarded_force(x)
+                e, f = guarded_force(x_into_energy(x))
                 v = v + 0.5 * dt * f * inv_m                        # B
-                return (x, v, f), (e, e + kinetic_energy(v, masses))
+                return (jnp.concatenate([x, v, f], axis=1),
+                        (e, e + kinetic_energy(v, masses)))
         else:
             def a_half(x, v):
                 x_new = project_positions(x, x + 0.5 * dt * v, constraints)
                 return x_new, (x_new - x) / (0.5 * dt)
 
-            def body(carry, kk):
-                x, v, f = carry
+            def body(p, kk):
+                x, v, f = p[:, 0:3], p[:, 3:6], p[:, 6:9]
                 v = project_velocities(x, v + 0.5 * dt * f * inv_m,
                                        constraints)                 # B
                 x, v = a_half(x, v)                                 # A
@@ -328,14 +334,16 @@ def _npt_langevin_driver(positions, velocities, system, masses,
                     x, c1 * v + c2 * jnp.sqrt(inv_m) * noise,
                     constraints)                                    # O
                 x, v = a_half(x, v)                                 # A
-                e, f = guarded_force(x)
+                e, f = guarded_force(x_into_energy(x))
                 v = project_velocities(x, v + 0.5 * dt * f * inv_m,
                                        constraints)                 # B
-                return (x, v, f), (e, e + kinetic_energy(v, masses))
+                return (jnp.concatenate([x, v, f], axis=1),
+                        (e, e + kinetic_energy(v, masses)))
 
         keys = jax.random.split(k, barostat_interval)
-        (xx, vv, _f), (es, etot) = jax.lax.scan(body, (xx, vv, -g0), keys)
-        return xx, vv, es[-1], etot
+        p0 = jnp.concatenate([xx, vv, -g0], axis=1)
+        p, (es, etot) = jax.lax.scan(body, p0, keys)
+        return p[:, 0:3], p[:, 3:6], es[-1], etot
 
     def outer(carry, _):
         x, v, box, dv, e_cur, k = carry

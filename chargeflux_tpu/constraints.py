@@ -312,8 +312,124 @@ def _shake_velocities(x, v_unc, p: DistanceConstraints, tol=None):
     return v * poison
 
 
+# Rigid-water position-projection algorithm: "newton" (iterated 3x3
+# Lagrange solve, works for any isoceles/scalene triangle) or "settle"
+# (closed-form Miyamoto-Kollman rotation, isoceles only — which
+# RigidWaterParams.create guarantees by construction).  Both solve the
+# SAME SHAKE equations; SETTLE is the analytic solution, so they agree
+# to machine precision (tests pin it) — the knob is purely a speed
+# choice.  Module-level for the same reason as integrate.PACKED_CARRY_MODE.
+RIGID_PROJECTION = "newton"
+
+
+def _cross_soa(u, v):
+    """Component tuples ([M],)x3 -> cross product, same shape."""
+    return (u[1] * v[2] - u[2] * v[1],
+            u[2] * v[0] - u[0] * v[2],
+            u[0] * v[1] - u[1] * v[0])
+
+
+def _unit_soa(u):
+    inv = jax.lax.rsqrt(_dot3(u, u))
+    return (u[0] * inv, u[1] * inv, u[2] * inv)
+
+
+def settle_positions(x_old, x_unc, params: RigidWaterParams):
+    """Closed-form SETTLE position projection (Miyamoto & Kollman,
+    J. Comput. Chem. 13, 952 (1992)): the analytic solution of the same
+    SHAKE equations :func:`project_positions`'s Newton path iterates —
+    corrections are valid constraint impulses from ``x_old``'s geometry,
+    so per-molecule COM and angular momentum are exactly preserved and
+    the result matches the converged Newton solve to machine precision
+    (tests/test_constraints.py pins f64 parity).
+
+    TPU-first shape: the rotation (phi, psi, theta) is straight-line
+    [M]-vector arithmetic on the SoA site components — no iteration, so
+    one projection costs ~1/4 of the 4-sweep Newton path.  Requires the
+    isoceles OH1 == OH2 geometry ``RigidWaterParams.create`` produces.
+    A degenerate proposal (step so wild a rotation cannot restore the
+    triangle) makes a sqrt argument negative and the molecule NaN-poisons
+    — visible, never silently approximate (house failure-detection
+    style)."""
+    head, xo, tail = _soa_view(x_old, params)
+    _, xu, _ = _soa_view(x_unc, params)
+    dtype = x_unc.dtype
+    im = params.inv_m.astype(dtype)
+    t2 = params.targets2.astype(dtype)
+    m_o, m_h = 1.0 / im[0], 1.0 / im[1]
+
+    # canonical isoceles geometry (origin at molecule COM, O on +y):
+    # O = (0, ra), H = (-+rc, -rb) with rc = d_HH/2 and ra + rb = the
+    # O-to-HH-line height h
+    rc = 0.5 * jnp.sqrt(t2[2])
+    h = jnp.sqrt(t2[0] - 0.25 * t2[2])
+    ra = 2.0 * m_h * h / (m_o + 2.0 * m_h)
+    rb = h - ra
+
+    # unconstrained COM (constraint impulses cannot move it)
+    w_o = m_o / (m_o + 2.0 * m_h)
+    w_h = m_h / (m_o + 2.0 * m_h)
+    com = tuple(w_o * xu[0][c] + w_h * (xu[1][c] + xu[2][c])
+                for c in range(3))
+    a1 = tuple(xu[0][c] - com[c] for c in range(3))
+    b1 = tuple(xu[1][c] - com[c] for c in range(3))
+    c1 = tuple(xu[2][c] - com[c] for c in range(3))
+    b0 = tuple(xo[1][c] - xo[0][c] for c in range(3))
+    c0 = tuple(xo[2][c] - xo[0][c] for c in range(3))
+
+    # molecule frame: ez _|_ old plane, ex _|_ (new O offset, ez), ey
+    # completes — a1 lies in the (y, z) plane so a1.ex = 0
+    ez = _unit_soa(_cross_soa(b0, c0))
+    ex = _unit_soa(_cross_soa(a1, ez))
+    ey = _unit_soa(_cross_soa(ez, ex))
+
+    xb0 = _dot3(b0, ex)
+    yb0 = _dot3(b0, ey)
+    xc0 = _dot3(c0, ex)
+    yc0 = _dot3(c0, ey)
+    za1 = _dot3(a1, ez)
+    xb1, yb1, zb1 = _dot3(b1, ex), _dot3(b1, ey), _dot3(b1, ez)
+    xc1, yc1, zc1 = _dot3(c1, ex), _dot3(c1, ey), _dot3(c1, ez)
+
+    # out-of-plane tilt (phi) and twist (psi) from the z components
+    sinphi = za1 / ra
+    cosphi = jnp.sqrt(1.0 - sinphi * sinphi)
+    sinpsi = (zb1 - zc1) / (2.0 * rc * cosphi)
+    cospsi = jnp.sqrt(1.0 - sinpsi * sinpsi)
+
+    ya2 = ra * cosphi
+    xb2 = -rc * cospsi
+    t_b = -rb * cosphi
+    t_c = rc * sinpsi * sinphi
+    yb2 = t_b - t_c
+    yc2 = t_b + t_c
+
+    # in-plane rotation (theta) closing the old-geometry projection
+    alpha = xb2 * (xb0 - xc0) + yb0 * yb2 + yc0 * yc2
+    beta = xb2 * (yc0 - yb0) + xb0 * yb2 + xc0 * yc2
+    gamma = xb0 * yb1 - xb1 * yb0 + xc0 * yc1 - xc1 * yc0
+    a2b2 = alpha * alpha + beta * beta
+    sinth = (alpha * gamma
+             - beta * jnp.sqrt(a2b2 - gamma * gamma)) / a2b2
+    costh = jnp.sqrt(1.0 - sinth * sinth)
+
+    xa3 = -ya2 * sinth
+    ya3 = ya2 * costh
+    xb3 = xb2 * costh - yb2 * sinth
+    yb3 = xb2 * sinth + yb2 * costh
+    xc3 = -xb2 * costh - yc2 * sinth
+    yc3 = -xb2 * sinth + yc2 * costh
+
+    def back(xd, yd, zd):
+        return tuple(com[c] + xd * ex[c] + yd * ey[c] + zd * ez[c]
+                     for c in range(3))
+
+    xm = (back(xa3, ya3, za1), back(xb3, yb3, zb1), back(xc3, yc3, zc1))
+    return _soa_pack(head, xm, tail)
+
+
 def project_positions(x_old, x_unc, params, n_iter: int = 4,
-                      tol: float = None):
+                      tol: float = None, method: str | None = None):
     """RATTLE position projection: returns x_new with every rigid-water
     bond restored to its target length, reached from ``x_unc`` along the
     mass-weighted constraint gradients of ``x_old`` (so the correction is
@@ -321,15 +437,20 @@ def project_positions(x_old, x_unc, params, n_iter: int = 4,
     are exactly preserved).
 
     ``x_old`` must satisfy the constraints (the previous step's output).
-    Newton iterations on the 3x3 multiplier system; if the final residual
-    exceeds ``tol`` (default: 1e-10 f64 / 1e-4 f32, in nm^2) the molecule
-    diverged (unconstrained step too wild) and the positions NaN-poison.
+    ``method`` (default :data:`RIGID_PROJECTION`) picks the rigid-water
+    solver: "newton" iterates the 3x3 multiplier system and poisons if
+    the final residual exceeds ``tol`` (default: 1e-10 f64 / 1e-4 f32,
+    in nm^2); "settle" computes the same solution in closed form
+    (:func:`settle_positions`, no residual check needed — it is exact up
+    to rounding).
 
     A :class:`DistanceConstraints` params takes the general parallel-SHAKE
     route instead (same fixed-point equations, arbitrary topology).
     """
     if isinstance(params, DistanceConstraints):
         return _shake_positions(x_old, x_unc, params, tol)
+    if (RIGID_PROJECTION if method is None else method) == "settle":
+        return settle_positions(x_old, x_unc, params)
     head, xo, tail = _soa_view(x_old, params)
     _, xu, _ = _soa_view(x_unc, params)
     dtype = x_unc.dtype

@@ -78,6 +78,50 @@ def test_position_projection_matches_shake_oracle():
     assert np.abs(p).max() < 1e-12
 
 
+def test_settle_matches_newton_to_machine_precision():
+    """SETTLE is the closed-form solution of the SAME SHAKE equations the
+    Newton path iterates (Miyamoto & Kollman 1992) — on MD-size
+    violations the two must agree to rounding, and the SETTLE output
+    must satisfy the constraints exactly and conserve per-molecule
+    momentum (pure internal impulse)."""
+    from chargeflux_tpu.constraints import settle_positions
+
+    _force, x, _m, _box, params = _setup()
+    rng = np.random.default_rng(35)
+    x_unc = x + jnp.asarray(0.005 * rng.standard_normal(x.shape))
+
+    x_newton = project_positions(x, x_unc, params, n_iter=8,
+                                 method="newton")
+    x_settle = settle_positions(x, x_unc, params)
+    np.testing.assert_allclose(np.asarray(x_settle), np.asarray(x_newton),
+                               rtol=0, atol=1e-12)
+
+    res = np.asarray(constraint_residuals(x_settle, params))
+    assert np.abs(res).max() < 1e-13, np.abs(res).max()
+
+    dm = (np.asarray(x_settle) - np.asarray(x_unc)).reshape(-1, 3, 3)
+    mass = np.array([15.999, 1.008, 1.008])[None, :, None]
+    assert np.abs((mass * dm).sum(axis=1)).max() < 1e-12
+
+    # the method= arg and the module default dispatch to the same code
+    x_via_dispatch = project_positions(x, x_unc, params, method="settle")
+    np.testing.assert_array_equal(np.asarray(x_via_dispatch),
+                                  np.asarray(x_settle))
+
+
+def test_settle_poisons_on_degenerate_proposal():
+    """A proposal so wild no rotation can restore the triangle makes a
+    sqrt argument negative — the molecule NaN-poisons (visible), never
+    silently approximates."""
+    from chargeflux_tpu.constraints import settle_positions
+
+    _force, x, _m, _box, params = _setup()
+    rng = np.random.default_rng(36)
+    x_wild = x + jnp.asarray(5.0 * rng.standard_normal(x.shape))
+    x_new = settle_positions(x, x_wild, params)
+    assert not bool(jnp.all(jnp.isfinite(x_new)))
+
+
 def test_position_projection_poisons_on_divergence():
     """An unconstrained step too wild for Newton to recover NaN-poisons
     (visible failure, like cell overflow) instead of returning a quietly

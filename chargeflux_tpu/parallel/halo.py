@@ -24,8 +24,13 @@ MD code falls out of AD.
 Out-designs the reference's vestigial multi-context exclusion-tile split
 (CudaCoulKernels.cpp:477-481), which never parallelized the pair sum at all.
 
-Requires gx % ndev == 0; ``parallel.shard.make_sharded_energy_fn`` falls
-back to work sharding otherwise.
+Decomposition (``halo_decomp``): pure x-slabs (one ppermute/eval) whenever
+gx divides ndev's share; otherwise — or past gx devices, the pod-slice
+case — a 2-D x-by-y brick decomposition with a TWO-STAGE exchange (extend
+y both ways, then send the y-extended x boundary plane: 3 ppermutes,
+corners compose for free), scaling to gx*gy devices.
+``parallel.shard.make_sharded_energy_fn`` falls back to work sharding when
+neither fits.
 
 Known scale bound: _local_bin uses the flat [N, n_local] one-hot cumsum
 (1/D of the single-chip binning).  At ~1M atoms per slab the cumsum
@@ -53,24 +58,40 @@ from ..units import ONE_4PI_EPS0
 from .shard import _ceil_to, _excl_chunk_energy
 
 
-def halo_compatible(system, ndev: int) -> bool:
+def halo_decomp(system, ndev: int):
+    """Pick the (Dx, Dy) slab factorization for ``ndev`` devices, or None
+    if no halo decomposition fits.  Prefers pure x-slabs (Dy == 1: one
+    ppermute per eval); when gx doesn't divide — or ndev exceeds gx, the
+    pod-slice case — falls to the 2-D x-by-y decomposition (3 ppermutes)
+    with the largest Dx whose complement divides gy."""
     spec = system.spec
-    return (spec.pbc and spec.direct_method == "cell"
-            and spec.cell_grid is not None
-            and spec.cell_grid[0] % ndev == 0)
+    if not (spec.pbc and spec.direct_method == "cell"
+            and spec.cell_grid is not None):
+        return None
+    gx, gy, _ = spec.cell_grid
+    for dx in range(min(ndev, gx), 0, -1):
+        if ndev % dx:
+            continue
+        dy = ndev // dx
+        if gx % dx == 0 and dy <= gy and gy % dy == 0:
+            return (dx, dy)
+    return None
 
 
-def _local_bin(positions, system, dev, gxl):
-    """Bin this device's slab: slots [gxl*gy*gz, cap] (sentinel N) and
+def halo_compatible(system, ndev: int) -> bool:
+    return halo_decomp(system, ndev) is not None
+
+
+def _local_bin(positions, system, dev_x, dev_y, gxl, gyl):
+    """Bin this device's slab: slots [gxl*gyl*gz, cap] (sentinel N) and
     inv_slot [N] (sentinel = n_local_slots for atoms owned elsewhere).
 
     Uses the shared two-stage hierarchical ranking (cells.rank_into_slots)
     with the slab ownership mask — the round-2 flat [N, n_local] one-hot
     cost O(N * n_local) HBM and walled the halo path at ~1M atoms
-    (VERDICT r2 item 6); the two-stage form is O(N * gxl*gy +
+    (VERDICT r2 item 6); the two-stage form is O(N * gxl*gyl +
     local_slots * gz), the same scaling fix the single-chip binner got."""
     spec = system.spec
-    gx, gy, gz = spec.cell_grid
     cap = spec.cell_capacity
     n = positions.shape[0]
     gvec = jnp.asarray(np.asarray(spec.cell_grid), positions.dtype)
@@ -78,16 +99,25 @@ def _local_bin(positions, system, dev, gxl):
     frac = frac - jnp.floor(frac)
     ci = jnp.clip((frac * gvec).astype(jnp.int32), 0,
                   jnp.asarray(np.asarray(spec.cell_grid) - 1, jnp.int32))
-    lcx = ci[:, 0] - dev * gxl
-    owned = (lcx >= 0) & (lcx < gxl)
-    col = jnp.where(owned, lcx * gy + ci[:, 1], 0)   # masked rows ignore col
-    return rank_into_slots(col, ci[:, 2], owned, n, gxl * gy, gz, cap)
+    lcx = ci[:, 0] - dev_x * gxl
+    lcy = ci[:, 1] - dev_y * gyl
+    owned = (lcx >= 0) & (lcx < gxl) & (lcy >= 0) & (lcy < gyl)
+    col = jnp.where(owned, lcx * gyl + lcy, 0)   # masked rows ignore col
+    return rank_into_slots(col, ci[:, 2], owned, n, gxl * gyl,
+                           spec.cell_grid[2], cap)
 
 
-def make_halo_energy_fn(system, mesh: Mesh, axis_name: str = "space"):
+def make_halo_energy_fn(system, mesh: Mesh, axis_name: str = "space",
+                        decomp=None):
     """energy(positions [N,3] replicated, box=None) -> scalar replicated;
-    direct space computed on x-slabs with ppermute halo exchange (see
-    module docstring).  Differentiable (forces via jax.grad).
+    direct space computed on x-slabs (or x-by-y bricks, see below) with
+    ppermute halo exchange (see module docstring).  Differentiable
+    (forces via jax.grad).
+
+    ``decomp=(Dx, Dy)`` picks the slab factorization; default
+    :func:`halo_decomp` — pure x-slabs whenever gx divides (one ppermute
+    per eval), else the 2-D x-by-y decomposition (two-stage exchange,
+    3 ppermutes) that scales past gx devices to gx*gy (pod slices).
 
     NPT support (round 4): ``box`` may be a *traced* lattice (defaults to
     the creation-time ``system.box``) — slab ownership is fractional, so a
@@ -98,10 +128,18 @@ def make_halo_energy_fn(system, mesh: Mesh, axis_name: str = "space"):
     instead of silently missing pairs.  ``npt.npt_langevin_trajectory(...,
     energy_fn=...)`` composes with this directly."""
     ndev = mesh.shape[axis_name]
-    if not halo_compatible(system, ndev):
+    if decomp is None:
+        decomp = halo_decomp(system, ndev)
+    spec = system.spec
+    if (decomp is None or decomp[0] * decomp[1] != ndev
+            or spec.cell_grid is None
+            or spec.cell_grid[0] % decomp[0]
+            or spec.cell_grid[1] % decomp[1]
+            or not spec.pbc or spec.direct_method != "cell"):
         raise ValueError(
-            f"halo path needs pbc cell route with cell_grid[0] divisible by "
-            f"{ndev} (got {system.spec.cell_grid})")
+            f"halo path needs a pbc cell route whose cell grid factors "
+            f"over {ndev} devices (grid {system.spec.cell_grid}, "
+            f"decomp {decomp})")
     # The CREATION-time box must cover the grid (a config error otherwise);
     # runtime (barostat) moves are handled by the in-jit poison guard.
     from ..system import box_widths
@@ -114,7 +152,8 @@ def make_halo_energy_fn(system, mesh: Mesh, axis_name: str = "space"):
             f"cell grid {tuple(grid)} at cutoff {system.spec.cutoff} — the "
             f"creation-time box must be valid; barostat moves at call time "
             f"are guarded in-jit (pass box= to the returned energy fn)")
-    local_energy = _halo_local_energy_builder(system, axis_name, ndev)
+    local_energy = _halo_local_energy_builder(system, axis_name, ndev,
+                                              decomp=decomp)
     sharded = jax.shard_map(local_energy, mesh=mesh, in_specs=(P(), P()),
                             out_specs=P(), check_vma=False)
     jitted = jax.jit(sharded)
@@ -127,11 +166,16 @@ def make_halo_energy_fn(system, mesh: Mesh, axis_name: str = "space"):
     return energy
 
 
-def _halo_local_energy_builder(system, axis_name: str, ndev: int):
+def _halo_local_energy_builder(system, axis_name: str, ndev: int,
+                               decomp=None):
     spec = system.spec
     gx, gy, gz = spec.cell_grid
     cap = spec.cell_capacity
-    gxl = gx // ndev
+    if decomp is None:
+        decomp = halo_decomp(system, ndev)
+    ddx, ddy = decomp
+    gxl = gx // ddx
+    gyl = gy // ddy
     n = system.n_atoms
     n_pad = _ceil_to(n, ndev)
     row_chunk = n_pad // ndev
@@ -153,6 +197,8 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
 
     def local_energy(positions, box_in):
         dev = jax.lax.axis_index(axis_name)
+        dev_x = dev // ddy
+        dev_y = dev % ddy
         dtype = positions.dtype
         use_pme = use_pme_always or (use_pme_auto and dtype == jnp.float32)
         # a (possibly traced) barostat-moved box: thread it through
@@ -161,7 +207,8 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
         box = sysb.box
         q = effective_charges(positions, sysb)   # replicated, template-fast
 
-        slots, slot_of, overflow = _local_bin(positions, sysb, dev, gxl)
+        slots, slot_of, overflow = _local_bin(positions, sysb, dev_x,
+                                              dev_y, gxl, gyl)
 
         # -- local blockify (row gather fwd / inverse row gather bwd) -------
         flat = slots.reshape(-1)
@@ -173,25 +220,59 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
              jnp.ones((n, 1), dtype),              # validity column
              jnp.zeros((n, 1), dtype)], axis=1)
         table = jnp.concatenate([table, jnp.zeros((1, 8), dtype)], axis=0)
-        g8 = gather_rows(table, flat, slot_of).reshape(gxl, gy, gz, cap, 8)
+        g8 = gather_rows(table, flat, slot_of).reshape(gxl, gyl, gz, cap, 8)
 
-        # -- halo exchange: ONE boundary plane from the +x ring neighbor ----
-        # The half-shell has dx in {0, 1} only, so only the HIGH halo is
-        # ever consumed: my plane 0 becomes the left neighbor's high halo.
-        # Cross-boundary pairs with the -x neighbor are that neighbor's
-        # dx=+1 shift (counted once there); a low halo would be dead
-        # traffic (one wasted ppermute per step, found by HLO inspection).
-        ring_bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
-        halo_hi = jax.lax.ppermute(g8[0], axis_name, ring_bwd)
+        # -- halo exchange --------------------------------------------------
+        # x: ONE boundary plane from the +x ring neighbor.  The half-shell
+        # has dx in {0, 1} only, so only the HIGH x halo is ever consumed:
+        # my plane 0 becomes the left neighbor's high halo.  Cross-boundary
+        # pairs with the -x neighbor are that neighbor's dx=+1 shift
+        # (counted once there); a low x halo would be dead traffic (one
+        # wasted ppermute per step, found by HLO inspection).
+        # 2-D (ddy > 1): two-stage exchange — extend y FIRST in both
+        # directions (interior dx=+1 shifts reach dy=-1, so unlike x the
+        # low y halo is live), then send the y-EXTENDED x=0 plane backward
+        # along the x ring: the (+x, +-y) corner cells ride the second
+        # stage for free.  Global-wrap lattice offsets are applied to each
+        # halo plane at exchange time (the sender's y offsets are valid
+        # for the receiver: same dev_y), gated on validity so padded slots
+        # stay put.
+        if box.ndim == 2:
+            lx = box[0, 0]
+            by0, by1 = box[1, 0], box[1, 1]
+        else:
+            lx = box[0]
+            by0, by1 = jnp.zeros((), dtype), box[1]
+        if ddy > 1:
+            perm_hi_y = [(dx * ddy + dy_i, dx * ddy + (dy_i - 1) % ddy)
+                         for dx in range(ddx) for dy_i in range(ddy)]
+            perm_lo_y = [(dx * ddy + dy_i, dx * ddy + (dy_i + 1) % ddy)
+                         for dx in range(ddx) for dy_i in range(ddy)]
+            hi_y = jax.lax.ppermute(g8[:, 0], axis_name, perm_hi_y)
+            lo_y = jax.lax.ppermute(g8[:, gyl - 1], axis_name, perm_lo_y)
+            s_hi = jnp.where(dev_y == ddy - 1, 1.0, 0.0).astype(dtype)
+            s_lo = jnp.where(dev_y == 0, -1.0, 0.0).astype(dtype)
+
+            def y_shift(plane, s):
+                plane = plane.at[..., 0].add(s * by0 * plane[..., 6])
+                return plane.at[..., 1].add(s * by1 * plane[..., 6])
+
+            ext_y = jnp.concatenate(
+                [y_shift(lo_y, s_lo)[:, None], g8,
+                 y_shift(hi_y, s_hi)[:, None]], axis=1)
+        else:
+            ext_y = g8
+        ring_x = [(dx * ddy + dy_i, ((dx - 1) % ddx) * ddy + dy_i)
+                  for dx in range(ddx) for dy_i in range(ddy)]
+        halo_hi = jax.lax.ppermute(ext_y[0], axis_name, ring_x)
         # crossing the global periodic boundary shifts x by +Lx (for a
         # reduced triclinic lattice the a row is (ax, 0, 0) — still a pure
         # x translation)
-        lx = box[0, 0] if box.ndim == 2 else box[0]
-        hi_shift = jnp.where(dev == ndev - 1, lx, 0.0).astype(dtype)
+        hi_shift = jnp.where(dev_x == ddx - 1, lx, 0.0).astype(dtype)
         halo_hi = halo_hi.at[..., 0].add(hi_shift * halo_hi[..., 6])
-        ext = jnp.concatenate([g8, halo_hi[None]], axis=0)
+        ext = jnp.concatenate([ext_y, halo_hi[None]], axis=0)
 
-        ids = slots.reshape(gxl, gy, gz, cap)
+        ids = slots.reshape(gxl, gyl, gz, cap)
 
         # Concat walk layout, as in the single-chip route (cells.py): the
         # 14 half-shell j slabs — x via ext slicing (dx in {0, 1}), y/z
@@ -208,11 +289,15 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
             # y/z boundary-wrap lattice offsets per coordinate (the x wrap
             # is handled by the ext slicing + halo hi_shift above); a
             # triclinic y/z wrap also shifts the x (and y) coordinate by
-            # the off-diagonal lattice entries
-            cy = jnp.asarray(_boundary_crossing(gy, dy_), dtype).reshape(
-                1, gy, 1, 1)
+            # the off-diagonal lattice entries.  Only the z part applies
+            # when ddy > 1 (y wraps were applied at exchange time).
             cz = jnp.asarray(_boundary_crossing(gz, dz_), dtype).reshape(
                 1, 1, gz, 1)
+            if ddy > 1:
+                cy = jnp.zeros((), dtype)
+            else:
+                cy = jnp.asarray(_boundary_crossing(gy, dy_),
+                                 dtype).reshape(1, gy, 1, 1)
             if box.ndim == 2:
                 return (cy * box[1, 0] + cz * box[2, 0],
                         cy * box[1, 1] + cz * box[2, 1],
@@ -220,14 +305,25 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
             return (jnp.zeros((), dtype), cy * box[1], cz * box[2])
 
         def tile_energy(ext_in, ids_in):
-            g8_in = jax.lax.slice_in_dim(ext_in, 0, gxl, axis=0)
+            if ddy > 1:
+                g8_in = jax.lax.slice(
+                    ext_in, (0, 1, 0, 0, 0), (gxl, 1 + gyl, gz, cap, 8))
+            else:
+                g8_in = jax.lax.slice_in_dim(ext_in, 0, gxl, axis=0)
             valid_i = ids_in < n
             xi = [g8_in[..., k] for k in range(3)]
             qi, hi_, si = g8_in[..., 3], g8_in[..., 4], g8_in[..., 5]
             slabs = []
             for (dx_, dy_, dz_) in HALF_SHELL:
-                sl = jax.lax.slice_in_dim(ext_in, dx_, dx_ + gxl, axis=0)
-                sl = jnp.roll(sl, (-dy_, -dz_), yz_ax)
+                if ddy > 1:
+                    sl = jax.lax.slice(
+                        ext_in, (dx_, 1 + dy_, 0, 0, 0),
+                        (dx_ + gxl, 1 + dy_ + gyl, gz, cap, 8))
+                    sl = jnp.roll(sl, -dz_, 2)
+                else:
+                    sl = jax.lax.slice_in_dim(ext_in, dx_, dx_ + gxl,
+                                              axis=0)
+                    sl = jnp.roll(sl, (-dy_, -dz_), yz_ax)
                 ox, oy, oz = offs_yz(dy_, dz_)
                 slabs.append((sl[..., 0] + ox, sl[..., 1] + oy,
                               sl[..., 2] + oz,
@@ -297,9 +393,10 @@ def _halo_local_energy_builder(system, axis_name: str, ndev: int):
             from ..pme import (influence_function, pme_halo_local_mesh,
                                pme_halo_mesh)
 
-            mesh_grid = pme_halo_mesh(spec)
+            mesh_grid = pme_halo_mesh(spec, pad_y=ddy > 1)
             q_mesh = jax.lax.psum(
-                pme_halo_local_mesh(g8, ids, sysb, dev, mesh_grid),
+                pme_halo_local_mesh(g8, ids, sysb, dev_x, mesh_grid,
+                                    dev_y=dev_y if ddy > 1 else None),
                 axis_name)
             qhat = jnp.fft.rfftn(q_mesh)
             d = influence_function(mesh_grid, box, alpha, spec.pme_order,

@@ -559,33 +559,42 @@ def pme_cell_reciprocal_energy(blocks, ids, system) -> jax.Array:
     return jnp.sum(d * (qhat.real * qhat.real + qhat.imag * qhat.imag))
 
 
-def pme_halo_mesh(spec) -> Tuple[int, int, int]:
+def _pad_to_cell_multiple(grid_n: int, n_cells: int) -> int:
+    """Smallest mesh extent >= grid_n divisible by n_cells, preferring the
+    first 5-smooth multiple within +25% (fast XLA FFT; a finer mesh only
+    reduces PME error, never accuracy)."""
+    gm = -(-grid_n // n_cells) * n_cells
+    cand = gm
+    while cand <= gm + (gm + 3) // 4:
+        if good_fft_size(cand) == cand:
+            return cand
+        cand += n_cells
+    return gm
+
+
+def pme_halo_mesh(spec, pad_y: bool = False) -> Tuple[int, int, int]:
     """SPME mesh for the halo-sharded route (parallel/halo.py).
 
     The x extent is padded up to a multiple of cell_grid[0] so the per-cell
     patch origins along x become a uniform static pattern (c * stride) plus
     ONE dynamic per-device slab offset — each device can then spread its
     local cells with static shapes and rotate its partial mesh into place
-    with a single jnp.roll.  y/z keep the single-chip mesh (their fold
-    placements are global statics, identical on every device).  Among the
-    valid multiples the first 5-smooth one within +25% is preferred (fast
-    XLA FFT; a finer mesh only reduces PME error, never accuracy) — when
-    cell_grid[0] itself has a factor outside {2,3,5} (e.g. the 100k
-    config's 11) no multiple can be 5-smooth and the smallest one stands.
+    with a single jnp.roll.  With ``pad_y`` (the 2-D x-by-y halo
+    decomposition) y gets the same treatment; otherwise y keeps the
+    single-chip mesh, and z always does (their fold placements are global
+    statics, identical on every device).  When a cell-grid axis has a
+    factor outside {2,3,5} (e.g. the 100k config's 11) no multiple can be
+    5-smooth and the smallest one stands.
     """
-    ngx = spec.cell_grid[0]
-    gmx = -(-spec.pme_grid[0] // ngx) * ngx
-    cand = gmx
-    while cand <= gmx + (gmx + 3) // 4:
-        if good_fft_size(cand) == cand:
-            gmx = cand
-            break
-        cand += ngx
-    return (gmx, spec.pme_grid[1], spec.pme_grid[2])
+    gmx = _pad_to_cell_multiple(spec.pme_grid[0], spec.cell_grid[0])
+    gmy = (_pad_to_cell_multiple(spec.pme_grid[1], spec.cell_grid[1])
+           if pad_y else spec.pme_grid[1])
+    return (gmx, gmy, spec.pme_grid[2])
 
 
 def pme_halo_local_mesh(g8, ids, system, dev,
-                        mesh_grid: Tuple[int, int, int]) -> jax.Array:
+                        mesh_grid: Tuple[int, int, int],
+                        dev_y=None) -> jax.Array:
     """Partial SPME charge mesh Q_dev [Gx, Gy, Gz] from ONE device's slab
     blocks (the halo route's g8 layout: x|y|z|q|hs|se|valid|0 with wrapped
     coordinates).  ``jax.lax.psum`` over the mesh axis gives the full
@@ -597,9 +606,13 @@ def pme_halo_local_mesh(g8, ids, system, dev,
     loops, PBCForce.cu:841-950, which are not distributed at all).
 
     Requires ``mesh_grid`` from :func:`pme_halo_mesh` (x divisible by the
-    cell grid).  Spread weights, patch contraction and fold placements are
-    shared with :func:`pme_cell_reciprocal_energy`, so on a matching mesh
-    the two routes agree to reduction-order rounding.
+    cell grid).  For the 2-D x-by-y halo decomposition (g8 holds gy/Dy
+    local y columns) pass the device's y index as ``dev_y`` and a
+    ``pme_halo_mesh(spec, pad_y=True)`` mesh — y then gets the same
+    dynamic-slab-offset + local-fold + roll treatment as x.  Spread
+    weights, patch contraction and fold placements are shared with
+    :func:`pme_cell_reciprocal_energy`, so on a matching mesh the two
+    routes agree to reduction-order rounding.
     """
     spec = system.spec
     dtype = g8.dtype
@@ -611,6 +624,13 @@ def pme_halo_local_mesh(g8, ids, system, dev,
     stride = gmx // ngx
     if stride * ngx != gmx:
         raise ValueError(f"mesh x {gmx} not divisible by cell grid {ngx}")
+    local_y = ngy != spec.cell_grid[1]
+    if local_y:
+        stride_y = gmy // spec.cell_grid[1]
+        if stride_y * spec.cell_grid[1] != gmy or dev_y is None:
+            raise ValueError(
+                "2-D halo spread needs pme_halo_mesh(spec, pad_y=True) "
+                "and the device y index")
     n = system.n_atoms
     qv = jnp.where(ids < n, g8[..., 3], 0.0)
     ex, ey, ez = spec.pme_slack
@@ -645,7 +665,19 @@ def pme_halo_local_mesh(g8, ids, system, dev,
         return _cell_patch_weights(coord, n_cells, grid_n, length, extra,
                                    cell_axis, order, dtype)
 
-    wly, orgy, wy = yz_weights(cy_, ngy, gmy, ly, ey, 1)
+    if local_y:
+        # y: same dynamic-offset form as x (2-D decomposition)
+        wy = stride_y + order + 2 + 2 * ey
+        uy = cy_ * (gmy / ly)
+        base_y = (dev_y * (ngy * stride_y)).astype(dtype)
+        orgy_rel = np.arange(ngy) * stride_y - order - ey
+        ty = uy[..., None] - (base_y
+                              + jnp.asarray(orgy_rel, dtype).reshape(
+                                  1, ngy, 1, 1, 1)
+                              + jnp.arange(wy, dtype=dtype))
+        wly = bspline(ty, order)
+    else:
+        wly, orgy, wy = yz_weights(cy_, ngy, gmy, ly, ey, 1)
     wlz, orgz, wz = yz_weights(cz_, ngz, gmz, lz, ez, 2)
 
     nc = gxl * ngy * ngz
@@ -655,18 +687,32 @@ def pme_halo_local_mesh(g8, ids, system, dev,
     patches = patches.reshape(gxl, ngy, ngz, wx, wy, wz)
 
     b = _fold_axis(patches, orgz, gmz, patch_axis=5, cell_axis=2)
-    b = _fold_axis(b, orgy, gmy, patch_axis=3, cell_axis=1)
+    if local_y:
+        py = (ngy - 1) * stride_y + wy
+        rel_y = np.arange(ngy) * stride_y
+        b = _fold_axis(b, rel_y, py, patch_axis=3, cell_axis=1)
+    else:
+        b = _fold_axis(b, orgy, gmy, patch_axis=3, cell_axis=1)
     # x fold onto a LOCAL extent with relative origins (c * stride >= 0,
     # never wraps), then wrap-fold onto the mesh and rotate into place
     px = (gxl - 1) * stride + wx
     rel = np.arange(gxl) * stride
     loc = jnp.transpose(_fold_axis(b, rel, px, patch_axis=1, cell_axis=0),
-                        (2, 1, 0))                       # [Px, Gy, Gz]
-    out = jnp.zeros((gmx, gmy, gmz), dtype)
+                        (2, 1, 0))                       # [Px, Py|Gy, Gz]
+    out = jnp.zeros((gmx, loc.shape[1], gmz), dtype)
     for k0 in range(0, px, gmx):
         seg = jax.lax.slice_in_dim(loc, k0, min(k0 + gmx, px), axis=0)
         out = out + jnp.pad(seg, ((0, gmx - seg.shape[0]), (0, 0), (0, 0)))
-    return jnp.roll(out, dev * (gxl * stride) - (order + ex), axis=0)
+    out = jnp.roll(out, dev * (gxl * stride) - (order + ex), axis=0)
+    if local_y:
+        outy = jnp.zeros((gmx, gmy, gmz), dtype)
+        for k0 in range(0, py, gmy):
+            seg = jax.lax.slice_in_dim(out, k0, min(k0 + gmy, py), axis=1)
+            outy = outy + jnp.pad(
+                seg, ((0, 0), (0, gmy - seg.shape[1]), (0, 0)))
+        out = jnp.roll(outy, dev_y * (ngy * stride_y) - (order + ey),
+                       axis=1)
+    return out
 
 
 def pme_reciprocal_energy(positions: jax.Array, q: jax.Array, box: jax.Array,

@@ -53,6 +53,58 @@ def test_halo_forces_match_single_device():
                                rtol=1e-9, atol=1e-11)
 
 
+@pytest.mark.parametrize("decomp", [(4, 2), (2, 4), (2, 2), (1, 4)])
+def test_halo_2d_decomposition_matches_single_device(decomp):
+    """The 2-D x-by-y brick decomposition (two-stage halo exchange; the
+    pod-slice scale-out past gx devices) must match the single-device
+    engine for energy AND forces, on both recip routes."""
+    system, x = _small_system()
+    ndev = decomp[0] * decomp[1]
+    e_ref, f_ref = _energy_and_forces(x, system)
+    e_fn = make_halo_energy_fn(system, _mesh(ndev), decomp=decomp)
+    np.testing.assert_allclose(float(e_fn(x)), float(e_ref), rtol=1e-11)
+    f = -jax.grad(e_fn)(x)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_halo_2d_distributed_pme_matches_single_device():
+    """2-D decomposition with the distributed SPME spread: y gets the
+    same dynamic-offset local fold as x (pme_halo_mesh pad_y) and must
+    match single-chip PME on the same (padded) mesh to rounding."""
+    from chargeflux_tpu.pme import pme_halo_mesh
+
+    system, x = _small_system()
+    mesh_grid = pme_halo_mesh(system.spec, pad_y=True)
+    sys_pme = dataclasses.replace(
+        system, spec=dataclasses.replace(system.spec, recip_method="pme",
+                                         pme_grid=mesh_grid))
+    e_ref, f_ref = _energy_and_forces(x, sys_pme)
+    e_fn = make_halo_energy_fn(sys_pme, _mesh(8), decomp=(4, 2))
+    np.testing.assert_allclose(float(e_fn(x)), float(e_ref), rtol=1e-11)
+    f = -jax.grad(e_fn)(x)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_halo_decomp_selection():
+    """halo_decomp prefers pure x-slabs (one ppermute), falls to 2-D when
+    gx doesn't divide or ndev exceeds gx, and returns None only when no
+    factorization fits."""
+    from chargeflux_tpu.parallel.halo import halo_decomp
+
+    system, _x = _small_system()          # grid (8, 8, 8)
+    assert halo_decomp(system, 8) == (8, 1)
+    assert halo_decomp(system, 4) == (4, 1)
+    # more devices than gx: the 2-D form scales on
+    assert halo_decomp(system, 16) == (8, 2)
+    assert halo_decomp(system, 64) == (8, 8)
+    assert halo_decomp(system, 7) is None   # 7 divides neither axis
+    g5 = dataclasses.replace(
+        system, spec=dataclasses.replace(system.spec, cell_grid=(5, 8, 8)))
+    assert halo_decomp(g5, 4) == (1, 4)     # gx=5 indivisible -> y slabs
+
+
 def test_sharded_constructor_selects_halo():
     system, x = _small_system()
     e_fn = make_sharded_energy_fn(system, _mesh(8))
@@ -298,7 +350,8 @@ def test_halo_slab_binning_scales_to_1m_atoms():
         box = box_j
 
     slots, slot_of, overflow = jax.jit(
-        _local_bin, static_argnums=(1, 2, 3))(pos, _Sys(), 0, gxl)
+        _local_bin, static_argnums=(1, 2, 3, 4, 5))(pos, _Sys(), 0, 0,
+                                                    gxl, grid[1])
     assert slots.shape == (gxl * grid[1] * grid[2], cap)
     frac = np.asarray(pos) / 10.0
     owned = (frac[:, 0] * grid[0]).astype(int) < gxl

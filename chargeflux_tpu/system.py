@@ -521,10 +521,12 @@ class CoulForce:
             units, so hot or unequilibrated runs can overflow it (the
             energy NaN-poisons — visibly, never silently).  Triage with
             utils.diagnose_nan, which suggests a capacity.
-          halo_devices: size the x cell axis to a multiple of this device
-            count (rounding DOWN — wider cells keep cutoff coverage) so
-            the ppermute halo-sharded route (parallel/halo.py) applies
-            even when the natural grid doesn't divide the mesh.
+          halo_devices: size the (x, y) cell axes so they factor over
+            this device count (rounding DOWN — wider cells keep cutoff
+            coverage; pure x-slabs preferred, 2-D x-by-y bricks when the
+            count exceeds or doesn't divide gx) so the ppermute
+            halo-sharded route (parallel/halo.py) applies even when the
+            natural grid doesn't divide the mesh.
           cell_grid: override the derived cell grid [3] (expert knob, like
             cell_capacity).  Each axis may only be REDUCED from the
             derived count (wider cells keep cutoff coverage); raising one
@@ -613,21 +615,33 @@ class CoulForce:
             eff = self._cutoff * (1.0 + skin_frac)
             ncells = tuple(int(np.floor(w / eff)) for w in widths)
             if halo_devices is not None and halo_devices > 1:
-                # Halo sharding (parallel/halo.py) slab-decomposes the x
-                # cell axis and needs cell_grid[0] % ndev == 0.  Round gx
-                # DOWN to a multiple (wider x cells keep coverage; rounding
-                # up would shrink cells below the cutoff).  Costs extra
-                # pair candidates single-chip; buys the ppermute halo path
-                # instead of the work-sharding fallback's full per-device
-                # rebuild.
-                gx_halo = (ncells[0] // halo_devices) * halo_devices
-                if gx_halo < max(3, halo_devices):
+                # Halo sharding (parallel/halo.py) decomposes the (x, y)
+                # cell axes over Dx*Dy = ndev device bricks and needs
+                # gx % Dx == 0 and gy % Dy == 0.  Pick the factorization
+                # that keeps the MOST cells after rounding each axis DOWN
+                # to its multiple (wider cells keep cutoff coverage;
+                # rounding up would shrink cells below it), preferring
+                # pure x-slabs (one ppermute/eval vs three) on ties.  A
+                # naturally dividing grid is left untouched.
+                best = None
+                for ddx in range(min(halo_devices, ncells[0]), 0, -1):
+                    if halo_devices % ddx:
+                        continue
+                    ddy = halo_devices // ddx
+                    gxh = (ncells[0] // ddx) * ddx
+                    gyh = (ncells[1] // ddy) * ddy
+                    if gxh < max(3, ddx) or gyh < max(3, ddy):
+                        continue
+                    key = (gxh * gyh, ddy == 1)
+                    if best is None or key > best[0]:
+                        best = (key, (gxh, gyh))
+                if best is None:
                     raise ValueError(
                         f"halo_devices={halo_devices}: the box fits only "
-                        f"{ncells[0]} x-cells at cutoff {self._cutoff} — "
-                        f"cannot make a >=3-cell grid divisible by the "
-                        f"device count")
-                ncells = (gx_halo,) + ncells[1:]
+                        f"{ncells[0]}x{ncells[1]} x/y cells at cutoff "
+                        f"{self._cutoff} — no >=3-cell grid factors over "
+                        f"the device count")
+                ncells = best[1] + ncells[2:]
             cell_ok = all(c >= 3 for c in ncells)
             if method == "auto":
                 # an explicit halo_devices request means the caller will

@@ -242,10 +242,21 @@ def test_halo_devices_grid_rounding():
     mesh = Mesh(np.array(jax.devices()[:4]), ("space",))
     e_h = float(make_halo_energy_fn(s_halo, mesh)(x))
     assert abs(e_h - e_ref) <= 1e-12 * abs(e_ref)
-    # impossible rounding refuses loudly
+    # a device count past gx lands on the 2-D x-by-y sizing (round 4)
+    from chargeflux_tpu.parallel.halo import halo_decomp
+    s_2d = force.create_system(box=box, dtype=jnp.float64,
+                               direct_method="cell", halo_devices=8)
+    assert halo_decomp(s_2d, 8) is not None
+    assert halo_decomp(s_2d, 8)[1] > 1
+    e_2d = float(cf.energy(x, s_2d))
+    assert abs(e_2d - e_ref) <= 1e-12 * abs(e_ref)
+    mesh8 = Mesh(np.array(jax.devices()[:8]), ("space",))
+    e_h8 = float(make_halo_energy_fn(s_2d, mesh8)(x))
+    assert abs(e_h8 - e_ref) <= 1e-12 * abs(e_ref)
+    # genuinely impossible sizing still refuses loudly
     with pytest.raises(ValueError, match="halo_devices"):
         force.create_system(box=box, dtype=jnp.float64,
-                            direct_method="cell", halo_devices=8)
+                            direct_method="cell", halo_devices=64)
 
 
 def test_halo_devices_forces_cell_route():

@@ -6,7 +6,7 @@ chip; BASELINE.md target <= 2 ms/step), plus ns/day at the benchmark
 timestep and a per-phase breakdown.  vs_baseline = target_ms / measured_ms
 (>1 beats the target).
 
-Usage: python bench.py [216|4k|30k|tri30k|hetero30k|100k|replicas|respa|rigid]
+Usage: python bench.py [216|4k|30k|tri30k|hetero30k|100k|replicas|respa|rigid|npt]
 (tri30k = the 30k box on a sheared reduced-triclinic lattice)
 
 Methodology for the tunneled TPU platform (CLAUDE.md): dispatch is async
@@ -643,12 +643,97 @@ def bench_hetero():
     assert np.isfinite(e_check), "benchmark trajectory produced NaN"
 
 
+def bench_npt():
+    """NPT 30k: BAOAB Langevin + isotropic MC barostat at 300 K / 1 bar,
+    dt 0.5 fs, one volume attempt per rebuild chunk — the constant-
+    pressure production configuration.  The reference delegates NPT to
+    its host framework (OpenMM MonteCarloBarostat); here the barostat's
+    volume moves ride a traced box through the whole engine and the MD
+    chunk runs on the packed [N, 9] carry (round 4).  Metric: ms per NPT
+    MD step (amortized barostat attempt + re-bin included)."""
+    from chargeflux_tpu.cells import suggest_capacity
+    from chargeflux_tpu.integrate import (init_state_nb,
+                                          langevin_trajectory_nb,
+                                          make_nb_energy_fn)
+    from chargeflux_tpu.models import water_bonded_params
+    from chargeflux_tpu.neighbors import suggest_rebuild_interval
+    from chargeflux_tpu.npt import npt_langevin_trajectory
+    from chargeflux_tpu.utils import max_cell_occupancy
+
+    x, system, masses, force = build_full("30k")
+    bonded = water_bonded_params(
+        system.n_atoms // 3,
+        box=np.asarray(jax.device_get(system.box)), dtype=jnp.float32)
+    m = jnp.asarray(np.asarray(masses), jnp.float32)
+
+    # burn-in on a generously provisioned twin (same rationale as
+    # measure_md_step), thermostatted at the production temperature
+    cap_burn = suggest_capacity(
+        np.asarray(x), np.asarray(jax.device_get(system.box)),
+        system.spec.cell_grid, margin=1.35)
+    burn_sys = (_with_capacity(force, system, cap_burn)
+                if cap_burn > system.spec.cell_capacity else system)
+    e_fn_b, init_nb_b = make_nb_energy_fn(burn_sys, bonded=bonded)
+    re_burn = suggest_rebuild_interval(burn_sys, DT_PS, max_speed=24.0,
+                                       cap=10)
+    s0 = init_state_nb(x, jnp.zeros_like(x), e_fn_b, init_nb_b)
+    n_burn = -(-400 // re_burn) * re_burn
+    s_eq, kes = langevin_trajectory_nb(
+        s0, e_fn_b, init_nb_b, m, dt=DT_PS, temperature=300.0,
+        friction=20.0, key=jax.random.PRNGKey(1), n_steps=n_burn,
+        rebuild_every=re_burn)
+    assert np.all(np.isfinite(np.asarray(kes))), "NPT burn-in NaN"
+
+    occ_eq = max_cell_occupancy(s_eq.positions, system)
+    cap_eq = -(-int(math.ceil(occ_eq * 1.10)) // 8) * 8
+    if cap_eq > system.spec.cell_capacity:
+        system = _with_capacity(force, system, cap_eq)
+    vmax = float(np.max(np.linalg.norm(
+        np.asarray(jax.device_get(s_eq.velocities)), axis=-1)))
+    interval = suggest_rebuild_interval(
+        system, DT_PS, max_speed=max(8.0, 1.2 * vmax), cap=40)
+    print(f"# bench_npt: barostat_interval={interval} vmax={vmax:.2f} "
+          f"cap={system.spec.cell_capacity}", file=sys.stderr)
+
+    x_eq = jnp.asarray(s_eq.positions)
+    v_eq = jnp.asarray(s_eq.velocities)
+
+    @partial(jax.jit, static_argnums=(1,))
+    def run(_p, k):
+        xf, vf, boxf, diag = npt_langevin_trajectory(
+            x_eq, v_eq, system, m, dt=DT_PS, temperature=300.0,
+            friction=5.0, pressure_bar=1.0, key=jax.random.PRNGKey(2),
+            n_steps=k * interval, barostat_interval=interval,
+            bonded=bonded)
+        return diag["energies"][-1] + 0.0 * (jnp.sum(xf) + jnp.sum(boxf))
+
+    k1 = max(1, 10 // interval)
+    ms_chunk = _timed_scan(run, 0, k1, 6 * k1, reps=7)
+    ms = ms_chunk / interval
+    e_check = float(run(0, 6 * k1))
+    print(json.dumps({
+        "metric": "ms_per_npt_md_step_30k_ewald_f32" + PLATFORM_SUFFIX,
+        "value": round(ms, 4),
+        "vs_baseline": round(TARGET_MS / ms, 4),
+        "unit": "ms",
+        "ns_per_day": round(DT_PS * 1e-3 * 86400.0 * 1000.0 / ms, 2),
+        "dt_fs": DT_PS * 1e3,
+        "barostat_interval": interval,
+        "atoms": system.n_atoms,
+        "cell_capacity": system.spec.cell_capacity,
+    }))
+    assert np.isfinite(e_check), "NPT benchmark trajectory produced NaN"
+
+
 def main():
     config = sys.argv[1] if len(sys.argv) > 1 else "30k"
     on_device = wait_for_backend()
     if not on_device:
         global PLATFORM_SUFFIX
         PLATFORM_SUFFIX = "_CPU_FALLBACK"
+    if config == "npt":
+        bench_npt()
+        return
     if config == "hetero30k":
         bench_hetero()
         return

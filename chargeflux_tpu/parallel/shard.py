@@ -23,11 +23,17 @@ Design choices (scaling-book style):
   avoids data-dependent masks in the sharded hot loop.
 
 Performance note: the spatial **halo** decomposition (halo.py, roll-based
-walk, no gathers) is tried first and is the production scale-out path.
-This module's cell-row fallback uses gather-based
-``cell_rows_direct_energy`` whose backward lowers to scatter-adds — the
-pattern the single-chip roll walk exists to avoid — so it is a
-correctness/coverage path (odd grids, tiny meshes), not a fast path.
+walk, no gathers; 1-D x-slabs or 2-D x-by-y bricks, ``halo_decomp``) is
+tried first and is the production scale-out path.  This module's cell-row
+fallback uses gather-based ``cell_rows_direct_energy`` whose backward
+lowers to scatter-adds — the pattern the single-chip roll walk exists to
+avoid — so it is a correctness/coverage path only, and an expensive one:
+**measured 13.4x per work item** vs the roll walk at 30k on TPU
+(BASELINE.md round 4, tools/fallback_tpu.py).  With the 2-D decomposition
+and ``create_system(halo_devices=D)`` grid sizing, essentially every
+production (system, mesh) pair can stay on the halo path; landing here
+means both grid axes are indivisible — rebuild the system with
+``halo_devices`` set.
 """
 
 from __future__ import annotations

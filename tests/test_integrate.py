@@ -81,6 +81,45 @@ def test_trajectory_is_single_compiled_program():
     assert "while" in lowered.as_text()
 
 
+def test_packed_carry_modes_are_semantics_preserving():
+    """Every packed-carry representation (integrate.PACKED_CARRY_MODE —
+    layout/scheduling knobs only: optimization_barrier is identity, the
+    flat carry is a reshape) must produce the same NVE trajectory as the
+    'packed' control to rounding.  Guards the production 'xbarrier'
+    default (the measured hetero fix) against semantic drift."""
+    from chargeflux_tpu.integrate import (_MODES, init_state_nb,
+                                          make_nb_energy_fn,
+                                          nve_trajectory_nb)
+    from chargeflux_tpu.models import water_bonded_params, water_box
+
+    force, pos, masses, box = water_box(n_side=6, seed=9, cutoff=0.55)
+    system = force.create_system(box=box, dtype=jnp.float64,
+                                 direct_method="cell")
+    bonded = water_bonded_params(system.n_atoms // 3, box=box,
+                                 dtype=jnp.float64)
+    e_fn, init_nb = make_nb_energy_fn(system, bonded=bonded)
+    x = jnp.asarray(pos)
+    m = jnp.asarray(np.asarray(masses), jnp.float64)
+
+    import chargeflux_tpu.integrate as integrate
+    saved = integrate.PACKED_CARRY_MODE
+    try:
+        results = {}
+        for mm in _MODES:
+            integrate.PACKED_CARRY_MODE = mm
+            s0 = init_state_nb(x, jnp.zeros_like(x), e_fn, init_nb)
+            s1, es = nve_trajectory_nb(s0, e_fn, init_nb, m, dt=2e-4,
+                                       n_steps=10, rebuild_every=5)
+            results[mm] = (np.asarray(s1.positions), np.asarray(es))
+    finally:
+        integrate.PACKED_CARRY_MODE = saved
+    for mm in _MODES:
+        np.testing.assert_allclose(results[mm][0], results["packed"][0],
+                                   rtol=1e-12, atol=1e-14, err_msg=mm)
+        np.testing.assert_allclose(results[mm][1], results["packed"][1],
+                                   rtol=1e-12, err_msg=mm)
+
+
 def test_langevin_nb_resume_exact(tmp_path):
     """Checkpoint/resume contract (SURVEY §5): running 40 NVT steps in one
     call is BITWISE identical to 20 steps -> save_checkpoint to disk ->

@@ -283,6 +283,26 @@ def test_halo_sharding_matches_on_triclinic():
     assert np.sqrt(np.mean((f_h - f_ref) ** 2)) / rms < 1e-13
 
 
+def test_halo_2d_decomposition_matches_on_triclinic():
+    """2-D x-by-y bricks on a sheared lattice: the y-halo planes crossing
+    the global boundary pick up the FULL lattice row b = (B[1,0], B[1,1],
+    0) at exchange time — the off-diagonal x component is the part a
+    naive per-axis wrap would drop."""
+    from chargeflux_tpu.parallel.halo import make_halo_energy_fn
+
+    _, system, x, _, _ = _big_system("cell")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("space",))
+    e_ref = float(cf.energy(x, system))
+    f_ref = np.asarray(cf.forces(x, system))
+    rms = np.sqrt(np.mean(f_ref ** 2))
+    for decomp in [(2, 2), (1, 4)]:
+        e_fn = make_halo_energy_fn(system, mesh, decomp=decomp)
+        e_h = float(e_fn(x))
+        assert abs(e_h - e_ref) <= 1e-11 * abs(e_ref), decomp
+        f_h = np.asarray(-jax.jit(jax.grad(e_fn))(x))
+        assert np.sqrt(np.mean((f_h - f_ref) ** 2)) / rms < 1e-12, decomp
+
+
 def test_nve_neighbor_reuse_on_triclinic():
     # neighbor-reuse driver across rebuild boundaries: frozen triclinic
     # wrap offsets must keep the reused binning exact — the cell-route

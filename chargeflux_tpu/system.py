@@ -501,6 +501,7 @@ class CoulForce:
         walk_layout: str = "auto",
         halo_devices: Optional[int] = None,
         cell_grid=None,
+        pme_grid=None,
     ) -> ChargeFluxSystem:
         """Compile the builder into an immutable pytree system.
 
@@ -535,10 +536,20 @@ class CoulForce:
             sits on the TPU sublane dim of every block/slab array, and
             gz=9/10 grids measured a ~2x in-context direct-walk padding
             cliff (tools/cutoff_scan.py round 3).
+          pme_grid: override the derived PME mesh [3] (expert knob — the
+            analog of the reference framework's explicit PME-parameter
+            setter).  Each axis may only be RAISED from the derived size
+            (a finer mesh only improves accuracy; a coarser one would
+            silently break the tolerance contract, so it raises).  Main
+            use: picking a mesh divisible by the cell grid so the
+            cell-blocked spread's per-cell patch windows stay tight
+            (a 12-cell axis over an 80-point mesh measured recip
+            2.40 -> 8.31 ms at 100k, BASELINE.md).
         """
         n = len(self._charges)
         if n == 0:
             raise ValueError("system has no particles")
+        pme_grid_override = pme_grid
         if direct_method not in ("auto", "dense", "cell"):
             raise ValueError(
                 f"unknown direct_method {direct_method!r}: expected 'auto', "
@@ -590,7 +601,21 @@ class CoulForce:
             pme_order = DEFAULT_ORDER
             pme_grid = pme_grid_size(widths, alpha, self._ewald_tol,
                                      pme_order)
+            if pme_grid_override is not None:
+                req = tuple(int(v) for v in pme_grid_override)
+                if len(req) != 3 or any(
+                        r < d for r, d in zip(req, pme_grid)):
+                    raise ValueError(
+                        f"pme_grid {req} must be a [3] mesh with every "
+                        f"axis >= the tolerance-derived {pme_grid} (a "
+                        f"coarser mesh would break the ewald_tol "
+                        f"accuracy contract)")
+                pme_grid = req
         else:
+            if pme_grid_override is not None:
+                raise ValueError("pme_grid applies only to periodic "
+                                 "systems (no reciprocal space without "
+                                 "PBC)")
             box_arr = np.zeros(3, dtype=np.float64)
             alpha = None
             kmax = None

@@ -145,6 +145,42 @@ def test_heuristic_grid_reasonable():
     assert all(f > g for f, g in zip(finer, grid))
 
 
+def test_pme_grid_override():
+    """create_system(pme_grid=...) may only RAISE the mesh (finer is more
+    accurate); the overridden system's energy must agree with the derived
+    mesh within the tolerance budget, and coarser / non-PBC requests must
+    raise.  Expert knob — the analog of the reference framework's explicit
+    PME-parameter setter; main use is picking a mesh divisible by the cell
+    grid so the cell-blocked spread's patch windows stay tight."""
+    force, pos, _, box = water_box(n_side=7, flux="bond_angle", cutoff=0.65,
+                                   seed=4)
+    x = jnp.asarray(pos)
+    sys_a = force.create_system(box=box, dtype=jnp.float64,
+                                direct_method="cell", recip_method="pme")
+    fine = tuple(good_fft_size(g + 8) for g in sys_a.spec.pme_grid)
+    sys_b = force.create_system(box=box, dtype=jnp.float64,
+                                direct_method="cell", recip_method="pme",
+                                pme_grid=fine)
+    assert sys_b.spec.pme_grid == fine
+    _, f_a = _energy_and_forces(x, sys_a)
+    _, f_b = _energy_and_forces(x, sys_b)
+    # both meshes satisfy the ewald_tol force-error contract; their
+    # mutual force RMSE is bounded by a few tolerance units
+    rms = float(np.sqrt(np.mean(np.asarray(f_a) ** 2)))
+    err = float(np.sqrt(np.mean((np.asarray(f_a) - np.asarray(f_b)) ** 2)))
+    assert err / rms < 5e-4, err / rms
+    with pytest.raises(ValueError, match="pme_grid"):
+        force.create_system(box=box, dtype=jnp.float64,
+                            direct_method="cell",
+                            pme_grid=tuple(g - 8 for g in sys_a.spec.pme_grid))
+    from chargeflux_tpu.system import CoulForce
+    f2 = CoulForce()
+    f2.addParticle(0.5, 0.1, 0.1)
+    f2.addParticle(-0.5, 0.1, 0.1)
+    with pytest.raises(ValueError, match="periodic"):
+        f2.create_system(pme_grid=(32, 32, 32))
+
+
 def test_cell_blocked_spread_matches_dense(box4):
     """The cell-blocked spread (shared blocks, patch matmuls, placement-
     matrix folds) must agree with the dense-separable spread to f64

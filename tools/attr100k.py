@@ -24,10 +24,12 @@ from chargeflux_tpu.cells import suggest_capacity  # noqa: E402
 from chargeflux_tpu.models import water_box  # noqa: E402
 
 
-def build_grid(grid):
+def build_grid(grid, cutoff=0.8, pme=None):
     force, pos, masses, box = water_box(n_side=32, flux="bond_angle",
-                                        cutoff=0.8)
+                                        cutoff=cutoff)
     kw = {} if grid is None else {"cell_grid": tuple(grid)}
+    if pme is not None:
+        kw["pme_grid"] = tuple(pme)
     system = force.create_system(box=box, dtype=jnp.float32,
                                  direct_method="cell", **kw)
     cap = suggest_capacity(pos, box, system.spec.cell_grid, margin=1.05)
@@ -39,7 +41,19 @@ def build_grid(grid):
             jnp.asarray(np.asarray(masses), jnp.float32), force)
 
 
-GRIDS = {"nat": None, "z8": (11, 11, 8), "g12z8": (12, 12, 8)}
+# case -> (cell_grid, cutoff, pme_grid).  The g16rc06 family is the
+# round-4 all-8-multiple lever: the grid cliff follows ANY non-8-multiple
+# axis (tools/cutoff_scan.py gz8 scan), and 100k ships on 11^3 — but at
+# rc 0.6 a 16^3 grid fits (width 0.621 >= rc), every axis is a multiple
+# of 8, cap drops 96 -> ~32-48 and padded walk slots fall ~3x (4096
+# cells x cap^2 vs 1331 x 96^2).  The p112 variant pins the PME mesh to
+# 112 = 16 x 7 so the cell-blocked spread's patch windows stay tight
+# (108 = natural is NOT divisible by 16 — the g12z8 failure mode).
+GRIDS = {"nat": (None, 0.8, None),
+         "z8": ((11, 11, 8), 0.8, None),
+         "g12z8": ((12, 12, 8), 0.8, None),
+         "g16rc06": ((16, 16, 16), 0.6, None),
+         "g16rc06p112": ((16, 16, 16), 0.6, (112, 112, 112))}
 
 
 def main():
@@ -52,7 +66,7 @@ def main():
         if name == "nat":
             x, system, masses, force = build_full("100k")
         else:
-            x, system, masses, force = build_grid(GRIDS[name])
+            x, system, masses, force = build_grid(*GRIDS[name])
         cases[name] = (x, system, masses, force)
         print(json.dumps({"case": name,
                           "grid": list(system.spec.cell_grid),

@@ -60,14 +60,22 @@ def build_full(config: str, cutoff: float = None):
     # config uses the cell+PME route — with the concat walk it beats dense
     # from 4k up (0.43 vs 0.87 ms at 4k, measured round 2)
     method = "dense" if base == "216" else "cell"
-    # Work-balanced model cutoff for the cell+PME configs: rc = 0.8 nm is
-    # the measured TPU optimum (BASELINE.md cutoff scan; Ewald accuracy is
+    # Work-balanced model cutoff for the cell+PME configs: rc = 0.8 nm was
+    # the round-3 TPU optimum (BASELINE.md cutoff scan; Ewald accuracy is
     # pinned by the tolerance at any rc, and rc is a user model knob in the
-    # reference too — its default is 1.0, CoulForce.cpp:12-16).  The rounds
-    # 1-2 rc = 0.9 configuration is also measured and reported for
-    # round-over-round comparability (ms_per_md_step_rc09).
+    # reference too — its default is 1.0, CoulForce.cpp:12-16).  Round 4:
+    # with Ewald the cutoff is a *splitting* knob, so rc 0.72 on the FORCED
+    # 8^3 grid keeps the walk program identical (same slots/capacity)
+    # while the Verlet skin triples (0.06 -> 0.134 nm, rebuild interval
+    # 5 -> 12): 2.93 -> 2.75 ms measured (/tmp/r4b_cutoff_rcskin.log).
+    # The rounds 1-2 rc = 0.9 configuration is also measured and reported
+    # for round-over-round comparability (ms_per_md_step_rc09).
+    grid_kw = {}
     if cutoff is None:
-        cutoff = 0.8 if method == "cell" else 0.9
+        if base == "30k":
+            cutoff, grid_kw = 0.72, {"cell_grid": (8, 8, 8)}
+        else:
+            cutoff = 0.8 if method == "cell" else 0.9
     force, pos, masses, box = water_box(n_side=n_side, flux="bond_angle",
                                         cutoff=cutoff)
     if tri:
@@ -76,7 +84,7 @@ def build_full(config: str, cutoff: float = None):
                         [0.15 * L[0], L[1], 0.0],
                         [0.10 * L[0], -0.12 * L[1], L[2]]])
     system = force.create_system(box=box, dtype=jnp.float32,
-                                 direct_method=method)
+                                 direct_method=method, **grid_kw)
     if method == "cell":
         # lattice initial configs alias against the cell grid and can beat
         # the 4-sigma default capacity; size it from the real occupancy
@@ -87,7 +95,7 @@ def build_full(config: str, cutoff: float = None):
         if cap != system.spec.cell_capacity:
             system = force.create_system(box=box, dtype=jnp.float32,
                                          direct_method=method,
-                                         cell_capacity=cap)
+                                         cell_capacity=cap, **grid_kw)
     return (jnp.asarray(pos, jnp.float32), system,
             jnp.asarray(np.asarray(masses), jnp.float32), force)
 
@@ -606,10 +614,12 @@ def bench_hetero():
     from chargeflux_tpu.bonded import BondedParams
     from chargeflux_tpu.models import solvated_chain_box
 
+    # rc 0.72 on the forced 8^3 grid: same splitting-knob config as the
+    # 30k water leg (identical walk program, tripled Verlet skin)
     force, pos, masses, box, bonded_kw = solvated_chain_box(
-        n_side=22, n_solute_sites=100, cutoff=0.8)
+        n_side=22, n_solute_sites=100, cutoff=0.72)
     system = force.create_system(box=box, dtype=jnp.float32,
-                                 direct_method="cell")
+                                 direct_method="cell", cell_grid=(8, 8, 8))
     ts = system.spec.flux_template
     assert ts is not None and dict(ts.remainder)["bonds"] == 299
     from chargeflux_tpu.cells import suggest_capacity
@@ -617,7 +627,7 @@ def bench_hetero():
     if cap != system.spec.cell_capacity:
         system = force.create_system(box=box, dtype=jnp.float32,
                                      direct_method="cell",
-                                     cell_capacity=cap)
+                                     cell_capacity=cap, cell_grid=(8, 8, 8))
     bonded = BondedParams.create(box=box, pbc=True, dtype=jnp.float32,
                                  **bonded_kw)
     x = jnp.asarray(pos, jnp.float32)

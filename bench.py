@@ -443,17 +443,21 @@ def bench_rigid():
     from chargeflux_tpu.neighbors import suggest_rebuild_interval
 
     dt = 2e-3
-    force, pos, masses, box, params = rigid_water_box(n_side=22, cutoff=0.8,
+    # rc 0.72 on the forced 8^3 grid: at dt 2 fs the rc 0.8 config's
+    # 0.06 nm skin forced rebuild_every=1 (full binning EVERY step); the
+    # splitting-knob config rebuilds every 4 — 4.30 -> 3.23 ms measured
+    # (with SETTLE, /tmp/r4b_rigid_rc_ab.log)
+    force, pos, masses, box, params = rigid_water_box(n_side=22, cutoff=0.72,
                                                       dtype=jnp.float32)
     system = force.create_system(box=box, dtype=jnp.float32,
-                                 direct_method="cell")
+                                 direct_method="cell", cell_grid=(8, 8, 8))
     from chargeflux_tpu.cells import suggest_capacity
     from chargeflux_tpu.utils import max_cell_occupancy
     cap = suggest_capacity(pos, box, system.spec.cell_grid, margin=1.1)
     if cap != system.spec.cell_capacity:
         system = force.create_system(box=box, dtype=jnp.float32,
                                      direct_method="cell",
-                                     cell_capacity=cap)
+                                     cell_capacity=cap, cell_grid=(8, 8, 8))
     x = jnp.asarray(pos, jnp.float32)
     m = jnp.asarray(np.asarray(masses), jnp.float32)
     # burn on a generously provisioned twin; production capacity from the

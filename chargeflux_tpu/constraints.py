@@ -319,7 +319,10 @@ def _shake_velocities(x, v_unc, p: DistanceConstraints, tol=None):
 # SAME SHAKE equations; SETTLE is the analytic solution, so they agree
 # to machine precision (tests pin it) — the knob is purely a speed
 # choice.  Module-level for the same reason as integrate.PACKED_CARRY_MODE.
-RIGID_PROJECTION = "newton"
+# Default "settle": measured equal-or-faster at both rigid bench configs
+# (rc08 4.283 vs 4.299, rc072g8 3.231 vs 3.248 ms — /tmp/r4b_rigid_rc_ab
+# .log, Aug 21) and closed-form (no residual-poison branch to schedule).
+RIGID_PROJECTION = "settle"
 
 
 def _cross_soa(u, v):

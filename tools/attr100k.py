@@ -56,7 +56,7 @@ GRIDS = {"nat": (None, 0.8, None),
          "g16rc06p112": ((16, 16, 16), 0.6, (112, 112, 112)),
          # rc < cell width puts the splitting knob to work INSIDE the
          # 16^3 grid (rc 0.6 leaves only 0.021 nm skin -> rebuild ~2):
-         "g16rc058p112": ((16, 16, 16), 0.58, (112, 112, 112)),
+         "g16rc058p128": ((16, 16, 16), 0.58, (128, 128, 128)),
          "g16rc055p128": ((16, 16, 16), 0.55, (128, 128, 128))}
 
 

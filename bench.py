@@ -134,9 +134,21 @@ def _timed_scan(run, x0, k1, k2, reps=7, warm_s=10.0):
 
 
 def _with_capacity(force, system, cap):
+    # Forward every trace-time override from the existing spec: dropping
+    # cell_grid silently reverted the forced 8^3 splitting-knob grid to
+    # the derived 9^3 (the walk-cliff grid) on every capacity
+    # re-provision — the round-4 driver capture measured that program,
+    # not the flipped config (ADVICE r4).
+    spec = system.spec
+    kw = {}
+    if spec.cell_grid is not None:
+        kw["cell_grid"] = spec.cell_grid
+    if spec.pme_grid is not None and spec.recip_method in ("auto", "pme"):
+        kw["pme_grid"] = spec.pme_grid
     return force.create_system(
         box=np.asarray(jax.device_get(system.box)), dtype=jnp.float32,
-        direct_method="cell", cell_capacity=cap)
+        direct_method="cell", cell_capacity=cap,
+        recip_method=spec.recip_method, walk_layout=spec.walk_layout, **kw)
 
 
 def measure_md_step(x, system, masses, force=None, bonded=None):
@@ -426,6 +438,7 @@ def bench_respa(n_inner: int = 4):
         "n_inner": n_inner,
         "rebuild_every": rebuild_every,
         "cell_capacity": system.spec.cell_capacity,
+        "cell_grid": list(system.spec.cell_grid) if system.spec.cell_grid else None,
     }))
     assert np.isfinite(ke_check), "RESPA benchmark trajectory produced NaN"
 
@@ -525,6 +538,7 @@ def bench_rigid():
         "rebuild_every": rebuild_every,
         "atoms": system.n_atoms,
         "cell_capacity": system.spec.cell_capacity,
+        "cell_grid": list(system.spec.cell_grid) if system.spec.cell_grid else None,
     }))
     assert np.isfinite(ke_check), "rigid benchmark trajectory produced NaN"
 
@@ -650,6 +664,7 @@ def bench_hetero():
         "atoms": system.n_atoms,
         "solute_atoms": 300,
         "cell_capacity": system.spec.cell_capacity,
+        "cell_grid": list(system.spec.cell_grid) if system.spec.cell_grid else None,
     }))
     print(f"# config=hetero30k wall={compile_s:.1f}s "
           f"first_call_compiles={_FIRST_CALL_S:.1f}s "
@@ -735,6 +750,7 @@ def bench_npt():
         "barostat_interval": interval,
         "atoms": system.n_atoms,
         "cell_capacity": system.spec.cell_capacity,
+        "cell_grid": list(system.spec.cell_grid) if system.spec.cell_grid else None,
     }))
     assert np.isfinite(e_check), "NPT benchmark trajectory produced NaN"
 

@@ -602,6 +602,11 @@ class CoulForce:
             pme_grid = pme_grid_size(widths, alpha, self._ewald_tol,
                                      pme_order)
             if pme_grid_override is not None:
+                if recip_method in ("xla", "pallas"):
+                    raise ValueError(
+                        f"pme_grid applies only to the PME reciprocal "
+                        f"route; recip_method={recip_method!r} is a "
+                        f"kmax-Ewald route that ignores the mesh")
                 req = tuple(int(v) for v in pme_grid_override)
                 if len(req) != 3 or any(
                         r < d for r, d in zip(req, pme_grid)):

@@ -802,7 +802,7 @@ def main():
             result["last_measured_tpu_ms"] = last_tpu[config]
     if config == "30k" and on_device:
         result["phases_ms"] = measure_phases(x, system)
-        result["model_cutoff_nm"] = 0.8
+        result["model_cutoff_nm"] = system.spec.cutoff
         # rounds 1-2 model config (rc 0.9), for round-over-round comparison.
         # Side measurement only: never let it sink the headline metric.
         try:

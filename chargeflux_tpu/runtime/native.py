@@ -64,6 +64,17 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.cf_direct_energy.argtypes = [
         dptr, ctypes.c_int64, dptr, dptr, dptr, dptr,
         iptr, ctypes.c_int64, ctypes.c_double, ctypes.c_double, dptr, dptr]
+    lib.cf_recip_self_energy.restype = ctypes.c_double
+    lib.cf_recip_self_energy.argtypes = [
+        dptr, ctypes.c_int64, dptr, dptr, iptr, ctypes.c_double,
+        dptr, dptr]
+    lib.cf_flux_chain_forces.restype = None
+    lib.cf_flux_chain_forces.argtypes = [
+        dptr, ctypes.c_int64, dptr, ctypes.c_int, dptr,
+        iptr, dptr, ctypes.c_int64,
+        iptr, dptr, ctypes.c_int64,
+        iptr, dptr, ctypes.c_int64,
+        dptr]
     lib.cf_dcd_open.restype = ctypes.c_void_p
     lib.cf_dcd_open.argtypes = [ctypes.c_char_p, ctypes.c_int32,
                                 ctypes.c_double, ctypes.c_int32,
@@ -136,6 +147,64 @@ def native_flux_charges(positions, box, pbc, q0, bonds, angles, waters):
         np.ascontiguousarray(w_p, np.float64).reshape(-1), len(w_idx),
         q_out)
     return q_out
+
+
+def native_recip_self_energy(positions, box, q, kmax, alpha, forces, dedq):
+    """Classical-Ewald self + brute half-space reciprocal term (f64,
+    native).  Adds the fixed-charge force and dE/dq contributions INTO
+    ``forces``/``dedq`` in place; returns E_self + E_recip."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime not available")
+    pos = np.ascontiguousarray(positions, np.float64)
+    assert forces.flags.c_contiguous and dedq.flags.c_contiguous
+    return float(lib.cf_recip_self_energy(
+        pos, len(pos), np.ascontiguousarray(box, np.float64),
+        np.ascontiguousarray(q, np.float64),
+        np.ascontiguousarray(kmax, np.int32), float(alpha),
+        forces.reshape(-1), dedq))
+
+
+def native_flux_chain_forces(positions, box, pbc, dedq, bonds, angles,
+                             waters, forces):
+    """Contract dE/dq against the analytic dq/dx (the multdQdX chain rule)
+    and subtract from ``forces`` in place.  Argument conventions match
+    :func:`native_flux_charges`."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime not available")
+    pos = np.ascontiguousarray(positions, np.float64)
+    b_idx, b_p = bonds
+    a_idx, a_p = angles
+    w_idx, w_p = waters
+    lib.cf_flux_chain_forces(
+        pos, len(pos), np.ascontiguousarray(box, np.float64), int(pbc),
+        np.ascontiguousarray(dedq, np.float64),
+        np.ascontiguousarray(b_idx, np.int32).reshape(-1),
+        np.ascontiguousarray(b_p, np.float64).reshape(-1), len(b_idx),
+        np.ascontiguousarray(a_idx, np.int32).reshape(-1),
+        np.ascontiguousarray(a_p, np.float64).reshape(-1), len(a_idx),
+        np.ascontiguousarray(w_idx, np.int32).reshape(-1),
+        np.ascontiguousarray(w_p, np.float64).reshape(-1), len(w_idx),
+        forces.reshape(-1))
+
+
+def native_full_energy_forces(positions, box, q0, sigma, epsilon,
+                              exclusions, bonds, angles, waters,
+                              cutoff, alpha, kmax):
+    """Full charge-flux Ewald ground truth, all-native: flux charges ->
+    direct + exclusion -> self + reciprocal -> dE/dq chain rule.  The
+    complete contract of ReferenceCoulKernels.cpp:424-636 at scales where
+    the Python oracle is too slow.  Returns (energy, forces [N,3])."""
+    q = native_flux_charges(positions, box, True, q0, bonds, angles,
+                            waters)
+    e_dir, forces, dedq = native_direct_energy(
+        positions, box, q, sigma, epsilon, exclusions, cutoff, alpha)
+    e_rs = native_recip_self_energy(positions, box, q, kmax, alpha,
+                                    forces, dedq)
+    native_flux_chain_forces(positions, box, True, dedq, bonds, angles,
+                             waters, forces)
+    return e_dir + e_rs, forces
 
 
 def native_direct_energy(positions, box, q, sigma, epsilon, exclusions,

@@ -16,6 +16,7 @@
 
 #include <algorithm>
 #include <cmath>
+#include <complex>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -188,6 +189,178 @@ double cf_direct_energy(const double* pos, int64_t n, const double* box,
         }
     }
     return energy;
+}
+
+
+// Self term + brute-force half-space reciprocal sum (classical Ewald,
+// ReferenceCoulKernels.cpp:500-556 semantics: kx in [0,kmax); for kx==0
+// only half the (ky,kz) plane, every counted vector weighted x2 through
+// the constant).  Per-atom phase factors exp(i m g x) are built by
+// complex recursion per axis — one exp() per atom per axis instead of one
+// cos/sin pair per (atom, k-vector) — which keeps the O(N*K) brute loop
+// usable at the ~30k engine-parity scale.  Adds forces (fixed-charge
+// part) and dE/dq into the out arrays; returns E_self + E_recip.
+double cf_recip_self_energy(const double* pos, int64_t n, const double* box,
+                            const double* q, const int32_t* kmax,
+                            double alpha, double* forces, double* dedq) {
+    const double KE = 138.935456;
+    using cd = std::complex<double>;
+    // self: E = -KE*alpha/sqrt(pi) * sum q^2
+    const double sfac = -KE * alpha / std::sqrt(M_PI);
+    double energy = 0.0;
+    for (int64_t i = 0; i < n; ++i) {
+        energy += sfac * q[i] * q[i];
+        dedq[i] += 2.0 * sfac * q[i];
+    }
+    const int kmx = kmax[0], kmy = kmax[1], kmz = kmax[2];
+    const double gx = 2.0 * M_PI / box[0], gy = 2.0 * M_PI / box[1],
+                 gz = 2.0 * M_PI / box[2];
+    const double vol = box[0] * box[1] * box[2];
+    const double cfac = 4.0 * M_PI * KE / vol;
+    const double inv4a2 = 1.0 / (4.0 * alpha * alpha);
+    // phase tables for non-negative multiples; negative m uses conj
+    std::vector<cd> ex((size_t)n * kmx), ey((size_t)n * kmy),
+        ez((size_t)n * kmz), ph((size_t)n), pxy((size_t)n);
+    for (int64_t i = 0; i < n; ++i) {
+        const cd sx(std::cos(gx * pos[3 * i]), std::sin(gx * pos[3 * i]));
+        const cd sy(std::cos(gy * pos[3 * i + 1]),
+                    std::sin(gy * pos[3 * i + 1]));
+        const cd sz(std::cos(gz * pos[3 * i + 2]),
+                    std::sin(gz * pos[3 * i + 2]));
+        cd ax(1.0, 0.0), ay(1.0, 0.0), az(1.0, 0.0);
+        for (int m = 0; m < kmx; ++m) { ex[i * kmx + m] = ax; ax *= sx; }
+        for (int m = 0; m < kmy; ++m) { ey[i * kmy + m] = ay; ay *= sy; }
+        for (int m = 0; m < kmz; ++m) { ez[i * kmz + m] = az; az *= sz; }
+    }
+    int lo_y = 0, lo_z = 1;
+    for (int mx = 0; mx < kmx; ++mx) {
+        const double kx = mx * gx;
+        for (int my = lo_y; my < kmy; ++my) {
+            const double ky = my * gy;
+            // x*y phase, hoisted out of the z loop
+            for (int64_t i = 0; i < n; ++i) {
+                const cd py = my >= 0 ? ey[i * kmy + my]
+                                      : std::conj(ey[i * kmy - my]);
+                pxy[i] = ex[i * kmx + mx] * py;
+            }
+            for (int mz = lo_z; mz < kmz; ++mz) {
+                const double kz = mz * gz;
+                const double k2 = kx * kx + ky * ky + kz * kz;
+                const double eak = std::exp(-k2 * inv4a2) / k2;
+                cd S(0.0, 0.0);
+                for (int64_t i = 0; i < n; ++i) {
+                    const cd pz = mz >= 0 ? ez[i * kmz + mz]
+                                          : std::conj(ez[i * kmz - mz]);
+                    ph[i] = pxy[i] * pz;
+                    S += q[i] * ph[i];
+                }
+                energy += cfac * eak * std::norm(S);
+                const double w = 2.0 * cfac * eak;
+                for (int64_t i = 0; i < n; ++i) {
+                    const cd c = S * std::conj(ph[i]);
+                    const double gr = w * q[i] * c.imag();
+                    forces[3 * i] -= gr * kx;
+                    forces[3 * i + 1] -= gr * ky;
+                    forces[3 * i + 2] -= gr * kz;
+                    dedq[i] += w * c.real();
+                }
+            }
+            lo_z = 1 - kmz;
+        }
+        lo_y = 1 - kmy;
+    }
+    return energy;
+}
+
+// dE/dq -> force chain rule (multdQdX semantics, calcChargeFlux.cu:291-313
+// contract): each flux term's analytic dq/dx is contracted against the
+// accumulated dedq and subtracted from the forces, so the native oracle's
+// total force is the exact gradient of E(q(x)) like the engine's.
+void cf_flux_chain_forces(const double* pos, int64_t n, const double* box,
+                          int pbc, const double* dedq,
+                          const int32_t* bond_idx, const double* bond_kb,
+                          int64_t nb,
+                          const int32_t* ang_idx, const double* ang_kt,
+                          int64_t na,
+                          const int32_t* wat_idx, const double* wat_p,
+                          int64_t nw,
+                          double* forces) {
+    (void)n;
+    for (int64_t b = 0; b < nb; ++b) {
+        const int p1 = bond_idx[2 * b], p2 = bond_idx[2 * b + 1];
+        double d[3];
+        for (int k = 0; k < 3; ++k) d[k] = pos[3 * p2 + k] - pos[3 * p1 + k];
+        if (pbc) min_image(d, box);
+        const double r = std::sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2]);
+        // dq/dx rows are +-(k/r)d; column sums weighted by dedq collapse
+        // to one scalar per bond
+        const double g = (dedq[p1] - dedq[p2]) * bond_kb[2 * b] / r;
+        for (int k = 0; k < 3; ++k) {
+            forces[3 * p1 + k] += g * d[k];
+            forces[3 * p2 + k] -= g * d[k];
+        }
+    }
+    for (int64_t a = 0; a < na; ++a) {
+        const int p1 = ang_idx[3 * a], p2 = ang_idx[3 * a + 1],
+                  p3 = ang_idx[3 * a + 2];
+        double d21[3], d23[3], d13[3];
+        for (int k = 0; k < 3; ++k) {
+            d21[k] = pos[3 * p1 + k] - pos[3 * p2 + k];
+            d23[k] = pos[3 * p3 + k] - pos[3 * p2 + k];
+            d13[k] = pos[3 * p3 + k] - pos[3 * p1 + k];
+        }
+        if (pbc) { min_image(d21, box); min_image(d23, box); min_image(d13, box); }
+        const double r21 = std::sqrt(d21[0]*d21[0]+d21[1]*d21[1]+d21[2]*d21[2]);
+        const double r23 = std::sqrt(d23[0]*d23[0]+d23[1]*d23[1]+d23[2]*d23[2]);
+        const double r13_2 = d13[0]*d13[0]+d13[1]*d13[1]+d13[2]*d13[2];
+        double cost = (r23 * r23 + r21 * r21 - r13_2) / (2.0 * r21 * r23);
+        if (cost > 1.0) cost = 1.0;
+        if (cost < -1.0) cost = -1.0;
+        const double kk = ang_kt[2 * a];
+        const double sin_inv = 1.0 / std::sqrt(1.0 - cost * cost);
+        const double c1 = kk / (r21 * r23) * sin_inv;
+        const double c21 = kk * cost * sin_inv / (r21 * r21);
+        const double c23 = kk * cost * sin_inv / (r23 * r23);
+        const double g = dedq[p1] - 2.0 * dedq[p2] + dedq[p3];
+        for (int k = 0; k < 3; ++k) {
+            const double v1 = -c1 * d23[k] + c21 * d21[k];
+            const double v3 = -c1 * d21[k] + c23 * d23[k];
+            forces[3 * p1 + k] -= g * v1;
+            forces[3 * p2 + k] -= g * (-v1 - v3);
+            forces[3 * p3 + k] -= g * v3;
+        }
+    }
+    for (int64_t w = 0; w < nw; ++w) {
+        const int pO = wat_idx[3 * w], pH1 = wat_idx[3 * w + 1],
+                  pH2 = wat_idx[3 * w + 2];
+        const double k1 = wat_p[5 * w], k2 = wat_p[5 * w + 1],
+                     kub = wat_p[5 * w + 2];
+        double d12[3], d13[3], d23[3];
+        for (int k = 0; k < 3; ++k) {
+            d12[k] = pos[3 * pH1 + k] - pos[3 * pO + k];
+            d13[k] = pos[3 * pH2 + k] - pos[3 * pO + k];
+            d23[k] = pos[3 * pH2 + k] - pos[3 * pH1 + k];
+        }
+        if (pbc) { min_image(d12, box); min_image(d13, box); min_image(d23, box); }
+        const double r12 = std::sqrt(d12[0]*d12[0]+d12[1]*d12[1]+d12[2]*d12[2]);
+        const double r13 = std::sqrt(d13[0]*d13[0]+d13[1]*d13[1]+d13[2]*d13[2]);
+        const double r23 = std::sqrt(d23[0]*d23[0]+d23[1]*d23[1]+d23[2]*d23[2]);
+        const double gO = dedq[pO], g1 = dedq[pH1], g2 = dedq[pH2];
+        for (int k = 0; k < 3; ++k) {
+            const double n12 = d12[k] / r12, n13 = d13[k] / r13,
+                         ub = kub * d23[k] / r23;
+            // column-wise contraction of the oracle's 3x3 water Jacobian
+            forces[3 * pO + k] -= gO * (k1 + k2) * (n12 + n13)
+                                  + g1 * (-k1 * n12 - k2 * n13)
+                                  + g2 * (-k2 * n12 - k1 * n13);
+            forces[3 * pH1 + k] -= gO * (-(k1 + k2) * n12 + 2.0 * ub)
+                                   + g1 * (k1 * n12 - ub)
+                                   + g2 * (k2 * n12 - ub);
+            forces[3 * pH2 + k] -= gO * (-(k1 + k2) * n13 - 2.0 * ub)
+                                   + g1 * (k2 * n13 + ub)
+                                   + g2 * (k1 * n13 + ub);
+        }
+    }
 }
 
 

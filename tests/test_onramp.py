@@ -181,3 +181,61 @@ def test_onramp_loud_failures(tmp_path):
               resseq=[1] * 2, symbols=["O", "H"])
     with pytest.raises(ValueError, match="missing"):
         system_from_pdb(str(path), PARAMS)
+
+
+def test_onramp_flux_water_terms(tmp_path):
+    """The addFluxWater route through the residue table: a water-box PDB
+    with flux_waters rows must match models.water's 'water' flux mode."""
+    from chargeflux_tpu.models.water import (K1_WATER, K2_WATER, KUB_WATER,
+                                             R_HH, _one_water)
+
+    rng = np.random.default_rng(3)
+    spacing = 0.31
+    n_side = 3
+    box = np.full(3, n_side * spacing)
+    pos, names, resnames, resseq = [], [], [], []
+    k = 0
+    for ix in range(n_side):
+        for iy in range(n_side):
+            for iz in range(n_side):
+                c = spacing * (np.array([ix, iy, iz]) + 0.5)
+                pos.extend(_one_water(c, rng))
+                names.extend(["O", "H1", "H2"])
+                resnames.extend(["HOH"] * 3)
+                resseq.extend([k + 1] * 3)
+                k += 1
+    path = tmp_path / "wat.pdb"
+    write_pdb(path, np.asarray(pos), box=box, names=names,
+              resnames=resnames, resseq=resseq,
+              symbols=[nm[0] for nm in names])
+
+    hoh_w = ResidueParams(
+        atoms=HOH.atoms,
+        flux_waters=[("O", "H1", "H2", K1_WATER, K2_WATER, KUB_WATER,
+                      R_OH, R_HH)],
+        exclusions=HOH.exclusions)
+    force, pos_r, _m, box_r, _bk = system_from_pdb(
+        str(path), {"HOH": hoh_w}, cutoff=0.45)
+    assert force.getNumFluxWaters() == k
+
+    ref = CoulForce()
+    ref.setUsesPeriodicBoundaryConditions(True)
+    ref.setCutoffDistance(0.45)
+    ref.setEwaldErrorTolerance(1e-4)
+    for w in range(k):
+        o = ref.addParticle(Q_O, SIG_O, EPS_O)
+        h1 = ref.addParticle(Q_H, SIG_H, EPS_H)
+        h2 = ref.addParticle(Q_H, SIG_H, EPS_H)
+        ref.addException(o, h1)
+        ref.addException(o, h2)
+        ref.addException(h1, h2)
+        ref.addFluxWater(o, h1, h2, K1_WATER, K2_WATER, KUB_WATER,
+                         R_OH, R_HH)
+    x = jnp.asarray(pos_r, jnp.float64)
+    ea, fa = cf.energy_and_forces(x, force.create_system(
+        box=box_r, dtype=jnp.float64))
+    eb, fb = cf.energy_and_forces(x, ref.create_system(
+        box=box_r, dtype=jnp.float64))
+    assert float(ea) == pytest.approx(float(eb), rel=1e-13)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                               rtol=1e-12, atol=1e-12)

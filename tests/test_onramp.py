@@ -239,3 +239,45 @@ def test_onramp_flux_water_terms(tmp_path):
     assert float(ea) == pytest.approx(float(eb), rel=1e-13)
     np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_onramp_triclinic_cryst1(tmp_path):
+    """A triclinic CRYST1 cell must flow through system_from_pdb as the
+    reduced [3, 3] lattice and produce the same energetics as building
+    the system on the lattice directly."""
+    from chargeflux_tpu.models.water import _one_water
+
+    rng = np.random.default_rng(5)
+    L = 3 * 0.31
+    B = np.array([[L, 0.0, 0.0],
+                  [0.12 * L, L, 0.0],
+                  [0.05 * L, -0.08 * L, L]])
+    pos, names, resnames, resseq = [], [], [], []
+    k = 0
+    for ix in range(3):
+        for iy in range(3):
+            for iz in range(3):
+                f = (np.array([ix, iy, iz]) + 0.5) / 3.0
+                pos.extend(_one_water(f @ B, rng))
+                names.extend(["O", "H1", "H2"])
+                resnames.extend(["HOH"] * 3)
+                resseq.extend([k + 1] * 3)
+                k += 1
+    path = tmp_path / "tri.pdb"
+    write_pdb(path, np.asarray(pos), box=B, names=names,
+              resnames=resnames, resseq=resseq,
+              symbols=[nm[0] for nm in names])
+    force, pos_r, _m, box_r, _bk = system_from_pdb(
+        str(path), PARAMS, cutoff=0.4)
+    assert np.asarray(box_r).shape == (3, 3)
+    np.testing.assert_allclose(box_r, B, atol=2e-3)   # CRYST1 rounding
+    x = jnp.asarray(pos_r, jnp.float64)
+    ea, fa = cf.energy_and_forces(
+        x, force.create_system(box=box_r, dtype=jnp.float64))
+    # same force table on the exact lattice: CRYST1 carries lengths to
+    # 1e-3 A and angles to 0.01 deg, which perturbs the lattice (and the
+    # derived alpha/kmax) at the ~1e-3 level — measured 4e-4 rel energy
+    eb, fb = cf.energy_and_forces(
+        x, force.create_system(box=B, dtype=jnp.float64))
+    assert float(ea) == pytest.approx(float(eb), rel=2e-3)
+    assert np.all(np.isfinite(np.asarray(fa)))

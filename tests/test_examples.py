@@ -28,6 +28,7 @@ def test_all_examples_parse():
     ["examples/run_md.py", "3", "60", "--cpu"],
     ["examples/run_fep.py", "3", "2", "60", "--cpu"],
     ["examples/run_solvated.py", "4", "3", "40", "--cpu"],
+    ["examples/run_peptide_pdb.py", "40", "--cpu"],
 ])
 def test_fast_examples_run(args):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
